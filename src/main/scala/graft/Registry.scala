@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL the
+  * driver hash-compares against. Non-SQL ops (sampling, ML, LSH) leave
+  * `sql = None` and are covered by ScalaTest specs instead.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String] = None)
+
+object Registry {
+  /** Ordered map so Verify/Bench output is stable across runs. */
+  def all: Seq[(String, Q)] =
+    relational.CoreOps.qs ++
+      relational.WindowOps.qs ++
+      profile.Profiling.qs ++
+      ext.TextOps.qs ++
+      ext.DedupOps.qs ++
+      ext.SimilarityOps.qs ++
+      ext.EventOps.qs ++
+      pipeline.StrokeQueries.qs ++
+      ext.MultimodalOps.qs
+}

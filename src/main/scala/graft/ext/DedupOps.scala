@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Scale design: exact dedup is a hash-groupBy on a content digest (shuffle
+  * on the digest, which is uniformly distributed — no skew). Near-dup is
+  * MinHash banding: shingle → minhash signature → band buckets → join only
+  * within buckets, so the candidate-pair space is ~linear instead of n².
+  * SimHash gives a 64-bit sketch whose hamming distance bounds cosine
+  * distance of the token sets — pairs via band-of-bits bucketing.
+  */
+object DedupOps {
+
+  // ---- D1: exact dedup via content digest --------------------------------
+  // Keep the smallest doc_id per sha256(text); count copies. At 100 TB the
+  // digest groupBy shuffles 32-byte keys, never the documents themselves.
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  private def d1Exact(s: SparkSession, d: String): DataFrame =
+    exactDedup(Tables.documents(s, d))
+      .select(col("keep_doc_id"), col("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  private val d1Sql =
+    """SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY SHA256(text)
+      |ORDER BY keep_doc_id""".stripMargin
+
+  // ---- shingling ---------------------------------------------------------
+  /** Word w-shingles (w consecutive lowercased tokens), distinct. */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(w)))),
+        sh => length(sh) > 0))
+  }
+
+  // ---- D2: MinHash near-dup ----------------------------------------------
+  /** MinHash signature: for hash seed k, min over shingles of
+    * xxhash64(shingle, k). Pure expressions — no UDF, stays in codegen.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, lit(k))))
+    }: _*)
+
+  /** Near-dup candidate pairs via LSH banding: signature split into bands
+    * of `rowsPerBand`; docs sharing any band bucket become candidates;
+    * candidates verified by estimated Jaccard (signature agreement).
+    */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(numHashes)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  private def d2Minhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- D3: SimHash -------------------------------------------------------
+  /** 64-bit SimHash over token xxhash64s, as pure SQL expressions: for each
+    * bit, sum(+1/-1 by bit set) over tokens, bit := sum > 0.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L).cast("long") * lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def d3Simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---- D4: exact n-gram Jaccard over candidate pairs ---------------------
+  // Explode distinct shingles, self-join on shingle (co-occurrence count),
+  // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle join IS the LSH-free
+  // exact method — quadratic in the worst case, used post-banding at scale.
+  def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val aSh = sh.select(col("doc_id").as("id_a"), col("sh"))
+    val bSh = sh.select(col("doc_id").as("id_b"), col("sh"))
+    val common = aSh.join(bSh, "sh").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  private def d4Jaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Tables.documents(s, d), 3, 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val qs: Seq[(String, Q)] = Seq(
+    "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
+    "d2_minhash_pairs"  -> Q(d2Minhash, None),
+    "d3_simhash"        -> Q(d3Simhash, None),
+    "d4_ngram_jaccard"  -> Q(d4Jaccard, None),
+  )
+}

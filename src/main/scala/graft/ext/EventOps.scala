@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.util.Det._
+
+/** Event-stream analytics over the `events` table: tumbling windows,
+  * sessionization. The same aggregations run under Structured Streaming in
+  * graft.streaming.EventStream (spec-tested); here they are expressed as
+  * batch queries so the DuckDB oracle can check them.
+  */
+object EventOps {
+
+  // ---- E1: tumbling hourly window ---------------------------------------
+  private def e1Tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val e1Sql =
+    s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  // ---- E2: sessionization (30-min inactivity gap) ------------------------
+  // Classic gaps-and-islands: lag ts per user, new-session flag when gap >
+  // 30 min, running sum of flags = session id. Two window passes over the
+  // same (user_id, ts) partitioning — one shuffle, reused.
+  private def e2Sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val e2Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
+  // ---- E3: per-user daily activity pivot-style rollup --------------------
+  private def e3DailyUser(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "view", 1)).as("n_views"))
+      .orderBy(col("day"))
+
+  private val e3Sql =
+    s"""SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  ${sqlDsum("value")} AS sum_value,
+       |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
+    "e2_sessionization"  -> Q(e2Sessions, Some(e2Sql)),
+    "e3_daily_rollup"    -> Q(e3DailyUser, Some(e3Sql)),
+  )
+}

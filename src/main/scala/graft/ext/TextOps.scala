@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension; BASELINE.json). All operate on the `documents` table and are
+  * pure per-row expressions — embarrassingly parallel, codegen'd, no
+  * shuffle, no UDF: exactly what survives a 100 TB scan.
+  */
+object TextOps {
+
+  private val Stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "was", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Whitespace token count: split on single space (documents are
+    * single-spaced synthetic text).
+    */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single punct. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword hits (with duplicates) over lowercased whitespace tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(split(lower(text), " "),
+      w => w.isin(Stopwords: _*)))
+
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  // ---- T1: per-document stats -------------------------------------------
+  private def t1TextStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        regexTokenCount(col("text")).cast("long").as("n_regex_tokens"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        stopwordCount(col("text")).cast("long").as("n_stopwords"))
+      .orderBy(col("doc_id"))
+
+  private val t1Sql = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+       |  CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+       |  CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), w -> w IN ($stop))) AS BIGINT) AS n_stopwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- T2: corpus quality aggregate by lang ------------------------------
+  // Quality heuristics (length / punct density / stopword ratio) rolled up
+  // per language — single-pass agg after per-row expressions.
+  private def t2QualityByLang(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("len"),
+        tokenCount(col("text")).cast("long").as("toks"),
+        punctCount(col("text")).cast("long").as("punct"),
+        stopwordCount(col("text")).cast("long").as("stop"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("sum_chars"),
+        sum(col("toks")).as("sum_tokens"),
+        (sum(col("punct")).cast("double") / sum(col("len"))).as("punct_ratio"),
+        (sum(col("stop")).cast("double") / sum(col("toks"))).as("stopword_ratio"))
+      .orderBy(col("lang"))
+
+  private val t2Sql = {
+    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH per_doc AS (
+       |  SELECT lang,
+       |    CAST(LENGTH(text) AS BIGINT) AS len,
+       |    CAST(LEN(STR_SPLIT(text, ' ')) AS BIGINT) AS toks,
+       |    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+       |    CAST(LEN(LIST_FILTER(STR_SPLIT(LOWER(text), ' '), w -> w IN ($stop))) AS BIGINT) AS stop
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(punct) AS DOUBLE) / SUM(len) AS punct_ratio,
+       |  CAST(SUM(stop) AS DOUBLE) / SUM(toks) AS stopword_ratio
+       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- T3: language-ID heuristic (no SQL oracle: model-like logic) -------
+  // Per-language stopword profiles; argmax of hit counts. Spec-checked
+  // against the `lang` column for accuracy instead of an oracle.
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "avec"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "para", "que", "con", "por"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(split(lower(text), " "), w => w.isin(markers: _*)))
+
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (l, ms) =>
+      struct(langScore(text, ms).as("score"), lit(l).as("lang"))
+    }
+    // argmax by (score, lang) — deterministic tie-break on lang name
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  private def t3LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), langId(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+
+  // ---- T4: document fingerprint (64-bit FNV-1a rolling hash) -------------
+  // Deterministic content fingerprint via xxhash64 (Spark-native, codegen).
+  // No SQL oracle (hash function is engine-specific); spec pins stability.
+  private def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("fingerprint"),
+        sha2(col("text"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+
+  val qs: Seq[(String, Q)] = Seq(
+    "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
+    "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
+    "t3_lang_id"         -> Q(t3LangId, None),
+    "t4_fingerprint"     -> Q(t4Fingerprint, None),
+  )
+}

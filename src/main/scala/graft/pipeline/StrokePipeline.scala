@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, StringIndexerModel, VectorAssembler}
+
+/** The reference's end-to-end ETL + encoding pipeline, Spark-native.
+  *
+  * Reproduces, distributed and in one JVM:
+  *  - CSV ingest with header + schema inference (stroke_predict.py:22-23)
+  *  - mean imputation of the "N/A" sentinel in `bmi`, computed over the
+  *    string column via numeric coercion — i.e. mean of non-sentinel values
+  *    (stroke_predict.py:46-53, SURVEY.md §2.7d)
+  *  - drop `id` (stroke_predict.py:44)
+  *  - StringIndexer(handleInvalid=keep) + OneHotEncoder per string column,
+  *    swapped in place (stroke_predict.py:58-87)
+  *  - VectorAssembler over the fixed feature list (stroke_predict.py:127-133)
+  */
+object StrokePipeline {
+
+  val RawCsv      = "/root/reference/healthcare-dataset-stroke-data.csv"
+  val BalancedCsv = "/root/reference/hes_a_SMOTE_operator.csv"
+
+  /** Assembly order fixed by the reference (stroke_predict.py:127-129). */
+  val FeatureCols: Seq[String] = Seq(
+    "gender", "age", "hypertension", "heart_disease", "ever_married",
+    "work_type", "Residence_type", "avg_glucose_level", "bmi",
+    "smoking_status")
+
+  /** S1: CSV scan with header + schema inference. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** A2 + P3 + P4: impute "N/A" bmi with the mean of non-sentinel values
+    * (string-coercion semantics), then cast to double; drop id.
+    */
+  def clean(df: DataFrame): DataFrame = {
+    val m = bmiMean(df)
+    df.drop("id")
+      .withColumn("bmi",
+        when(col("bmi") === "N/A", lit(m))
+          .otherwise(col("bmi")).try_cast(DoubleType))
+      .withColumn("hypertension", col("hypertension").cast("int"))
+      .withColumn("heart_disease", col("heart_disease").cast("int"))
+  }
+
+  /** The imputation statistic alone (golden: 28.893236911794673 raw /
+    * 29.656603525388007 balanced).
+    */
+  /** PySpark 3.x (ANSI off) coerces non-numeric strings to null inside
+    * mean(); Spark 4 ANSI mode would throw — try_cast reproduces the
+    * reference's "N/A" → null → ignored-by-mean semantics exactly.
+    */
+  def bmiMean(df: DataFrame): Double =
+    df.agg(avg(col("bmi").try_cast(DoubleType))).head().getDouble(0)
+
+  def stringCols(df: DataFrame): Seq[String] =
+    df.dtypes.collect { case (c, "StringType") => c }.toSeq
+
+  final case class Encoded(df: DataFrame, mappings: Map[String, Map[String, Double]])
+
+  /** ML1–ML4: per string column StringIndexer(keep) + OneHotEncoder
+    * (dropLast default), then swap the encoded vector in place of the
+    * original column. Mappings come from StringIndexerModel.labelsArray —
+    * not distinct().collect() (SURVEY.md §2.7e).
+    */
+  def encode(df: DataFrame): Encoded = {
+    val cols = stringCols(df)
+    val stages = cols.flatMap { c =>
+      Seq(
+        new StringIndexer().setInputCol(c).setOutputCol(c + "_index")
+          .setHandleInvalid("keep"),
+        new OneHotEncoder().setInputCol(c + "_index").setOutputCol(c + "_encoded"))
+    }
+    val model = new Pipeline().setStages(stages.toArray).fit(df)
+    val transformed = model.transform(df)
+    val mappings = model.stages.collect {
+      case m: StringIndexerModel =>
+        m.getInputCol -> m.labelsArray.head.zipWithIndex
+          .map { case (l, i) => l -> i.toDouble }.toMap
+    }.toMap
+    val swapped = cols.foldLeft(transformed) { (acc, c) =>
+      acc.drop(c, c + "_index").withColumnRenamed(c + "_encoded", c)
+    }
+    Encoded(swapped, mappings)
+  }
+
+  /** ML5: assemble the 21-slot feature vector. */
+  def assemble(df: DataFrame, features: Seq[String] = FeatureCols): DataFrame =
+    new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+      .transform(df)
+
+  /** Full prep: read → clean → encode → assemble → cache (the reference
+    * re-read the CSV per action; we cache the small encoded frame).
+    */
+  def prepare(spark: SparkSession, path: String): DataFrame = {
+    val Encoded(enc, _) = encode(clean(readCsv(spark, path)))
+    assemble(enc).cache()
+  }
+}

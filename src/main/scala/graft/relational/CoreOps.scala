@@ -1,0 +1,302 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.util.Det._
+
+/** Core relational operators (SURVEY.md §2.1–§2.4) expressed Spark-first on
+  * the driver testdata. Every query here:
+  *   - keeps the plan fully declarative so Catalyst pushes filters/pruning
+  *     into the parquet scan (verified via .explain in CoreOpsSpec),
+  *   - ends in a total deterministic ORDER BY so the DuckDB oracle
+  *     hash-compare is order-stable,
+  *   - uses Det.* decimal-exact aggregation for money columns so results
+  *     are bit-identical regardless of partitioning (100 TB safe).
+  *
+  * Reference sites driving the inventory: projection/drop/cast/when
+  * (stroke_predict.py:44-53), filter (smote_sampling.py:24-25), group-count
+  * (stroke_predict.py:29-30), union (smote_sampling.py:52-54); joins,
+  * top-k, rollup are the testdata extensions (SURVEY.md §7.7).
+  */
+object CoreOps {
+
+  // ---- P1: projection ----------------------------------------------------
+  private def p1Project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p1Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- P2+P4: drop + cast ------------------------------------------------
+  // drop narrows the scan (column pruning); cast to decimal is exact.
+  private def p2DropCast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .drop("o_orderstatus", "o_orderpriority", "o_orderdate")
+      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+      .orderBy(col("o_orderkey"))
+
+  private val p2Sql =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- P3: when/otherwise conditional repair (stroke_predict.py:49-50) ---
+  private def p3WhenOtherwise(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("flag_desc",
+        when(col("l_returnflag") === "A", lit("accepted"))
+          .when(col("l_returnflag") === "R", lit("returned"))
+          .otherwise(lit("none")))
+      .groupBy(col("flag_desc")).agg(count(lit(1)).as("n"))
+      .orderBy(col("flag_desc"))
+
+  private val p3Sql =
+    """SELECT CASE WHEN l_returnflag = 'A' THEN 'accepted'
+      |            WHEN l_returnflag = 'R' THEN 'returned'
+      |            ELSE 'none' END AS flag_desc,
+      |       COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY flag_desc""".stripMargin
+
+  // ---- P5+P6: filter with compound predicate (pushed to parquet scan) ----
+  private def p5Filter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "A" &&
+        col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p5Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_returnflag = 'A' AND l_shipdate IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- A1: group-by count (stroke_predict.py:29-30) ----------------------
+  private def a1GroupCount(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val a1Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- A2: global mean (stroke_predict.py:46-47) -------------------------
+  private def a2GlobalMean(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .agg(davg(col("c_acctbal")).as("mean_acctbal"),
+        count(lit(1)).as("n"))
+
+  private val a2Sql =
+    s"""SELECT ${sqlDavg("c_acctbal")} AS mean_acctbal, COUNT(*) AS n
+       |FROM customer""".stripMargin
+
+  // ---- A5: distinct ------------------------------------------------------
+  private def a5Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val a5Sql =
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+      |FROM orders ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---- A6: rollup (multi-level aggregation) ------------------------------
+  // COALESCE folds rollup NULLs to 'ALL' so ordering is engine-neutral.
+  private def a6Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val a6Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- U1: union (smote_sampling.py:52-54 — position-based unionAll) -----
+  private def u1Union(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hi = c.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_mktsegment"), lit("high").as("tier"))
+    val lo = c.filter(col("c_acctbal") < 1000)
+      .select(col("c_custkey"), col("c_mktsegment"), lit("low").as("tier"))
+    hi.union(lo).orderBy(col("c_custkey"), col("tier"))
+  }
+
+  private val u1Sql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, c_mktsegment, 'high' AS tier FROM customer WHERE c_acctbal > 9000
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, 'low' AS tier FROM customer WHERE c_acctbal < 1000
+      |) ORDER BY c_custkey, tier""".stripMargin
+
+  // ---- O1: top-k (global sort + limit; Spark plans TakeOrderedAndProject)
+  private def o1TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  private val o1Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---- Q1: TPC-H-Q1-style pricing summary (flagship) ---------------------
+  private[graft] def q1Pricing(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        (sum(col("l_discount").cast(DecimalType(4, 2))).cast("double") /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  SUM(l_quantity) AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- J1: 3-way star join with broadcast dim (TPC-H-Q3-style) -----------
+  // customer is the small build side — broadcast() avoids a shuffle of the
+  // fact tables on c_custkey; at 100 TB only orders⋈lineitem shuffles.
+  private def j1Join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1997-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val j1Sql =
+    s"""SELECT o_orderkey, o_orderdate,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate  > TIMESTAMP '1997-01-01'
+       |GROUP BY o_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---- J2: 5-way snowflake join (TPC-H-Q5-style) -------------------------
+  // region→nation→customer are tiny dims: all broadcast; the only shuffle
+  // at scale is orders⋈lineitem on orderkey.
+  private def j2MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val j2Sql =
+    s"""SELECT r_name, n_name,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---- J3: semi/anti join (EXISTS / NOT EXISTS) --------------------------
+  private def j3SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("kind"))
+    val noOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("kind"))
+    withOrders.union(noOrders).orderBy(col("c_custkey"), col("kind"))
+  }
+
+  private val j3Sql =
+    """SELECT * FROM (
+      |  SELECT c_custkey, 'with_orders' AS kind FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT c_custkey, 'no_orders' AS kind FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |) ORDER BY c_custkey, kind""".stripMargin
+
+  // ---- M1/M2: seeded split + Bernoulli sample (no SQL oracle: RNG) -------
+  // stroke_predict.py:152 randomSplit(seed=42); smote_sampling.py:53 sample.
+  private def m1Split(s: SparkSession, d: String): DataFrame = {
+    val Array(train, test) =
+      Tables.orders(s, d).randomSplit(Array(0.7, 0.3), seed = 42)
+    val a = train.agg(count(lit(1)).as("n")).select(lit("train").as("part"), col("n"))
+    val b = test.agg(count(lit(1)).as("n")).select(lit("test").as("part"), col("n"))
+    a.union(b).orderBy(col("part"))
+  }
+
+  private def m2Sample(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42)
+      .agg(count(lit(1)).as("n_sampled"))
+
+  val qs: Seq[(String, Q)] = Seq(
+    "q1_pricing_summary" -> Q(q1Pricing, Some(q1Sql)),
+    "p1_project"         -> Q(p1Project, Some(p1Sql)),
+    "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
+    "p3_when_otherwise"  -> Q(p3WhenOtherwise, Some(p3Sql)),
+    "p5_filter"          -> Q(p5Filter, Some(p5Sql)),
+    "a1_group_count"     -> Q(a1GroupCount, Some(a1Sql)),
+    "a2_global_mean"     -> Q(a2GlobalMean, Some(a2Sql)),
+    "a5_distinct"        -> Q(a5Distinct, Some(a5Sql)),
+    "a6_rollup"          -> Q(a6Rollup, Some(a6Sql)),
+    "u1_union"           -> Q(u1Union, Some(u1Sql)),
+    "o1_topk"            -> Q(o1TopK, Some(o1Sql)),
+    "j1_join_broadcast"  -> Q(j1Join, Some(j1Sql)),
+    "j2_join_snowflake"  -> Q(j2MultiJoin, Some(j2Sql)),
+    "j3_join_semi_anti"  -> Q(j3SemiAnti, Some(j3Sql)),
+    "m1_random_split"    -> Q(m1Split, None),
+    "m2_sample"          -> Q(m2Sample, None),
+  )
+}
