@@ -22,5 +22,8 @@ object Registry {
       ext.SimilarityOps.qs ++
       ext.EventOps.qs ++
       pipeline.StrokeQueries.qs ++
-      ext.MultimodalOps.qs
+      ext.MultimodalOps.qs ++
+      balance.BalanceQueries.qs ++
+      model.ModelQueries.qs ++
+      streaming.StreamQueries.qs
 }

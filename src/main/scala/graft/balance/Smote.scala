@@ -1,0 +1,115 @@
+package graft.balance
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed SMOTE (Synthetic Minority Over-sampling TEchnique).
+  *
+  * Reference: smote_sampling.py:19-54 — which collects the whole minority
+  * class to the driver, fits sklearn KNN there, and synthesizes rows in a
+  * Python loop. This rebuild keeps every step distributed:
+  *
+  *   1. k-NN of each minority row among the minority class — exact
+  *      (crossJoin + per-row top-k window) for parity; at 100 TB swap in
+  *      [[Knn.approxNeighbors]] (random-hyperplane LSH bucketing) so the
+  *      pair space stays near-linear.
+  *   2. Synthesis via mapPartitions with a per-partition seeded RNG — no
+  *      driver round-trip, deterministic for a fixed partitioning.
+  *   3. Majority under-sampling via Bernoulli sample.
+  *
+  * Deliberate divergences from the reference, per SURVEY.md §2.7:
+  *   - (a) bounds check is a correct range test, not `a > 100|b`;
+  *   - (b) textbook SMOTE: interpolate toward an actual k-NN of row i,
+  *     not toward a random row of the global minority array;
+  *   - (c) no undefined globals — the reference's SmoteSampling raises
+  *     NameError if called.
+  *
+  * Features are `array<double>` columns (codegen-friendly higher-order
+  * expressions); use ml.functions.vector_to_array / array_to_vector at the
+  * spark.ml boundary.
+  */
+object Smote {
+
+  final case class Params(
+      k: Int = 5,
+      percentOver: Int = 200,
+      percentUnder: Int = 100,
+      seed: Long = 42L) {
+    require(percentOver >= 100, s"percentOver must be >= 100, got $percentOver")
+    require(percentUnder >= 10 && percentUnder <= 100,
+      s"percentUnder must be in [10, 100], got $percentUnder")
+    def nSynthPerRow: Int = percentOver / 100
+    def underFraction: Double = percentUnder / 100.0
+  }
+
+  /** Squared euclidean distance between two array<double> columns —
+    * pure expressions, stays in whole-stage codegen.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** SMOTE over-sample + under-sample.
+    *
+    * @param df        input with `idCol` (unique long), `featCol`
+    *                  (array<double>), `labelCol`
+    * @param minority  the minority-class label value
+    */
+  def balance(spark: SparkSession, df: DataFrame, idCol: String,
+      featCol: String, labelCol: String, minority: Column,
+      p: Params = Params()): DataFrame = {
+    val minorityDf = df.filter(col(labelCol) === minority)
+      .select(col(idCol), col(featCol), col(labelCol))
+    val majorityDf = df.filter(col(labelCol) =!= minority)
+      .select(col(idCol), col(featCol), col(labelCol))
+
+    val synth = synthesize(spark, minorityDf, idCol, featCol, labelCol, p)
+    val underMajority =
+      majorityDf.sample(withReplacement = false, p.underFraction, p.seed)
+    minorityDf.union(synth).union(underMajority)
+  }
+
+  /** Generate nSynthPerRow synthetic rows per minority row by
+    * interpolating toward a randomly chosen one of its k nearest minority
+    * neighbours.
+    */
+  def synthesize(spark: SparkSession, minorityDf: DataFrame, idCol: String,
+      featCol: String, labelCol: String, p: Params): DataFrame = {
+    val withNeighbors =
+      Knn.exactNeighbors(minorityDf, idCol, featCol, p.k)
+        .join(minorityDf, Seq(idCol))
+        .select(col(idCol), col(featCol), col(labelCol), col("neighbors"))
+
+    val schema = withNeighbors.schema
+    val featIdx  = schema.fieldIndex(featCol)
+    val labelIdx = schema.fieldIndex(labelCol)
+    val neighIdx = schema.fieldIndex("neighbors")
+    val idIdx    = schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      schema(idIdx), schema(featIdx), schema(labelIdx)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val nSynth = p.nSynthPerRow
+    val seed = p.seed
+
+    withNeighbors.mapPartitions { rows =>
+      // Seed folds in the partition id: deterministic per partition, no
+      // cross-partition correlation.
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val rng = new scala.util.Random(seed * 1000003L + pid)
+      rows.flatMap { r =>
+        val x = r.getSeq[Double](featIdx)
+        val neighbors = r.getSeq[scala.collection.Seq[Double]](neighIdx)
+        if (neighbors.isEmpty) Iterator.empty
+        else Iterator.tabulate(nSynth) { _ =>
+          val n = neighbors(rng.nextInt(neighbors.length))
+          val gap = rng.nextDouble()
+          val nf = Array.tabulate(x.length)(j => x(j) + gap * (n(j) - x(j)))
+          Row(r.get(idIdx), nf.toSeq, r.get(labelIdx))
+        }
+      }
+    }(enc).toDF(idCol, featCol, labelCol)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape and determinism checks for the relational core — the
+  * value-level correctness gate is the DuckDB oracle (scripts/
+  * oracle_check.py); here we assert the *physical plans* are the ones that
+  * scale: filters/pruning pushed into the parquet scan, broadcast joins
+  * where intended, and partition-count-independent results.
+  */
+class CoreOpsSpec extends SparkSpec {
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p5_filter: predicate is pushed to the parquet scan") {
+    val plan = planString("p5_filter")
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("GreaterThan(l_quantity,45.0)") ||
+      plan.contains("l_quantity"), "quantity filter not pushed")
+  }
+
+  test("p1_project: scan reads only the projected columns") {
+    val plan = planString("p1_project")
+    assert(!plan.contains("l_extendedprice,l_discount") &&
+      !plan.contains("l_returnflag"),
+      "scan schema should exclude unprojected columns:\n" + plan.take(800))
+  }
+
+  test("j1/j2: dimension joins are broadcast, not shuffled") {
+    val j1 = planString("j1_join_broadcast")
+    assert(j1.contains("BroadcastHashJoin"), j1.take(800))
+    val j2 = planString("j2_join_snowflake")
+    assert(j2.contains("BroadcastHashJoin"), j2.take(800))
+  }
+
+  test("o1_topk plans TakeOrderedAndProject (no full sort)") {
+    val plan = planString("o1_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q1 whole-stage codegen covers the aggregate") {
+    // AQE finalizes the plan only on execution; codegen spans appear then.
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, Sf001)
+    df.collect()
+    // codegen'd operators carry the "*(stageId)" prefix in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1200))
+  }
+
+  test("money aggregates are bit-identical across partitionings (Det)") {
+    import graft.util.Det._
+    def sums(n: Int) = Tables.lineitem(spark, Sf0001).repartition(n)
+      .agg(dsum(col("l_extendedprice")),
+        revenueSum(col("l_extendedprice"), col("l_discount"))).head()
+    val a = sums(1); val b = sums(13)
+    assert(a.getDouble(0) === b.getDouble(0))
+    assert(a.getDouble(1) === b.getDouble(1))
+  }
+
+  test("entry: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key exists in queries with matching column names") {
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), k))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{DedupOps, SimilarityOps}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the green river bank"),// near dup of 1
+    (4L, "completely different content about distributed query engines and spark"),
+    (5L, "another unrelated document mentioning machine learning pipelines only"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical texts, keeps min doc_id") {
+    val out = DedupOps.exactDedup(planted)
+      .select("keep_doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)     // docs 1+2 merged under keeper 1
+    assert(out(3L) === 1L)
+    assert(out.values.sum === 5L)
+  }
+
+  test("minhash banding surfaces the planted near-dup pair") {
+    val pairs = DedupOps.minhashPairs(planted, numHashes = 16, bands = 8,
+        minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))   // exact dup: jaccard 1
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup not found in ${pairs.toSeq}")
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
+    val j = DedupOps.jaccardPairs(planted, 3, 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5)
+    assert(!j.contains((4L, 5L)))
+  }
+
+  test("simhash: identical texts equal, near-dups within small hamming distance") {
+    val hashes = planted.select(col("doc_id"),
+      DedupOps.simhash64(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(2L))
+    val hd = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    assert(hd <= 16, s"hamming distance $hd too large for near-dup")
+    val hdFar = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(hdFar > hd, "unrelated doc should be farther than near-dup")
+  }
+
+  test("cosine: self-similarity is 1, brute top-k ranks by similarity") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val self = emb.select(
+      SimilarityOps.cosine(col("embedding"), col("embedding")).as("s"))
+      .agg(min("s"), max("s")).head()
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-6)
+
+    val topk = SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 5)
+      .orderBy("rank").collect()
+    assert(topk.length === 5)
+    val sims = topk.map(_.getAs[Double]("sim"))
+    assert(sims.sliding(2).forall(p => p(0) >= p(1)), "ranks not sorted by sim")
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(emb, queries, 10, bits = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // random-hyperplane LSH on random embeddings: modest recall expected,
+    // but must beat the ~25% a random 2-bit bucket assignment would give
+    assert(recall > 0.3, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.balance.{Knn, Smote}
+
+/** SMOTE invariants (SURVEY.md §5.2-1):
+  *  - synthetic count = n_minority * (percentOver/100)
+  *  - every synthetic feature lies within [min, max] of (source, neighbor)
+  *    — guaranteed per-dimension by linear interpolation with gap∈[0,1)
+  *  - labels always minority; majority under-sample bounded
+  *  - k-NN exact results agree with a brute-force reimplementation
+  */
+class SmoteSpec extends SparkSpec {
+
+  private def embFeatures = Tables.embeddings(spark, Sf0001)
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("features"),
+      when(col("label") === 0, lit(0)).otherwise(lit(1)).as("cls"))
+    .cache()
+
+  test("synthesize: count and label invariants") {
+    val df = embFeatures
+    val minority = df.filter(col("cls") === 0)
+    val nMin = minority.count()
+    val synth = Smote.synthesize(spark, minority, "vec_id", "features", "cls",
+      Smote.Params(k = 5, percentOver = 300, percentUnder = 100))
+    assert(synth.count() === nMin * 3)
+    assert(synth.filter(col("cls") =!= 0).count() === 0)
+  }
+
+  test("synthesize: interpolation stays within the minority bounding box") {
+    val df = embFeatures
+    val minority = df.filter(col("cls") === 0)
+    val synth = Smote.synthesize(spark, minority, "vec_id", "features", "cls",
+      Smote.Params(k = 3, percentOver = 100, percentUnder = 100))
+    // Per-dimension global [min,max] of the minority class bounds any
+    // point on a segment between two minority points.
+    val bounds = minority
+      .select(posexplode(col("features")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    val violations = synth
+      .select(posexplode(col("features")).as(Seq("dim", "v")))
+      .join(bounds, "dim")
+      .filter(col("v") < col("lo") - 1e-9 || col("v") > col("hi") + 1e-9)
+      .count()
+    assert(violations === 0)
+  }
+
+  test("balance: class ratio moves toward 1:1 and is deterministic") {
+    val df = embFeatures
+    val balanced = Smote.balance(spark, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100))
+    val counts = balanced.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = df.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) === before(0) * 3)          // minority + 2 synth each
+    assert(counts(1) === before(1))              // percentUnder=100 keeps all
+    // deterministic across runs
+    val again = Smote.balance(spark, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100))
+      .groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("exact k-NN matches brute force on a small sample") {
+    val minority = embFeatures.filter(col("cls") === 0).limit(30).cache()
+    val got = Knn.exactNeighbors(minority, "vec_id", "features", 3)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toVector)).toMap
+
+    val local = minority.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+    def d2(a: Vector[Double], b: Vector[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    local.foreach { case (id, f) =>
+      val expect = local.filter(_._1 != id)
+        .sortBy { case (oid, of) => (d2(f, of), oid) }
+        .take(3).map(_._2)
+      assert(got(id) === expect.toSeq, s"neighbors of $id")
+    }
+  }
+
+  test("params: reference bug §2.7a fixed — bounds are validated") {
+    intercept[IllegalArgumentException] {
+      Smote.Params(percentUnder = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Smote.Params(percentOver = 50)
+    }
+  }
+}

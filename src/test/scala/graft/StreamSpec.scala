@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Structured Streaming ≡ batch: the streaming tumbling aggregate over the
+  * static events directory must equal the batch EventOps result exactly.
+  */
+class StreamSpec extends SparkSpec {
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val streamed = EventStream.runToCompletion(spark, Sf0001, "spec_stream")
+      .orderBy("hour", "event_type").collect()
+    val batch = SparkEntry.queries("e1_tumbling_window")(spark, Sf0001)
+      .collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) === b.getTimestamp(0))
+      assert(s.getString(1) === b.getString(1))
+      assert(s.getLong(2) === b.getLong(2))
+      assert(s.getDouble(3) === b.getDouble(3))   // bit-exact via Det.dsum
+    }
+  }
+
+  test("per-user windowed activity runs and sums to total events") {
+    val q = EventStream.perUserActivity(EventStream.readStream(spark, Sf0001))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("spec_user_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val total = spark.table("spec_user_stream").agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, Sf0001).count())
+  }
+}
