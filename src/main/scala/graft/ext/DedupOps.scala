@@ -45,13 +45,34 @@ object DedupOps {
   }
 
   // ---- D2: MinHash near-dup ----------------------------------------------
-  /** MinHash signature: for hash seed k, min over shingles of
-    * xxhash64(shingle, k). Pure expressions — no UDF, stays in codegen.
+  /** MinHash signatures via Kirsch-Mitzenmacher: hash each shingle string
+    * exactly TWICE (h1, h2 = xxhash64 under two seeds), then derive the k
+    * hash families as h1 + k*h2 — cheap long arithmetic instead of k
+    * string hashes. (Kirsch & Mitzenmacher, "Less Hashing, Same
+    * Performance", ESA 2006.)
+    *
+    * Shape: explode shingles once, hash each row once, then ONE codegen'd
+    * HashAggregate with k scalar `min` aggregates. The array-expression
+    * alternative (k × array_min(transform(...))) re-evaluates the lambda
+    * chain per hash family — higher-order lambdas are excluded from
+    * Catalyst subexpression elimination, which made it 25s at sf0.1 vs
+    * ~2s for this shape.
+    *
+    * Hashes are masked to 32 bits so h1 + k*h2 never overflows a long
+    * under ANSI mode; 32-bit min-hashes are ample for shingle sets ≪ 2^16.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shingleCol, sh => xxhash64(sh, lit(k))))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
+    val mask = lit(0xffffffffL)
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
+      .select(col("doc_id"),
+        xxhash64(col("sh")).bitwiseAND(mask).as("_h1"),
+        xxhash64(col("sh"), lit(0x9747b28c)).bitwiseAND(mask).as("_h2"))
+    exploded.groupBy(col("doc_id"))
+      .agg(array((0 until numHashes).map { k =>
+        min(col("_h1") + lit(k.toLong) * col("_h2"))
+      }: _*).as("sig"))
+  }
 
   /** Near-dup candidate pairs via LSH banding: signature split into bands
     * of `rowsPerBand`; docs sharing any band bucket become candidates;
@@ -60,10 +81,7 @@ object DedupOps {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = docs
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = minhashSignatures(docs, 3, numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -108,7 +126,11 @@ object DedupOps {
   // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle join IS the LSH-free
   // exact method — quadratic in the worst case, used post-banding at scale.
   def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
+    // join on the 8-byte shingle hash, not the shingle string — smaller
+    // shuffle, faster equality; xxhash64 collisions are negligible here
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(transform(shingles(col("text"), w),
+        s => xxhash64(s)))).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val aSh = sh.select(col("doc_id").as("id_a"), col("sh"))
     val bSh = sh.select(col("doc_id").as("id_b"), col("sh"))

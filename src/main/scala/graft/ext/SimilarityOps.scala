@@ -4,21 +4,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.VecOps
 
 /** Similarity search over the `embeddings` table (north-star extension).
   *
   * Scale design: the query set is small and broadcast; the corpus streams
-  * through one scan computing per-row similarities (pure higher-order
-  * expressions, no UDF), then a per-query top-k window. At 100 TB the scan
-  * dominates and parallelizes perfectly; the window shuffles only
-  * (n_queries × corpus) candidate rows — pruned first by a similarity
-  * threshold. The LSH variant buckets by random hyperplane signs so each
-  * query probes ~1/2^bits of the corpus.
+  * through one scan computing per-row similarities with the codegen'd
+  * FloatArrayDot kernel (graft.functions.VecOps), then a per-query top-k
+  * window. Norms are computed once per row — never per pair. At 100 TB the
+  * scan dominates and parallelizes perfectly; the LSH variant buckets by
+  * random-hyperplane signs so each query probes ~1/2^bits of the corpus.
   */
 object SimilarityOps {
 
-  /** Dot product of two float-array columns, accumulated in double,
-    * strictly left-to-right (deterministic).
+  /** Dot product accumulated in double, strictly left-to-right —
+    * expression form (kept for composability; the hot paths use the
+    * codegen'd VecOps.fdot which produces bit-identical results).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -28,14 +29,22 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Corpus projection with the norm precomputed once per row. */
+  private def withNorm(s: SparkSession, df: DataFrame, prefix: String): DataFrame =
+    df.select(col("vec_id").as(s"${prefix}_id"),
+      col("embedding").as(s"${prefix}_emb"),
+      VecOps.fnorm(s, col("embedding")).as(s"${prefix}_norm"))
+
   /** Brute-force top-k cosine neighbours for each query vector. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val s = corpus.sparkSession
+    val q = withNorm(s, queries, "q")
+    val c = withNorm(s, corpus, "c")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        cosine(col("q_emb"), col("c_emb")).as("sim"))
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -49,31 +58,31 @@ object SimilarityOps {
   }
 
   /** Random-hyperplane LSH: signature = sign bits of dot(v, h_i) for
-    * deterministic pseudo-random hyperplanes derived from xxhash64(i, dim).
-    * Buckets index the corpus; queries probe their own bucket only.
-    * Approximate — spec-tested for recall against brute force.
+    * deterministic pseudo-random hyperplanes. Buckets index the corpus;
+    * queries probe their own bucket only. Approximate — spec-tested for
+    * recall against brute force.
     */
   def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column = {
-    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
+    val bitCols = (0 until bits).map { b =>
       val rng = new scala.util.Random(42L * (b + 1))
-      Seq.fill(dim)(rng.nextGaussian())
-    }
-    val bitCols = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
-      when(dot(emb, planeArr) > 0, lit(1L << i)).otherwise(lit(0L))
+      val planeArr = array(Seq.fill(dim)(rng.nextGaussian()).map(lit): _*)
+      when(dot(emb, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       dim: Int = 64): DataFrame = {
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      hyperplaneSig(col("embedding"), dim, bits).as("bucket"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      hyperplaneSig(col("embedding"), dim, bits).as("bucket"))
+    val s = corpus.sparkSession
+    val c = withNorm(s, corpus, "c")
+      .withColumn("bucket", hyperplaneSig(col("c_emb"), dim, bits))
+    val q = withNorm(s, queries, "q")
+      .withColumn("bucket", hyperplaneSig(col("q_emb"), dim, bits))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -85,15 +94,18 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold; at small SF a
-    * broadcast self-join, at scale the LSH bucketing bounds candidates.
+  /** Embedding-cosine near-duplicate pairs above a threshold. Norms are
+    * precomputed per side; the pair filter runs inside codegen. At scale,
+    * bucket first (LSH) — the crossJoin here is the exact small-SF path.
     */
   private def x3NearDupPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val a = withNorm(s, e, "a").withColumnRenamed("a_id", "id_a")
+    val b = withNorm(s, e, "b").withColumnRenamed("b_id", "id_b")
     a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        (VecOps.fdot(s, col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm"))).as("sim"))
       .filter(col("sim") >= 0.35)
       .orderBy(col("id_a"), col("id_b"))
   }
