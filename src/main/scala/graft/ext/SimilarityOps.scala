@@ -110,9 +110,62 @@ object SimilarityOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** IVF (inverted-file) ANN: KMeans coarse quantizer over the corpus;
+    * each query probes the nProbe nearest centroids and exact-reranks only
+    * those cells. The scale path when the LSH bucket distribution is too
+    * coarse: cells ≈ sqrt(n), probe cost ≈ nProbe/cells of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
+    val vec = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("_v"))
+    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("_v")
+      .setPredictionCol("cell")
+    val model = km.fit(vec)
+    val assigned = model.transform(vec)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        VecOps.fnorm(s, col("embedding")).as("c_norm"), col("cell"))
+
+    // query → its nProbe nearest cells, via distance to the centroid table
+    // (tiny: nCells rows, crossJoin + top-k window)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+    import s.implicits._
+    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val q = withNorm(s, queries, "q")
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"),
+        (-VecOps.fdot(s, col("q_emb"), col("centroid"))).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def x4IvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, None),
     "x2_cosine_topk_lsh"   -> Q(x2LshTopK, None),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, None),
+    "x4_cosine_topk_ivf"   -> Q(x4IvfTopK, None),
   )
 }

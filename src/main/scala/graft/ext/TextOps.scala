@@ -127,8 +127,36 @@ object TextOps {
         sha2(col("text"), 256).as("sha"))
       .orderBy(col("doc_id"))
 
+  // ---- T5: corpus length distribution (exact discrete quantiles) ---------
+  // percentile_disc picks actual data values — engine-neutral, unlike
+  // interpolated quantiles whose blend arithmetic can differ in the ulp.
+  private def t5LengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+          .cast("long").as("p75"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  private val t5Sql =
+    """SELECT lang, COUNT(*) AS n,
+      |  MIN(n_chars) AS min_chars,
+      |  CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+      |  CAST(PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+      |  CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
+    "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, None),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),

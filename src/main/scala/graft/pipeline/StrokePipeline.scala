@@ -29,32 +29,26 @@ object StrokePipeline {
     "work_type", "Residence_type", "avg_glucose_level", "bmi",
     "smoking_status")
 
-  /** S1: CSV scan with header + schema inference. */
+  /** S1: CSV scan with header + schema inference (parity mode —
+    * CsvSource.withSchema is the single-pass production path).
+    */
   def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    graft.ingest.CsvSource.inferred(spark, path)
 
   /** A2 + P3 + P4: impute "N/A" bmi with the mean of non-sentinel values
     * (string-coercion semantics), then cast to double; drop id.
     */
-  def clean(df: DataFrame): DataFrame = {
-    val m = bmiMean(df)
-    df.drop("id")
-      .withColumn("bmi",
-        when(col("bmi") === "N/A", lit(m))
-          .otherwise(col("bmi")).try_cast(DoubleType))
-      .withColumn("hypertension", col("hypertension").cast("int"))
-      .withColumn("heart_disease", col("heart_disease").cast("int"))
-  }
+  def clean(df: DataFrame): DataFrame =
+    graft.clean.Cleaning.castColumns(
+      graft.clean.Cleaning.imputeSentinelWithMean(df.drop("id"), "bmi", "N/A"),
+      "hypertension" -> org.apache.spark.sql.types.IntegerType,
+      "heart_disease" -> org.apache.spark.sql.types.IntegerType)
 
   /** The imputation statistic alone (golden: 28.893236911794673 raw /
-    * 29.656603525388007 balanced).
-    */
-  /** PySpark 3.x (ANSI off) coerces non-numeric strings to null inside
-    * mean(); Spark 4 ANSI mode would throw — try_cast reproduces the
-    * reference's "N/A" → null → ignored-by-mean semantics exactly.
+    * 29.656603525388007 balanced). SURVEY.md §2.7d semantics.
     */
   def bmiMean(df: DataFrame): Double =
-    df.agg(avg(col("bmi").try_cast(DoubleType))).head().getDouble(0)
+    graft.clean.Cleaning.coercedMean(df, "bmi")
 
   def stringCols(df: DataFrame): Seq[String] =
     df.dtypes.collect { case (c, "StringType") => c }.toSeq

@@ -127,6 +127,24 @@ object CoreOps {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- A8: cube (all grouping-set combinations) --------------------------
+  private def a8Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  private val a8Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       |       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       |       COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   // ---- U1: union (smote_sampling.py:52-54 — position-based unionAll) -----
   private def u1Union(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -291,6 +309,7 @@ object CoreOps {
     "a2_global_mean"     -> Q(a2GlobalMean, Some(a2Sql)),
     "a5_distinct"        -> Q(a5Distinct, Some(a5Sql)),
     "a6_rollup"          -> Q(a6Rollup, Some(a6Sql)),
+    "a8_cube"            -> Q(a8Cube, Some(a8Sql)),
     "u1_union"           -> Q(u1Union, Some(u1Sql)),
     "o1_topk"            -> Q(o1TopK, Some(o1Sql)),
     "j1_join_broadcast"  -> Q(j1Join, Some(j1Sql)),

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{SimilarityOps, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lang-id identifies hand-written samples per language") {
+    // The testdata documents carry random token soup (lang is synthetic
+    // metadata), so real language text is planted here instead.
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy that the sun is out"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem für alle"),
+      ("fr", "le chat est dans la maison et il est content pour une fois que tout va bien"),
+      ("es", "el perro es grande y la casa es una maravilla para los amigos con suerte"),
+      ("unknown", "zxq vprt kllm wrrt bzzt")).toDF("expected", "text")
+    val out = samples.select(col("expected"),
+      TextOps.langId(col("text")).as("pred")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"text classified as ${r.getString(1)}, expected ${r.getString(0)}"))
+  }
+
+  test("token counts agree with a local reimplementation") {
+    val rows = Tables.documents(spark, Sf0001).limit(50)
+      .select(col("text"), TextOps.tokenCount(col("text")).as("n")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getString(0).split(" ", -1).length)
+    }
+  }
+
+  test("fingerprints are stable across partitionings") {
+    val a = SparkEntry.queries("t4_fingerprint")(spark, Sf0001).collect()
+    val b = SparkEntry.queries("t4_fingerprint")(spark, Sf0001).collect()
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
+  }
+
+  test("IVF top-k achieves high recall vs brute force") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, queries, 10, nCells = 16, nProbe = 4)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 4/16 cells of random embeddings; must beat the 25% a random
+    // cell assignment would give
+    assert(recall > 0.3, s"IVF recall $recall too low")
+  }
+}
