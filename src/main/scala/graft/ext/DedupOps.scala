@@ -104,7 +104,8 @@ object DedupOps {
 
   // ---- D3: SimHash -------------------------------------------------------
   /** 64-bit SimHash over token xxhash64s, as pure SQL expressions: for each
-    * bit, sum(+1/-1 by bit set) over tokens, bit := sum > 0.
+    * bit, sum(+1/-1 by bit set) over tokens, bit := sum > 0. Per-row
+    * expression form — composable, used by the spec on small frames.
     */
   def simhash64(text: Column): Column = {
     val hashes = transform(split(lower(text), "\\s+"), t => xxhash64(t))
@@ -116,9 +117,28 @@ object DedupOps {
     bits.reduce(_ + _)
   }
 
+  /** Corpus-scale SimHash: explode tokens once, hash each token once, ONE
+    * HashAggregate with 64 scalar conditional sums, then reassemble the
+    * 64-bit hash. Same result as [[simhash64]], but the per-token work is
+    * a single xxhash64 instead of 64 interpreted array traversals.
+    */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
   private def d3Simhash(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    simhashTable(Tables.documents(s, d))
       .orderBy(col("doc_id"))
 
   // ---- D4: exact n-gram Jaccard over candidate pairs ---------------------

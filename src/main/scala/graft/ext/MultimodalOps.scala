@@ -79,7 +79,29 @@ object MultimodalOps {
         round(element_at(col("features"), FeatureDim), 3).as(s"f${FeatureDim - 1}"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling: split a payload into fixed-size stripes ("frames"),
+    * keep every Nth, extract per-frame features. Pure expressions until
+    * the decode, which runs batch-wise — the shape of video frame
+    * sampling at scale (explode multiplies rows BEFORE the expensive
+    * decode so Spark parallelizes across frames, not just files).
+    */
+  def sampleFrames(docs: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val media = asMediaTable(docs)
+    media.select(col("doc_id"), col("payload"),
+      posexplode(split(col("payload").cast("string"),
+        s"(?<=\\G.{$frameBytes})")).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % everyNth === 0 && length(col("frame")) > 0)
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        xxhash64(col("frame")).as("frame_digest"))
+  }
+
+  private def mm2FrameSample(s: SparkSession, d: String): DataFrame =
+    sampleFrames(Tables.documents(s, d), frameBytes = 64, everyNth = 2)
+      .orderBy(col("doc_id"), col("frame_no"))
+
   val qs: Seq[(String, Q)] = Seq(
     "mm1_media_features" -> Q(mm1Features, None),
+    "mm2_frame_sample"   -> Q(mm2FrameSample, None),
   )
 }

@@ -86,11 +86,17 @@ object StrokePipeline {
     new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
       .transform(df)
 
-  /** Full prep: read → clean → encode → assemble → cache (the reference
-    * re-read the CSV per action; we cache the small encoded frame).
+  /** Full prep: read → clean → encode → assemble → cache. The reference
+    * re-read the CSV per action; we cache the small encoded frame AND
+    * memoize per (session, path) so the several model queries sharing a
+    * prepared frame don't re-run ingestion + indexer fits.
     */
-  def prepare(spark: SparkSession, path: String): DataFrame = {
-    val Encoded(enc, _) = encode(clean(readCsv(spark, path)))
-    assemble(enc).cache()
-  }
+  private val prepared =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def prepare(spark: SparkSession, path: String): DataFrame =
+    prepared.getOrElseUpdate((spark, path), {
+      val Encoded(enc, _) = encode(clean(readCsv(spark, path)))
+      assemble(enc).cache()
+    })
 }

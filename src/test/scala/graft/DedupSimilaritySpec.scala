@@ -52,6 +52,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hdFar > hd, "unrelated doc should be farther than near-dup")
   }
 
+  test("simhashTable (corpus-scale shape) equals the per-row expression form") {
+    val docs = Tables.documents(spark, Sf0001).limit(100)
+    val a = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DedupOps.simhashTable(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("cosine: self-similarity is 1, brute top-k ranks by similarity") {
     val emb = Tables.embeddings(spark, Sf0001)
     val self = emb.select(

@@ -82,6 +82,23 @@ class SmoteSpec extends SparkSpec {
     }
   }
 
+  test("SMOTE balances the stroke dataset (ML17 on the reference's data)") {
+    import org.apache.spark.ml.functions.vector_to_array
+    val prepared = graft.pipeline.StrokePipeline
+      .prepare(spark, graft.pipeline.StrokePipeline.RawCsv)
+      .select(monotonically_increasing_id().as("rid"),
+        vector_to_array(col("features")).as("f"),
+        col("stroke"))
+    // reference intent (stroke_predict.py:116-122, commented out):
+    // SMOTE(k=2, over=400, under=100) on the minority stroke=1 class
+    val balanced = Smote.balance(spark, prepared, "rid", "f", "stroke",
+      lit(1), Smote.Params(k = 2, percentOver = 400, percentUnder = 100))
+    val counts = balanced.groupBy("stroke").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(1) === 249L * 5)   // minority + 4 synthetic each
+    assert(counts(0) === 4861L)
+  }
+
   test("params: reference bug §2.7a fixed — bounds are validated") {
     intercept[IllegalArgumentException] {
       Smote.Params(percentUnder = 5)
