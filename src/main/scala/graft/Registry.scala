@@ -16,6 +16,8 @@ object Registry {
   def all: Seq[(String, Q)] =
     relational.CoreOps.qs ++
       relational.WindowOps.qs ++
+      relational.SetAndSubqueryOps.qs ++
+      relational.TypedOps.qs ++
       profile.Profiling.qs ++
       ext.TextOps.qs ++
       ext.DedupOps.qs ++

@@ -147,10 +147,13 @@ object DedupOps {
   // exact method — quadratic in the worst case, used post-banding at scale.
   def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8): DataFrame = {
     // join on the 8-byte shingle hash, not the shingle string — smaller
-    // shuffle, faster equality; xxhash64 collisions are negligible here
+    // shuffle, faster equality; xxhash64 collisions are negligible here.
+    // persist: the shingle frame feeds both join sides AND the size
+    // lookup — without it the shingling runs three times.
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(transform(shingles(col("text"), w),
         s => xxhash64(s)))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val aSh = sh.select(col("doc_id").as("id_a"), col("sh"))
     val bSh = sh.select(col("doc_id").as("id_b"), col("sh"))

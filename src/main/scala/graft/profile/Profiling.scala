@@ -18,16 +18,25 @@ object Profiling {
     * schema).
     */
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val perCol = cols.map { c =>
-      df.agg(
-        lit(c).as("column"),
-        count(col(c)).as("n"),
-        davg(col(c)).as("mean"),
-        dstddev(col(c)).as("stddev"),
-        min(col(c)).cast("double").as("min"),
-        max(col(c)).cast("double").as("max"))
+    // ONE aggregate over all columns (single scan, partial agg map-side),
+    // then melt the single row into per-column rows. A union of per-column
+    // aggregates would scan the table once per column — wrong at 100 TB.
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        davg(col(c)).as(s"__mean_$c"),
+        dstddev(col(c)).as(s"__std_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
     }
-    perCol.reduce(_ union _)
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("column"), col(s"__n_$c").as("n"),
+        col(s"__mean_$c").as("mean"), col(s"__std_$c").as("stddev"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+    }
+    one.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
 
   private def a3Describe(s: SparkSession, d: String): DataFrame =

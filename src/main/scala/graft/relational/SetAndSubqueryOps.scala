@@ -1,0 +1,107 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.util.Det._
+
+/** Set operations, outer joins, correlated-subquery patterns, and date
+  * extraction — the remaining ANSI surface a warehouse user expects
+  * (SURVEY.md §2.4 extensions).
+  */
+object SetAndSubqueryOps {
+
+  // ---- U2: INTERSECT / EXCEPT (distinct set semantics) -------------------
+  private def u2IntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hi = c.filter(col("c_acctbal") > 5000).select(col("c_mktsegment"))
+    val auto = c.filter(col("c_mktsegment").startsWith("A")).select(col("c_mktsegment"))
+    val both = hi.intersect(auto).select(col("c_mktsegment"), lit("both").as("src"))
+    val only = hi.except(auto).select(col("c_mktsegment"), lit("hi_only").as("src"))
+    both.union(only).orderBy(col("c_mktsegment"), col("src"))
+  }
+
+  private val u2Sql =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment, 'both' AS src FROM (
+      |    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+      |    INTERSECT
+      |    SELECT c_mktsegment FROM customer WHERE c_mktsegment LIKE 'A%')
+      |  UNION ALL
+      |  SELECT c_mktsegment, 'hi_only' AS src FROM (
+      |    SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+      |    EXCEPT
+      |    SELECT c_mktsegment FROM customer WHERE c_mktsegment LIKE 'A%')
+      |) ORDER BY c_mktsegment, src""".stripMargin
+
+  // ---- J4: full outer join (keep customers without orders and vice versa)
+  private def j4FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("?")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy(col("custkey"))
+  }
+
+  private val j4Sql =
+    s"""SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       |       COALESCE(c_mktsegment, '?') AS segment,
+       |       COALESCE(n_orders, 0) AS n_orders,
+       |       COALESCE(spend, 0.0) AS spend
+       |FROM customer
+       |FULL OUTER JOIN (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |         ${sqlDsum("o_totalprice")} AS spend
+       |  FROM orders GROUP BY o_custkey
+       |) ON c_custkey = o_custkey
+       |ORDER BY custkey""".stripMargin
+
+  // ---- Q17-style: correlated aggregate (small-quantity revenue) ----------
+  // Decorrelated form: join against the per-part average — the plan shape
+  // Catalyst produces for the correlated subquery, written directly.
+  private def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgQty = l.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    l.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q17Sql =
+    s"""SELECT ${sqlDsum("l_extendedprice")} AS small_qty_revenue,
+       |       COUNT(*) AS n_items
+       |FROM lineitem l
+       |JOIN (SELECT l_partkey AS p_key,
+       |             SUM(l_quantity) / COUNT(*) AS avg_qty
+       |      FROM lineitem GROUP BY l_partkey) a
+       |  ON l.l_partkey = a.p_key
+       |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin
+
+  // ---- D5: date-part extraction + grouping -------------------------------
+  private def d5DateParts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("y"), col("m"))
+
+  private val d5Sql =
+    s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+       |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+       |       COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "u2_intersect_except" -> Q(u2IntersectExcept, Some(u2Sql)),
+    "j4_full_outer"       -> Q(j4FullOuter, Some(j4Sql)),
+    "q17_small_qty_rev"   -> Q(q17SmallQty, Some(q17Sql)),
+    "d5_date_parts"       -> Q(d5DateParts, Some(d5Sql)),
+  )
+}
