@@ -18,6 +18,7 @@ object Registry {
       relational.WindowOps.qs ++
       relational.SetAndSubqueryOps.qs ++
       relational.TypedOps.qs ++
+      sources.JsonAndSinks.qs ++
       profile.Profiling.qs ++
       ext.TextOps.qs ++
       ext.DedupOps.qs ++

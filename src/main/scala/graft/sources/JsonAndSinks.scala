@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+
+/** Semi-structured parsing + file-sink surface (SURVEY.md §2.1).
+  *
+  * The reference never writes files (plots only); the driver contract and
+  * any real warehouse do. Partitioned parquet is THE layout decision at
+  * 100 TB: partition pruning turns full scans into directory lookups.
+  */
+object JsonAndSinks {
+
+  /** S6: JSON column parsing with an explicit schema (from_json is
+    * codegen-friendly; schema declared, not inferred).
+    */
+  private def s6JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val s6Sql =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** S7: partitioned parquet sink round-trip — write documents partitioned
+    * by lang, read back through the partitioned layout, count per
+    * partition. The oracle is the direct group-count: proving the sink
+    * loses nothing and the partition column survives the round-trip.
+    */
+  private def s7PartitionedSink(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_partitioned_sink").toString
+    Tables.documents(s, d)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+  }
+
+  private val s7Sql =
+    """SELECT lang, COUNT(*) AS n FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "s6_json_extract"     -> Q(s6JsonExtract, Some(s6Sql)),
+    "s7_partitioned_sink" -> Q(s7PartitionedSink, Some(s7Sql)),
+  )
+}
