@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.MultimodalOps
+
+/** Invariant specs for sessionization, profiling, and multimodal plumbing
+  * — the oracle pins the values; these pin the semantics.
+  */
+class EventProfileSpec extends SparkSpec {
+
+  test("sessionization: no within-session gap exceeds 30 min, session count sane") {
+    val sessions = SparkEntry.queries("e2_sessionization")(spark, Sf0001)
+    val ev = Tables.events(spark, Sf0001)
+    // total events preserved
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === ev.count())
+    // session windows of the same user never overlap
+    val rows = sessions.orderBy("user_id", "session_id").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getTimestamp(3).getTime - a.getTimestamp(4).getTime
+          assert(gap > 1800L * 1000, s"consecutive sessions closer than the gap: $gap ms")
+        case _ =>
+      }
+    }
+  }
+
+  test("describeNumeric matches Spark's describe() values") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val ours = profile.Profiling.describeNumeric(li, Seq("l_quantity"))
+      .head()
+    val theirs = li.describe("l_quantity").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ours.getAs[Long]("n") === theirs("count").toLong)
+    assert(math.abs(ours.getAs[Double]("mean") - theirs("mean").toDouble) < 1e-6)
+    assert(math.abs(ours.getAs[Double]("stddev") - theirs("stddev").toDouble) < 1e-6)
+    assert(ours.getAs[Double]("min") === theirs("min").toDouble)
+    assert(ours.getAs[Double]("max") === theirs("max").toDouble)
+  }
+
+  test("histogram bins partition all rows") {
+    val o = Tables.orders(spark, Sf0001)
+    val hist = profile.Profiling.histogram(o, "o_totalprice", 0.0, 50000.0)
+    assert(hist.agg(sum("n")).head().getLong(0) === o.count())
+  }
+
+  test("multimodal: decode stub is deterministic and batch shape preserves rows") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = MultimodalOps.extractFeatures(spark, MultimodalOps.asMediaTable(docs))
+    assert(a.count() === docs.count())
+    val f1 = a.orderBy("doc_id").head()
+    val f2 = MultimodalOps.extractFeatures(spark, MultimodalOps.asMediaTable(docs))
+      .orderBy("doc_id").head()
+    assert(f1.getSeq[Float](3) === f2.getSeq[Float](3))
+    // metadata digest matches an independent sha2 computation
+    val meta = MultimodalOps.asMediaTable(docs)
+      .select(col("meta.digest"), sha2(col("payload").cast("string"), 256))
+      .head()
+    assert(meta.getString(0) === meta.getString(1))
+  }
+
+  test("frame sampling: every-Nth selection and full coverage at N=1") {
+    val docs = Tables.documents(spark, Sf0001).limit(20)
+    val all = MultimodalOps.sampleFrames(docs, frameBytes = 64, everyNth = 1)
+    val sampled = MultimodalOps.sampleFrames(docs, frameBytes = 64, everyNth = 2)
+    assert(sampled.count() < all.count())
+    assert(sampled.filter(col("frame_no") % 2 =!= 0).count() === 0)
+    // N=1 frames reassemble to the original char length
+    val reassembled = all.groupBy("doc_id").agg(sum("frame_bytes").as("total"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+      .filter(col("total") =!= col("len")).count()
+    assert(reassembled === 0)
+  }
+}
