@@ -18,7 +18,9 @@ object Registry {
       relational.WindowOps.qs ++
       relational.SetAndSubqueryOps.qs ++
       relational.TypedOps.qs ++
+      relational.Skew.qs ++
       sources.JsonAndSinks.qs ++
+      ext.Sampling.qs ++
       profile.Profiling.qs ++
       ext.TextOps.qs ++
       ext.DedupOps.qs ++

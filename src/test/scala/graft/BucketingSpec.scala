@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sampling
+
+/** Bucketing: pre-shuffling at write time so co-located joins skip the
+  * exchange entirely — the central layout decision for repeated fact-fact
+  * joins at 100 TB. Asserted at the plan level: the bucketed join must
+  * contain NO shuffle (Exchange) on the bucketed keys.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("join of co-bucketed tables plans without a shuffle") {
+    // warehouse dir is a static conf — SparkSpec points it at a temp dir
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    Tables.orders(spark, Sf0001)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinSection = plan.split("HashAggregate").last   // below the agg
+    assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join still shuffles:\n" + plan.take(2000))
+
+    // and the result matches the plain (shuffled) join
+    val plain = Tables.lineitem(spark, Sf0001)
+      .join(Tables.orders(spark, Sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(sum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === plain)
+  }
+
+  test("salted join equals plain join exactly") {
+    val l = Tables.lineitem(spark, Sf0001)
+      .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val p = Tables.part(spark, Sf0001).select(col("p_partkey"), col("p_brand"))
+    val salted = relational.Skew.saltedJoin(l, p, "p_partkey",
+      Seq("l_orderkey", "l_linenumber"), salt = 8)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val plain = l.join(p, "p_partkey")
+      .groupBy("p_brand").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted === plain)
+  }
+
+  test("hash sampling: exact size, deterministic, partition-independent") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Sampling.hashSample(docs, Seq("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.size === 100)
+    val b = Sampling.hashSample(docs.repartition(13), Seq("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "sample changed under repartitioning")
+  }
+}
