@@ -154,9 +154,27 @@ object TextOps {
       |  MAX(n_chars) AS max_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- T7: exact corpus-wide top tokens (heavy hitters, exact path) -----
+  // Explode → count → top-k with tie-break. The bounded-memory sketch
+  // alternative for 100 TB is functions.MisraGries (spec-tested).
+  private def t7TopTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  private val t7Sql =
+    """SELECT tok, COUNT(*) AS n FROM (
+      |  SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      |WHERE LENGTH(tok) > 0
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
+    "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, None),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),

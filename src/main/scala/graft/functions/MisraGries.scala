@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries heavy-hitters sketch as a typed Aggregator.
+  *
+  * Exact top-k over 100 TB of tokens needs a full shuffle of every
+  * distinct token; Misra–Gries keeps a bounded k-entry summary per
+  * partition and merges summaries associatively — the frequency of any
+  * item is undercounted by at most N/k, so every item with true share
+  * > N/k survives. This is the custom-aggregation extension point SURVEY
+  * §4 reserves for sketches (Aggregator over TypedImperativeAggregate:
+  * no Catalyst internals needed).
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
+    addCount(b, item, 1L)
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (item, n)) => addCount(acc, item, n) }
+
+  private def addCount(b: Map[String, Long], item: String, n: Long): Map[String, Long] = {
+    if (b.contains(item)) b.updated(item, b(item) + n)
+    else if (b.size < k) b.updated(item, n)
+    else {
+      // decrement-all by the smallest count involved; drop zeros
+      val dec = math.min(n, b.values.min)
+      val decremented = b.view.mapValues(_ - dec).filter(_._2 > 0).toMap
+      if (n - dec > 0) decremented.updated(item, n - dec) else decremented
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+}

@@ -35,6 +35,33 @@ class TextOpsSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
   }
 
+  test("Misra-Gries sketch surfaces every true heavy hitter") {
+    import org.apache.spark.sql.Dataset
+    val toks: Dataset[String] = Tables.documents(spark, Sf0001)
+      .select(explode(split(lower(col("text")), " ")).as("value"))
+      .filter(length(col("value")) > 0)
+      .as[String]
+    val n = toks.count()
+    val k = 50
+    val sketch = toks.select(new graft.functions.MisraGries(k).toColumn)
+      .head()
+    // every token with true frequency > N/k must be present in the sketch
+    val exact = toks.groupBy("value").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mustHave = exact.filter(_._2 > n / k).keySet
+    assert(mustHave.subsetOf(sketch.keySet),
+      s"missing heavy hitters: ${mustHave -- sketch.keySet}")
+    // and sketch counts never exceed true counts by construction
+    sketch.foreach { case (t, c) => assert(c <= exact.getOrElse(t, 0L)) }
+  }
+
+  test("null-aware profiling: nullProfile counts injected nulls exactly") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null),
+      (null, null)).toDF("x", "y")
+    val row = profile.Profiling.nullProfile(df).head()
+    assert(row.getLong(0) === 2L && row.getLong(1) === 2L)
+  }
+
   test("IVF top-k achieves high recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
