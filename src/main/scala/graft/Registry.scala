@@ -30,5 +30,6 @@ object Registry {
       ext.MultimodalOps.qs ++
       balance.BalanceQueries.qs ++
       model.ModelQueries.qs ++
+      model.Experiments.qs ++
       streaming.StreamQueries.qs
 }

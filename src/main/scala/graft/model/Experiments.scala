@@ -1,0 +1,53 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Q
+import graft.pipeline.StrokePipeline
+import graft.eval.ClassificationReport
+
+/** The reference's full experiment matrix: {5 classifiers} × {70/30 split,
+  * 5-fold CV grid} × {unbalanced, balanced} — 20 result blocks
+  * (BASELINE.md "Model quality"). `matrix` runs any slice; the Verify
+  * registration runs the split-mode row for all five classifiers
+  * (seconds), while the CV rows are exercised by StrokeModelSpec (LR) and
+  * available through the same API for a full reproduction run.
+  */
+object Experiments {
+
+  final case class Result(classifier: String, dataset: String, mode: String,
+      auc: Double, accuracy: Double)
+
+  def run(spark: SparkSession, classifier: String, csvPath: String,
+      cv: Boolean): Result = {
+    val prepared = StrokePipeline.prepare(spark, csvPath)
+    val res =
+      if (cv) Classifiers.cvTrainEval(classifier, prepared)
+      else Classifiers.trainEval(classifier, prepared)
+    val dataset =
+      if (csvPath == StrokePipeline.RawCsv) "unbalanced" else "balanced"
+    Result(classifier, dataset, if (cv) "cv5_grid" else "split70_30",
+      res.auc, ClassificationReport.accuracy(res.predictions, "stroke"))
+  }
+
+  def matrix(spark: SparkSession, classifiers: Seq[String],
+      datasets: Seq[String], modes: Seq[Boolean]): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      c <- classifiers; d <- datasets; cv <- modes
+    } yield run(spark, c, d, cv)
+    rows.toDF()
+  }
+
+  /** S8: split-mode AUC + accuracy for all five classifiers on the
+    * unbalanced dataset (goldens ≈ 0.81/0.25/0.73/0.76/0.80 per
+    * BASELINE.md; rows-only — seeded-split row membership is
+    * partitioning-dependent, so exact equality is not the contract).
+    */
+  private def s8Matrix(s: SparkSession, d: String): DataFrame =
+    matrix(s, Classifiers.Names, Seq(StrokePipeline.RawCsv), Seq(false))
+      .orderBy("classifier")
+
+  val qs: Seq[(String, Q)] = Seq(
+    "s8_experiment_matrix" -> Q(s8Matrix, None),
+  )
+}
