@@ -26,6 +26,7 @@ object Registry {
       ext.DedupOps.qs ++
       ext.SimilarityOps.qs ++
       ext.EventOps.qs ++
+      ext.Curation.qs ++
       pipeline.StrokeQueries.qs ++
       ext.MultimodalOps.qs ++
       balance.BalanceQueries.qs ++
