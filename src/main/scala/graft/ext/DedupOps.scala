@@ -141,6 +141,32 @@ object DedupOps {
     simhashTable(Tables.documents(s, d))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit hash
+    * into `bands` chunks; any pair within hamming distance < bands must
+    * share at least one exact chunk, so candidates come from chunk-equality
+    * joins (linear-ish), then bit_count(a XOR b) verifies exactly.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole needs maxHamming < bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val sig = simhashTable(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---- D4: exact n-gram Jaccard over candidate pairs ---------------------
   // Explode distinct shingles, self-join on shingle (co-occurrence count),
   // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle join IS the LSH-free

@@ -284,6 +284,21 @@ object CoreOps {
       |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |) ORDER BY c_custkey, kind""".stripMargin
 
+  // ---- SQL1: the SQL surface itself --------------------------------------
+  // Registers the testdata tables as views and executes the *exact DuckDB
+  // oracle text* through spark.sql — the flagship query expressed in ANSI
+  // SQL runs unchanged on both engines.
+  private[graft] def registerViews(s: SparkSession, d: String): Unit = {
+    Tables.names.filterNot(_ == "events")
+      .foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+    Tables.events(s, d).createOrReplaceTempView("events")
+  }
+
+  private def sql1TpchQ1(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q1Sql)
+  }
+
   // ---- M1/M2: seeded split + Bernoulli sample (no SQL oracle: RNG) -------
   // stroke_predict.py:152 randomSplit(seed=42); smote_sampling.py:53 sample.
   private def m1Split(s: SparkSession, d: String): DataFrame = {
@@ -301,6 +316,7 @@ object CoreOps {
 
   val qs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> Q(q1Pricing, Some(q1Sql)),
+    "sql1_tpch_q1"       -> Q(sql1TpchQ1, Some(q1Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
     "p3_when_otherwise"  -> Q(p3WhenOtherwise, Some(p3Sql)),

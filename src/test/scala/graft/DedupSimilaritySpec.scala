@@ -52,6 +52,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hdFar > hd, "unrelated doc should be farther than near-dup")
   }
 
+  test("simhash banding finds planted near-dup pairs, skips unrelated docs") {
+    // exact dup (1,2) has hamming 0; near-dup (1,3) small hamming
+    val pairs = DedupOps.simhashPairs(planted, maxHamming = 16, bands = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
   test("simhashTable (corpus-scale shape) equals the per-row expression form") {
     val docs = Tables.documents(spark, Sf0001).limit(100)
     val a = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("h"))
