@@ -19,6 +19,7 @@ object Registry {
       relational.SetAndSubqueryOps.qs ++
       relational.TypedOps.qs ++
       relational.Skew.qs ++
+      relational.AsOfJoin.qs ++
       sources.JsonAndSinks.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
