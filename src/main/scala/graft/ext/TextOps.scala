@@ -171,10 +171,38 @@ object TextOps {
       |WHERE LENGTH(tok) > 0
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  // ---- T8: scalar string-function battery --------------------------------
+  // upper/lower/trim/substring/concat/lpad/replace/position — the scalar
+  // string surface, engine-checked in one pass over customer names.
+  private def t8StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("cat"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+        instr(col("c_name"), "#").cast("long").as("pos"),
+        length(trim(col("c_name"))).cast("long").as("trimlen"))
+      .orderBy(col("c_custkey"))
+
+  private val t8Sql =
+    """SELECT c_custkey,
+      |  UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+      |  SUBSTRING(c_name, 1, 8) AS sub,
+      |  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS cat,
+      |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  REGEXP_REPLACE(c_name, 'Customer', 'Cust', 'g') AS repl,
+      |  CAST(STRPOS(c_name, '#') AS BIGINT) AS pos,
+      |  CAST(LENGTH(TRIM(c_name)) AS BIGINT) AS trimlen
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
+    "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, None),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),

@@ -76,8 +76,33 @@ object WindowOps {
       |            AS DOUBLE) AS delta_price
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- W4: ranking family (dense_rank / percent_rank / ntile) ------------
+  private def w4RankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        dense_rank().over(w).as("dr"),
+        percent_rank().over(w).as("pr"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("dr") <= 50)
+      .orderBy(col("o_orderstatus"), col("dr"), col("o_orderkey"))
+  }
+
+  private val w4Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    DENSE_RANK()   OVER w AS dr,
+      |    PERCENT_RANK() OVER w AS pr,
+      |    CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus
+      |               ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE dr <= 50 ORDER BY o_orderstatus, dr, o_orderkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "w1_topk_per_group" -> Q(w1TopKPerGroup, Some(w1Sql)),
+    "w4_rank_family"    -> Q(w4RankFamily, Some(w4Sql)),
     "w2_running_sum"    -> Q(w2RunningSum, Some(w2Sql)),
     "w3_lag_delta"      -> Q(w3LagDelta, Some(w3Sql)),
   )
