@@ -36,7 +36,7 @@ object ClassificationReport {
       zeroDivision: Double = 1.0): DataFrame = {
     val cells = confusion(pred, labelCol, predCol).collect()
       .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
-    val classes = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted
+    val classes = (cells.map(_._1) ++ cells.map(_._2)).distinct.sorted.toIndexedSeq
     val total = cells.map(_._3).sum
     val correct = cells.collect { case (l, p, n) if l == p => n }.sum
 

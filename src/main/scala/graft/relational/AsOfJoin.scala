@@ -35,7 +35,7 @@ object AsOfJoin {
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
       .withColumn("_rt", col(rightTime))
-    val lCols = left.columns
+    val lCols = left.columns.toIndexedSeq
     val unioned = l.select((lCols.map(col) :+ col("_t") :+ col("_side") :+ col("_rt")): _*)
       .unionByName(
         r.select((lCols.map(c => if (c == keyCol) col(c) else lit(null).as(c))
