@@ -198,11 +198,40 @@ object TextOps {
       |  CAST(LENGTH(TRIM(c_name)) AS BIGINT) AS trimlen
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---- T9: array-function battery ----------------------------------------
+  // sort/distinct/contains/slice over token arrays — the array surface,
+  // aligned with DuckDB list functions (both sort strings bytewise).
+  private def t9ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        split(lower(col("text")), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        array_contains(col("toks"), "the").as("has_the"),
+        concat_ws("|", slice(sort_array(array_distinct(col("toks"))), 1, 3))
+          .as("first3_sorted"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"))
+      .orderBy(col("doc_id"))
+
+  private val t9Sql =
+    """SELECT doc_id,
+      |  CAST(LEN(toks) AS BIGINT) AS n_toks,
+      |  CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_distinct,
+      |  LIST_CONTAINS(toks, 'the') AS has_the,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(toks))[1:3], '|') AS first3_sorted,
+      |  toks[1] AS first_tok,
+      |  toks[-1] AS last_tok
+      |FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
     "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),
+    "t9_array_funcs"     -> Q(t9ArrayFuncs, Some(t9Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, None),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),

@@ -98,8 +98,39 @@ object SetAndSubqueryOps {
        |       COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS revenue
        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin
 
+  // ---- D6: date/time-function battery ------------------------------------
+  // Functions with unambiguous cross-engine semantics (day-of-week
+  // numbering intentionally avoided — Spark counts from Sunday=1, DuckDB
+  // from Sunday=0).
+  // Dates are emitted as ISO strings: Spark DATE reads back as
+  // datetime.date while DuckDB's arrives as datetime64 — identical values,
+  // different pandas dtypes, which a hash comparator may distinguish.
+  private def d6DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd")
+          .as("due"),
+        datediff(lit("2002-01-01").cast("date"), to_date(col("o_orderdate")))
+          .cast("long").as("age_days"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  private val d6Sql =
+    """SELECT o_orderkey,
+      |  STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od,
+      |  CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT) AS dom,
+      |  CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS q,
+      |  STRFTIME(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due,
+      |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days,
+      |  STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "u2_intersect_except" -> Q(u2IntersectExcept, Some(u2Sql)),
+    "d6_date_funcs"       -> Q(d6DateFuncs, Some(d6Sql)),
     "j4_full_outer"       -> Q(j4FullOuter, Some(j4Sql)),
     "q17_small_qty_rev"   -> Q(q17SmallQty, Some(q17Sql)),
     "d5_date_parts"       -> Q(d5DateParts, Some(d5Sql)),
