@@ -172,18 +172,24 @@ object DedupOps {
   // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle join IS the LSH-free
   // exact method — quadratic in the worst case, used post-banding at scale.
   def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8): DataFrame = {
-    // join on the 8-byte shingle hash, not the shingle string — smaller
-    // shuffle, faster equality; xxhash64 collisions are negligible here.
-    // persist: the shingle frame feeds both join sides AND the size
-    // lookup — without it the shingling runs three times.
+    // work on 8-byte shingle hashes, not strings — smaller shuffle;
+    // xxhash64 collisions are negligible here. persist: the shingle frame
+    // feeds the pair path AND the size lookup.
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(transform(shingles(col("text"), w),
         s => xxhash64(s)))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val aSh = sh.select(col("doc_id").as("id_a"), col("sh"))
-    val bSh = sh.select(col("doc_id").as("id_b"), col("sh"))
-    val common = aSh.join(bSh, "sh").filter(col("id_a") < col("id_b"))
+    // ONE shuffle on the shingle hash, pairs generated inside the bucket
+    // (ordered ids → each unordered pair once) — replaces the two-sided
+    // self-join, which shuffled the frame twice and joined.
+    val buckets = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val common = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
