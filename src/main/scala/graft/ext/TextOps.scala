@@ -226,12 +226,38 @@ object TextOps {
       |FROM (SELECT doc_id, STR_SPLIT(LOWER(text), ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- T10: redaction (PII-style masking pass) ---------------------------
+  // Digit runs → '#', long shouty tokens lowercased — the masking shape of
+  // a PII scrub, as pure regexp expressions (same semantics in Java regex
+  // and RE2 for these patterns).
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, "[0-9]+", "#"),
+      "\\b[A-Z]{4,}\\b", "___")
+
+  private def t10Redaction(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), redact(col("text")).as("redacted"),
+        (length(col("text")) - length(redact(col("text"))))
+          .cast("long").as("chars_removed"))
+      .orderBy(col("doc_id"))
+
+  private val t10Sql =
+    """SELECT doc_id,
+      |  REGEXP_REPLACE(REGEXP_REPLACE(text, '[0-9]+', '#', 'g'),
+      |                 '\b[A-Z]{4,}\b', '___', 'g') AS redacted,
+      |  CAST(LENGTH(text) -
+      |       LENGTH(REGEXP_REPLACE(REGEXP_REPLACE(text, '[0-9]+', '#', 'g'),
+      |                             '\b[A-Z]{4,}\b', '___', 'g')) AS BIGINT)
+      |    AS chars_removed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
     "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),
     "t9_array_funcs"     -> Q(t9ArrayFuncs, Some(t9Sql)),
+    "t10_redaction"      -> Q(t10Redaction, Some(t10Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, None),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),
