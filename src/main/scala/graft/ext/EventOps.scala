@@ -84,8 +84,31 @@ object EventOps {
        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- E5: dynamic pivot -------------------------------------------------
+  // RelationalGroupedDataset.pivot with declared values (declaring them
+  // skips Spark's extra distinct-scan — the 100 TB habit); oracle via
+  // explicit conditional aggregation.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def e5Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day"))
+
+  private val e5Sql = {
+    val cols = EventTypes.map(t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(",\n  ")
+    s"""SELECT DATE_TRUNC('day', ts) AS day,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
+    "e5_pivot"           -> Q(e5Pivot, Some(e5Sql)),
     "e2_sessionization"  -> Q(e2Sessions, Some(e2Sql)),
     "e3_daily_rollup"    -> Q(e3DailyUser, Some(e3Sql)),
   )
