@@ -68,9 +68,52 @@ object EventStream {
     spark.table(queryName)
   }
 
-  /** Stateful per-user session counts via flatMapGroupsWithState-style
-    * processing — expressed with the higher-level API:
-    * dropDuplicates + windowed count per user.
+  // ---- custom state: streaming sessionizer ------------------------------
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Long)
+
+  /** Stateful sessionization with explicit per-key state
+    * (flatMapGroupsWithState): the open session lives in GroupState; a
+    * gap > 30 min closes it and emits. Equivalent to the batch
+    * gaps-and-islands query (EventOps e2) for sessions that close within
+    * the stream — StreamSpec proves that equivalence. State per key is
+    * one (start, end, n) triple: bounded regardless of stream length.
+    */
+  def sessionizeStream(events: DataFrame): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = evs.toIndexedSeq.sortBy(_.ts_us)
+          var closed = List.empty[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur = cur match {
+              case Some(OpenSession(s, en, n)) if e.ts_us - en <= gapUs =>
+                Some(OpenSession(s, math.max(en, e.ts_us), n + 1))
+              case Some(OpenSession(s, en, n)) =>
+                closed ::= ClosedSession(uid, s, en, n)
+                Some(OpenSession(e.ts_us, e.ts_us, 1))
+              case None =>
+                Some(OpenSession(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+
+  /** Stateful per-user session counts via windowed aggregation —
+    * the declarative alternative to [[sessionizeStream]].
     */
   def perUserActivity(events: DataFrame): DataFrame =
     events

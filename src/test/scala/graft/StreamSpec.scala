@@ -22,6 +22,30 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch sessions (closed ones)") {
+    val q = EventStream.sessionizeStream(EventStream.readStream(spark, Sf0001))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("spec_state_sessions")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("spec_state_sessions")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch truth: every session except each user's LAST (still open in
+    // the stream's state when the data ends)
+    val batch = SparkEntry.queries("e2_sessionization")(spark, Sf0001)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"),
+        col("session_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastEnd = batch.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val expectClosed = batch.filter { case (u, _, e, _) => e != lastEnd(u) }.toSet
+    assert(streamed === expectClosed)
+  }
+
   test("per-user windowed activity runs and sums to total events") {
     val q = EventStream.perUserActivity(EventStream.readStream(spark, Sf0001))
       .writeStream.outputMode("complete").format("memory")
