@@ -34,14 +34,18 @@ object Det {
     sum(revenueTerm(price, discount)).cast("double")
 
   /** Sample standard deviation via exact decimal sums:
-    * sqrt((sum(x^2) - sum(x)^2/n) / (n-1)), all operands deterministic.
+    * sqrt((sum(x^2) - sum(x)^2/n) / (n-1)). The decimal sums are exact,
+    * but once sum(x²) exceeds 2^53 (≈600k rows of squared prices) its
+    * decimal→double cast rounds, and engines may round the last ulp
+    * differently — so the result is rounded to 6 decimals, far above the
+    * ulp noise and far below any statistical meaning.
     */
   def dstddev(c: Column, prec: Int = 14, scale: Int = 2): Column = {
     val d     = c.cast(DecimalType(prec, scale))
     val n     = count(lit(1)).cast("double")
     val s     = sum(d).cast("double")
     val sq    = sum(d * d).cast("double")
-    sqrt((sq - s * s / n) / (n - lit(1.0)))
+    round(sqrt((sq - s * s / n) / (n - lit(1.0))), 6)
   }
 
   /** Matching DuckDB SQL fragments (kept beside the Scala so the two sides
@@ -59,6 +63,6 @@ object Det {
   def sqlDstddev(col: String, prec: Int = 14, scale: Int = 2): String = {
     val s  = s"CAST(SUM(CAST($col AS DECIMAL($prec,$scale))) AS DOUBLE)"
     val sq = s"CAST(SUM(CAST($col AS DECIMAL($prec,$scale)) * CAST($col AS DECIMAL($prec,$scale))) AS DOUBLE)"
-    s"SQRT(($sq - $s * $s / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0))"
+    s"ROUND(SQRT(($sq - $s * $s / CAST(COUNT(*) AS DOUBLE)) / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 6)"
   }
 }
