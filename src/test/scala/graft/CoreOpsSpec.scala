@@ -69,4 +69,11 @@ class CoreOpsSpec extends SparkSpec {
     val qs = SparkEntry.queries
     SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), k))
   }
+
+  test("registry names are unique (duplicates would silently collapse)") {
+    val names = Registry.all.map(_._1)
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(SparkEntry.queries.size === names.size)
+  }
 }
