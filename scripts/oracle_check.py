@@ -44,6 +44,18 @@ def main(out_dir, sf_dir):
         bad = []
         for c in duck.columns:
             dv, sv = duck[c].values, spark[c].values
+            # The driver hashes serialized values, so a Decimal-object column
+            # on one side vs float64 on the other fails its gate even when
+            # numerically identical (e.g. '112946.20' vs '112946.2'). Mirror
+            # that: treat an object(Decimal)-vs-float pairing as FAIL here.
+            kinds = {duck[c].dtype.kind, spark[c].dtype.kind}
+            if kinds == {'O', 'f'}:
+                objside = duck[c] if duck[c].dtype.kind == 'O' else spark[c]
+                if any(type(v).__name__ == 'Decimal' for v in objside.head(5)):
+                    bad.append(f"{c}: dtype bridge mismatch — Decimal objects vs "
+                               f"float64 (driver hash would fail; cast to DOUBLE "
+                               f"on both sides)")
+                    continue
             if duck[c].dtype.kind == 'f' or spark[c].dtype.kind == 'f':
                 d = np.asarray(dv, dtype=float); s = np.asarray(sv, dtype=float)
                 both_nan = np.isnan(d) & np.isnan(s)

@@ -65,7 +65,13 @@ object Smote {
     val majorityDf = df.filter(col(labelCol) =!= minority)
       .select(col(idCol), col(featCol), col(labelCol))
 
-    val synth = synthesize(spark, minorityDf, idCol, featCol, labelCol, p)
+    // Synthetic ids must stay unique across the WHOLE balanced output
+    // (minority ∪ synth ∪ under-sampled majority) — offset past the global
+    // max id. One column-pruned max() scan; parquet footer stats serve it
+    // at scale.
+    val maxId = df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    val synth =
+      synthesize(spark, minorityDf, idCol, featCol, labelCol, p, Some(maxId + 1))
     val underMajority =
       majorityDf.sample(withReplacement = false, p.underFraction, p.seed)
     minorityDf.union(synth).union(underMajority)
@@ -74,9 +80,17 @@ object Smote {
   /** Generate nSynthPerRow synthetic rows per minority row by
     * interpolating toward a randomly chosen one of its k nearest minority
     * neighbours.
+    *
+    * Synthetic rows get FRESH unique ids (the idCol contract above) —
+    * `monotonically_increasing_id` offset by `idStart` (computed from the
+    * minority frame when not supplied). Reusing the source row's id would
+    * silently collapse synthetic rows in any downstream join/dedup on id.
     */
   def synthesize(spark: SparkSession, minorityDf: DataFrame, idCol: String,
-      featCol: String, labelCol: String, p: Params): DataFrame = {
+      featCol: String, labelCol: String, p: Params,
+      idStart: Option[Long] = None): DataFrame = {
+    val offset = idStart.getOrElse(
+      minorityDf.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1)
     val withNeighbors =
       Knn.exactNeighbors(minorityDf, idCol, featCol, p.k)
         .join(minorityDf, Seq(idCol))
@@ -94,7 +108,7 @@ object Smote {
     val nSynth = p.nSynthPerRow
     val seed = p.seed
 
-    withNeighbors.mapPartitions { rows =>
+    val raw = withNeighbors.mapPartitions { rows =>
       // Seed folds in the partition id: deterministic per partition, no
       // cross-partition correlation.
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -111,5 +125,8 @@ object Smote {
         }
       }
     }(enc).toDF(idCol, featCol, labelCol)
+    // monotonically_increasing_id is unique per row (partition id in the
+    // high bits); + offset keeps synth ids disjoint from every source id.
+    raw.withColumn(idCol, monotonically_increasing_id() + lit(offset))
   }
 }

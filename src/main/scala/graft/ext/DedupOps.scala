@@ -77,23 +77,39 @@ object DedupOps {
   /** Near-dup candidate pairs via LSH banding: signature split into bands
     * of `rowsPerBand`; docs sharing any band bucket become candidates;
     * candidates verified by estimated Jaccard (signature agreement).
+    *
+    * Scale shape: ONE shuffle on (band, bucket) gathering each bucket's
+    * members, then ordered-pair expansion inside the bucket — replaces the
+    * round-1 two-sided self-join (two shuffles of the signature frame, each
+    * unordered pair produced twice). Buckets wider than `maxBucket` are
+    * dropped: a boilerplate band value shared by 10^6 docs would otherwise
+    * expand ~10^12 pairs inside one task. Near-dup pairs overwhelmingly
+    * also collide in a non-degenerate band, so the cap costs recall only on
+    * pure-boilerplate buckets (spec: planted-boilerplate fixture). The
+    * signature agreement is computed with numHashes GetArrayItem
+    * comparisons — codegen'd, unlike the round-1 zip_with∘filter lambda
+    * (interpreted per candidate pair; the CLAUDE.md anti-pattern).
     */
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(docs, 3, numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / lit(numHashes)).as("est_jaccard"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    val agree = (0 until numHashes).map { k =>
+      when(col("a.sig").getItem(k) === col("b.sig").getItem(k), 1).otherwise(0)
+    }.reduce(_ + _)
+    buckets
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minJaccard)
   }
@@ -168,24 +184,39 @@ object DedupOps {
   }
 
   // ---- D4: exact n-gram Jaccard over candidate pairs ---------------------
-  // Explode distinct shingles, self-join on shingle (co-occurrence count),
-  // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle join IS the LSH-free
-  // exact method — quadratic in the worst case, used post-banding at scale.
-  def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8): DataFrame = {
+  // Explode distinct shingles, bucket by shingle (co-occurrence count),
+  // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle bucketing IS the
+  // LSH-free exact method, used post-banding at scale.
+  /** Shingles shared by more than `maxBucket` docs are "stop-shingles" —
+    * boilerplate: one such shingle across 10^6 docs would expand ~10^12
+    * in-bucket pairs inside a single task. They are excluded from
+    * numerator AND denominator, so the result is Jaccard over
+    * discriminative shingles (standard dedup practice, cf. stop-ngram
+    * removal in large-scale dedup pipelines); with every bucket ≤
+    * maxBucket the output is identical to the uncapped algorithm (the
+    * testdata's widest bucket is 25 docs at sf0.1).
+    */
+  def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8,
+      maxBucket: Int = 64): DataFrame = {
     // work on 8-byte shingle hashes, not strings — smaller shuffle;
-    // xxhash64 collisions are negligible here. persist: the shingle frame
-    // feeds the pair path AND the size lookup.
+    // xxhash64 collisions are negligible here.
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(transform(shingles(col("text"), w),
         s => xxhash64(s)))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // ONE shuffle on the shingle hash, pairs generated inside the bucket
+    // ONE shuffle on the shingle hash; pairs generated inside the bucket
     // (ordered ids → each unordered pair once) — replaces the two-sided
     // self-join, which shuffled the frame twice and joined.
-    val buckets = sh.groupBy("sh")
+    val grouped = sh.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) <= maxBucket)
+    // Per-doc discriminative-shingle counts, derived from the SAME
+    // aggregation: the sizes branch and the pair branch share one
+    // canonical Exchange, so Spark re-reads the shuffle (ReusedExchange)
+    // instead of re-scanning the docs — this replaces the round-1
+    // MEMORY_AND_DISK persist that was never unpersisted (leak).
+    val sizes = grouped.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val buckets = grouped.filter(size(col("ids")) > 1)
     val common = buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),

@@ -61,12 +61,16 @@ object SimilarityOps {
     * deterministic pseudo-random hyperplanes. Buckets index the corpus;
     * queries probe their own bucket only. Approximate — spec-tested for
     * recall against brute force.
+    *
+    * The plane dot products go through the codegen'd VecOps.fdot against
+    * literal float-array planes — the round-1 aggregate∘zip_with form was
+    * interpreted per bit per row (the CLAUDE.md anti-pattern).
     */
-  def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneSig(s: SparkSession, emb: Column, dim: Int, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
       val rng = new scala.util.Random(42L * (b + 1))
-      val planeArr = array(Seq.fill(dim)(rng.nextGaussian()).map(lit): _*)
-      when(dot(emb, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
+      val planeArr = array(Seq.fill(dim)(rng.nextGaussian().toFloat).map(lit): _*)
+      when(VecOps.fdot(s, emb, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -75,9 +79,9 @@ object SimilarityOps {
       dim: Int = 64): DataFrame = {
     val s = corpus.sparkSession
     val c = withNorm(s, corpus, "c")
-      .withColumn("bucket", hyperplaneSig(col("c_emb"), dim, bits))
+      .withColumn("bucket", hyperplaneSig(s, col("c_emb"), dim, bits))
     val q = withNorm(s, queries, "q")
-      .withColumn("bucket", hyperplaneSig(col("q_emb"), dim, bits))
+      .withColumn("bucket", hyperplaneSig(s, col("q_emb"), dim, bits))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -94,21 +98,92 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. Norms are
-    * precomputed per side; the pair filter runs inside codegen. At scale,
-    * bucket first (LSH) — the crossJoin here is the exact small-SF path.
+  /** Embedding-cosine near-duplicate pairs above a threshold — EXACT, via
+    * metric-pruned blocking (no corpus-wide crossJoin/broadcast):
+    *
+    *  1. normalize vectors once (cosine is scale-invariant; on the unit
+    *     sphere cos(a,b) ≥ t  ⇔  ‖a−b‖ ≤ √(2−2t), a proper metric),
+    *  2. KMeans coarse cells + per-cell radius r = max member↔centroid
+    *     distance,
+    *  3. triangle inequality prunes cell PAIRS: (i,j) can hold a
+    *     qualifying pair only if d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t),
+    *  4. exact codegen'd verification inside surviving cell pairs.
+    *
+    * Guaranteed-identical output to the brute-force join (spec-compared):
+    * the bound never discards a qualifying pair. At 100 TB each task
+    * handles one cell pair and shuffle volume is ≤ n·(probed cells) rows;
+    * clusterable real-world embeddings prune most of the k² cell pairs,
+    * and the worst case (uniformly random vectors, nothing prunes) is the
+    * blocked equivalent of the n² join — never a driver/broadcast
+    * bottleneck. Probabilistic LSH is deliberately NOT used here: at the
+    * mid thresholds near-dup sweeps use, banding cannot guarantee recall,
+    * and this operator's contract is exactness.
     */
-  private def x3NearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val a = withNorm(s, e, "a").withColumnRenamed("a_id", "id_a")
-    val b = withNorm(s, e, "b").withColumnRenamed("b_id", "id_b")
+  def cosinePairsExact(corpus: DataFrame, minSim: Double,
+      nCells: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = corpus.sparkSession
+    val distThresh = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim))
+    // normalize once per row (array<float> stays the fdot-kernel type)
+    val unit = corpus.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x / VecOps.fnorm(s, col("embedding"))).cast("float")).as("u"))
+    val vec = unit.withColumn("_v", array_to_vector(col("u")))
+    val model = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("_v").setPredictionCol("cell").fit(vec)
+    import s.implicits._
+    val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq.toDF("cell", "centroid")
+    val assigned = model.transform(vec)
+      .join(broadcast(centDf), "cell")
+      .select(col("cell"), col("vec_id"), col("u"),
+        sqrt(greatest(lit(0.0),
+          lit(2.0) - lit(2.0) * VecOps.fdot(s, col("u"), col("centroid"))))
+          .as("cdist"))
+    val cells = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
+      .join(broadcast(centDf), "cell")
+    // tiny k×k table of surviving ORDERED cell pairs (both orientations,
+    // so a pair lands via (cell(a), cell(b)) exactly once)
+    val ca = cells.select(col("cell").as("cell_a"), col("r").as("r_a"),
+      col("centroid").as("cent_a"))
+    val cb = cells.select(col("cell").as("cell_b"), col("r").as("r_b"),
+      col("centroid").as("cent_b"))
+    val cellPairs = ca.crossJoin(cb)
+      .filter(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * VecOps.fdot(s, col("cent_a"), col("cent_b"))))
+        - col("r_a") - col("r_b") <= lit(distThresh))
+      .select(col("cell_a"), col("cell_b"))
+    val a = assigned.select(col("cell").as("cell_a"),
+      col("vec_id").as("id_a"), col("u").as("u_a"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("id_b"), col("u").as("u_b"))
+    a.join(broadcast(cellPairs), "cell_a")
+      .join(b, "cell_b")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VecOps.fdot(s, col("u_a"), col("u_b")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** The small-SF exact baseline: all-pairs with one side broadcast.
+    * Spec-only — the registered x3 runs [[cosinePairsExact]].
+    */
+  def cosinePairsBrute(corpus: DataFrame, minSim: Double): DataFrame = {
+    val s = corpus.sparkSession
+    val a = withNorm(s, corpus, "a").withColumnRenamed("a_id", "id_a")
+    val b = withNorm(s, corpus, "b").withColumnRenamed("b_id", "id_b")
     a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (VecOps.fdot(s, col("a_emb"), col("b_emb")) /
           (col("a_norm") * col("b_norm"))).as("sim"))
-      .filter(col("sim") >= 0.35)
-      .orderBy(col("id_a"), col("id_b"))
+      .filter(col("sim") >= minSim)
   }
+
+  private def x3NearDupPairs(s: SparkSession, d: String): DataFrame =
+    cosinePairsExact(Tables.embeddings(s, d), 0.35)
+      .orderBy(col("id_a"), col("id_b"))
 
   /** IVF (inverted-file) ANN: KMeans coarse quantizer over the corpus;
     * each query probes the nProbe nearest centroids and exact-reranks only

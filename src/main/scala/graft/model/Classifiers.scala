@@ -73,7 +73,14 @@ object Classifiers {
   def trainEval(name: String, prepared: DataFrame,
       labelCol: String = "stroke", seed: Long = 42L): TrainResult = {
     val Array(train, test) = prepared.randomSplit(Array(0.7, 0.3), seed)
-    val model = estimator(name, labelCol).fit(train)
+    // LR/LinearSVC run up to 100 treeAggregate passes over `train`; cache it
+    // for the fit so each iteration reads memory instead of re-sampling the
+    // parent frame. Split membership is unchanged (same seed, same
+    // partitioning of `prepared`).
+    train.cache()
+    val model =
+      try estimator(name, labelCol).fit(train)
+      finally train.unpersist(blocking = false)
     val pred = model.asInstanceOf[Model[_]].transform(test)
     TrainResult(pred, evaluator(labelCol).evaluate(pred))
   }

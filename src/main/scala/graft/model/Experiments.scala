@@ -29,12 +29,30 @@ object Experiments {
       res.auc, ClassificationReport.accuracy(res.predictions, "stroke"))
   }
 
+  /** The matrix cells are independent seeded experiments — submit them as
+    * concurrent Spark jobs (the CrossValidator-parallelism pattern): on a
+    * cluster each fit's tasks interleave across executors; locally the
+    * wall time is max(cell) + prepare instead of sum(cells). Results are
+    * identical to the sequential loop — each cell's split/fit is seeded
+    * and reads the shared cached prepared frame.
+    */
   def matrix(spark: SparkSession, classifiers: Seq[String],
       datasets: Seq[String], modes: Seq[Boolean]): DataFrame = {
     import spark.implicits._
-    val rows = for {
-      c <- classifiers; d <- datasets; cv <- modes
-    } yield run(spark, c, d, cv)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // Materialize each dataset's prepared frame once, before fan-out, so
+    // concurrent cells never race the pipeline fit.
+    datasets.foreach(d => StrokePipeline.prepare(spark, d).count())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val cells = for { c <- classifiers; d <- datasets; cv <- modes } yield (c, d, cv)
+    val rows =
+      try Await.result(
+        Future.sequence(cells.map { case (c, d, cv) =>
+          Future(run(spark, c, d, cv))
+        }), Duration.Inf)
+      finally pool.shutdown()
     rows.toDF()
   }
 

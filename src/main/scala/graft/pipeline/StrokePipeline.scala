@@ -61,14 +61,35 @@ object StrokePipeline {
     * not distinct().collect() (SURVEY.md §2.7e).
     */
   def encode(df: DataFrame): Encoded = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val cols = stringCols(df)
-    val stages = cols.flatMap { c =>
-      Seq(
-        new StringIndexer().setInputCol(c).setOutputCol(c + "_index")
-          .setHandleInvalid("keep"),
-        new OneHotEncoder().setInputCol(c + "_index").setOutputCol(c + "_encoded"))
-    }
-    val model = new Pipeline().setStages(stages.toArray).fit(df)
+    // Every per-column fit is an independent tiny job; run each layer's
+    // fits as concurrent job submissions (the CrossValidator-parallelism
+    // pattern) instead of Pipeline.fit's sequential stage loop — identical
+    // models, wall time ≈ max(fit) per layer. df is cached for the fits so
+    // ingestion+cleaning run once.
+    df.cache()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val (indexers, ohes) =
+      try {
+        val idx = Await.result(Future.sequence(cols.map { c =>
+          Future(new StringIndexer().setInputCol(c).setOutputCol(c + "_index")
+            .setHandleInvalid("keep").fit(df))
+        }), Duration.Inf)
+        val indexed = idx.foldLeft(df)((acc, m) => m.transform(acc))
+        val oh = Await.result(Future.sequence(cols.map { c =>
+          Future(new OneHotEncoder().setInputCol(c + "_index")
+            .setOutputCol(c + "_encoded").fit(indexed))
+        }), Duration.Inf)
+        (idx, oh)
+      } finally { pool.shutdown(); df.unpersist() }
+    // ML3: the user-facing artifact is still a PipelineModel — fitting a
+    // Pipeline of already-fitted transformers wires them up without jobs.
+    val model = new Pipeline()
+      .setStages((indexers ++ ohes).toArray[org.apache.spark.ml.PipelineStage])
+      .fit(df)
     val transformed = model.transform(df)
     val mappings = model.stages.collect {
       case m: StringIndexerModel =>

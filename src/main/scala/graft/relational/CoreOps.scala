@@ -33,16 +33,22 @@ object CoreOps {
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ---- P2+P4: drop + cast ------------------------------------------------
-  // drop narrows the scan (column pruning); cast to decimal is exact.
+  // drop narrows the scan (column pruning); cast to decimal is exact. The
+  // final cast back to double keeps the oracle dtype stable: DuckDB decimals
+  // reach pandas as float64 while Spark parquet decimals arrive as Decimal
+  // objects, so a DECIMAL output column hash-mismatches on formatting alone
+  // (112946.2 vs 112946.20) even when every value is identical — the same
+  // dtype-bridge class as the DATE→ISO-string rule (CLAUDE.md).
   private def p2DropCast(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .drop("o_orderstatus", "o_orderpriority", "o_orderdate")
-      .withColumn("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2)))
+      .withColumn("o_totalprice",
+        col("o_totalprice").cast(DecimalType(12, 2)).cast("double"))
       .orderBy(col("o_orderkey"))
 
   private val p2Sql =
     """SELECT o_orderkey, o_custkey,
-      |       CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice
+      |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---- P3: when/otherwise conditional repair (stroke_predict.py:49-50) ---

@@ -26,17 +26,32 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  // One staged directory per source dir, deleted on JVM exit — repeated
+  // readStream calls in one session (Verify runs the stream query, suites
+  // share a session) must not leak a /tmp dir per call.
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def stageDir(dir: String): java.nio.file.Path =
+    stagedDirs.getOrElseUpdate(dir, {
+      val staged = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      sys.addShutdownHook {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+      staged
+    })
+
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource tails a *directory*; the testdata ships a single
     // file, so stage it into a temp dir (at scale this is the landing
     // directory new files arrive in).
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
     spark.readStream.schema(RawSchema)
-      .parquet(staged.toString)
+      .parquet(stageDir(dir).toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

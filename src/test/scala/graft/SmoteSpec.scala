@@ -99,6 +99,20 @@ class SmoteSpec extends SparkSpec {
     assert(counts(0) === 4861L)
   }
 
+  test("synthetic rows carry fresh ids, unique across the balanced output") {
+    val df = embFeatures
+    val minority = df.filter(col("cls") === 0)
+    val synth = Smote.synthesize(spark, minority, "vec_id", "features", "cls",
+      Smote.Params(k = 3, percentOver = 200, percentUnder = 100))
+    // unique among themselves AND disjoint from every source id — reusing a
+    // source id would collapse synthetic rows in any downstream join/dedup
+    assert(synth.select("vec_id").distinct().count() === synth.count())
+    assert(synth.join(minority, Seq("vec_id"), "left_semi").count() === 0)
+    val balanced = Smote.balance(spark, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100))
+    assert(balanced.select("vec_id").distinct().count() === balanced.count())
+  }
+
   test("params: reference bug §2.7a fixed — bounds are validated") {
     intercept[IllegalArgumentException] {
       Smote.Params(percentUnder = 5)
