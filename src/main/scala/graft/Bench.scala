@@ -15,16 +15,32 @@ object Bench {
     // Warm the session (codegen, parquet reader, broadcast machinery) so
     // JIT/startup cost isn't attributed to whichever query runs first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Optional args = query names to run (local iteration); no args = all.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // SPARK_GRAFT_REPS>1 (local iteration only): run each query that many
+    // times and report the LAST timing — isolates steady-state cost from
+    // JIT/codegen warmup noise. The driver leaves it unset (=1).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // A failing query is reported as -1, never as an ordinary small timing —
     // silent failures would inflate apparent coverage.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+    val results = selected.map { case (name, fn) =>
+      var last = -1.0
+      val ok = try {
+        (1 to reps).foreach { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          last = (System.nanoTime() - t0) / 1e9
+        }
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) last else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -44,6 +44,14 @@ object Smote {
     def underFraction: Double = percentUnder / 100.0
   }
 
+  /** Reserved id namespace for synthetic rows: bit 62. Source ids are
+    * required < 2^62 (any realistic surrogate key; monotonically
+    * increasing ids with < 2^29 partitions stay below it too), so
+    * `SyntheticIdBase + monotonically_increasing_id()` is disjoint from
+    * every source id without scanning for the global max.
+    */
+  val SyntheticIdBase: Long = 1L << 62
+
   /** Squared euclidean distance between two array<double> columns —
     * pure expressions, stays in whole-stage codegen.
     */
@@ -66,12 +74,15 @@ object Smote {
       .select(col(idCol), col(featCol), col(labelCol))
 
     // Synthetic ids must stay unique across the WHOLE balanced output
-    // (minority ∪ synth ∪ under-sampled majority) — offset past the global
-    // max id. One column-pruned max() scan; parquet footer stats serve it
-    // at scale.
-    val maxId = df.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
+    // (minority ∪ synth ∪ under-sampled majority). Instead of a global
+    // max() scan (an extra driver action per call — it cost b1 a ~3×
+    // regression in round 2 and at 100 TB is a full job when footer stats
+    // don't apply, e.g. post-join inputs), synthetic ids live in a
+    // reserved namespace: bit 62 set. Disjoint from any source id < 2^62
+    // with zero extra actions; see [[SyntheticIdBase]].
     val synth =
-      synthesize(spark, minorityDf, idCol, featCol, labelCol, p, Some(maxId + 1))
+      synthesize(spark, minorityDf, idCol, featCol, labelCol, p,
+        Some(SyntheticIdBase))
     val underMajority =
       majorityDf.sample(withReplacement = false, p.underFraction, p.seed)
     minorityDf.union(synth).union(underMajority)
@@ -82,15 +93,15 @@ object Smote {
     * neighbours.
     *
     * Synthetic rows get FRESH unique ids (the idCol contract above) —
-    * `monotonically_increasing_id` offset by `idStart` (computed from the
-    * minority frame when not supplied). Reusing the source row's id would
-    * silently collapse synthetic rows in any downstream join/dedup on id.
+    * `monotonically_increasing_id` offset by `idStart` (defaults to the
+    * reserved [[SyntheticIdBase]] namespace; no scan). Reusing the source
+    * row's id would silently collapse synthetic rows in any downstream
+    * join/dedup on id.
     */
   def synthesize(spark: SparkSession, minorityDf: DataFrame, idCol: String,
       featCol: String, labelCol: String, p: Params,
       idStart: Option[Long] = None): DataFrame = {
-    val offset = idStart.getOrElse(
-      minorityDf.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0) + 1)
+    val offset = idStart.getOrElse(SyntheticIdBase)
     val withNeighbors =
       Knn.exactNeighbors(minorityDf, idCol, featCol, p.k)
         .join(minorityDf, Seq(idCol))

@@ -109,8 +109,18 @@ object SimilarityOps {
     *     qualifying pair only if d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t),
     *  4. exact codegen'd verification inside surviving cell pairs.
     *
-    * Guaranteed-identical output to the brute-force join (spec-compared):
-    * the bound never discards a qualifying pair. At 100 TB each task
+    * Output identical to the brute-force join up to floating-point
+    * rounding at the threshold boundary (spec-compared): sim here is fdot
+    * over float32-rounded unit vectors, so a pair sitting exactly at
+    * minSim can differ in the last ulp vs the brute double-divide form;
+    * the pruning bound carries an epsilon slack so rounding never drops a
+    * qualifying pair. Zero-norm embeddings are filtered up front — they
+    * cannot reach any positive minSim, and NaN unit vectors would poison
+    * the centroid fit. Corpora that fit the bounded sample (proved for
+    * free by the sample LIMIT returning fewer rows than its cap) skip
+    * blocking entirely for the all-pairs broadcast product — blocking
+    * overhead only engages when the data is big enough to need it.
+    * At 100 TB each task
     * handles one cell pair and shuffle volume is ≤ n·(probed cells) rows;
     * clusterable real-world embeddings prune most of the k² cell pairs,
     * and the worst case (uniformly random vectors, nothing prunes) is the
@@ -120,41 +130,87 @@ object SimilarityOps {
     * and this operator's contract is exactness.
     */
   def cosinePairsExact(corpus: DataFrame, minSim: Double,
-      nCells: Int = 16): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nCells: Int = 16, fitSample: Int = 4096): DataFrame = {
     val s = corpus.sparkSession
-    val distThresh = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim))
-    // normalize once per row (array<float> stays the fdot-kernel type)
-    val unit = corpus.select(col("vec_id"),
-      transform(col("embedding"),
-        x => (x / VecOps.fnorm(s, col("embedding"))).cast("float")).as("u"))
-    val vec = unit.withColumn("_v", array_to_vector(col("u")))
-    val model = new KMeans().setK(nCells).setSeed(42L)
-      .setFeaturesCol("_v").setPredictionCol("cell").fit(vec)
     import s.implicits._
-    val centDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq.toDF("cell", "centroid")
-    val assigned = model.transform(vec)
-      .join(broadcast(centDf), "cell")
-      .select(col("cell"), col("vec_id"), col("u"),
-        sqrt(greatest(lit(0.0),
-          lit(2.0) - lit(2.0) * VecOps.fdot(s, col("u"), col("centroid"))))
-          .as("cdist"))
-    val cells = assigned.groupBy("cell").agg(max(col("cdist")).as("r"))
-      .join(broadcast(centDf), "cell")
-    // tiny k×k table of surviving ORDERED cell pairs (both orientations,
-    // so a pair lands via (cell(a), cell(b)) exactly once)
-    val ca = cells.select(col("cell").as("cell_a"), col("r").as("r_a"),
-      col("centroid").as("cent_a"))
-    val cb = cells.select(col("cell").as("cell_b"), col("r").as("r_b"),
-      col("centroid").as("cent_b"))
-    val cellPairs = ca.crossJoin(cb)
-      .filter(sqrt(greatest(lit(0.0),
-        lit(2.0) - lit(2.0) * VecOps.fdot(s, col("cent_a"), col("cent_b"))))
-        - col("r_a") - col("r_b") <= lit(distThresh))
-      .select(col("cell_a"), col("cell_b"))
+    // Epsilon slack: the pruning test runs in floating point; slack keeps
+    // the "never discards a qualifying pair" guarantee through rounding.
+    val distThresh = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim)) + 1e-6
+    // Normalize once per row: fnorm is hoisted into a scalar column OUTSIDE
+    // the transform lambda (HOF lambdas are interpreted and not
+    // subexpression-eliminated — recomputing the dot product per element
+    // was O(dim²) per row, the CLAUDE.md anti-pattern).
+    val unit = corpus
+      .select(col("vec_id"), col("embedding"),
+        VecOps.fnorm(s, col("embedding")).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x / col("_n")).cast("float")).as("u"))
+    // Centroids from a driver-side spherical Lloyd fit over a BOUNDED
+    // deterministic sample (TakeOrdered by hash — one pass, no count).
+    // Centroid quality affects only how much the triangle bound prunes,
+    // never the output (exact verification runs inside surviving pairs).
+    // Deliberately NOT MLlib KMeans: its fit caches the full dataset
+    // (a 100 TB hazard), costs ~a dozen scheduler rounds, and its
+    // prediction UDF is not codegen — this path is all codegen over a
+    // ≤fitSample·dim local fit.
+    val sample = unit
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(fitSample)
+      .select(col("u")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty)
+      return corpus.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
+        lit(0.0).as("sim")).filter(lit(false))
+    def pairSim(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          VecOps.fdot(s, col("u_a"), col("u_b")).as("sim"))
+        .filter(col("sim") >= minSim)
+    // The LIMIT doubles as a free size probe: fewer rows back than the cap
+    // proves the corpus is ≤ fitSample rows, where the all-pairs broadcast
+    // product beats any blocking (no extra stats pass, no blocking jobs)
+    // and the broadcast is trivially safe. Blocking engages exactly when
+    // the corpus is big enough to need it.
+    if (sample.length < fitSample)
+      return pairSim(
+        unit.select(col("vec_id").as("id_a"), col("u").as("u_a")),
+        broadcast(unit.select(col("vec_id").as("id_b"), col("u").as("u_b"))))
+    val cents = sphericalLloyd(sample, math.min(nCells, sample.length), 5)
+    val k = cents.length
+
+    // All-codegen assignment: per-row best-cell = argmax centroid dot
+    // (unit sphere: min distance ⇔ max dot). Scalar expressions are
+    // subexpression-eliminated by whole-stage codegen, unlike HOF lambdas.
+    val centLits = cents.map(c => array(c.map(lit).toSeq: _*))
+    val dots = centLits.map(cl => VecOps.fdot(s, col("u"), cl))
+    val best = greatest(dots: _*)
+    val cellExpr = dots.zipWithIndex.reverse
+      .foldLeft(lit(k - 1)) { case (acc, (d, i)) =>
+        when(d === best, lit(i)).otherwise(acc)
+      }
+    val assigned = unit.select(col("vec_id"), col("u"),
+      cellExpr.as("cell"),
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * best)).as("cdist"))
+
+    // Per-cell radius: one tiny agg collect (≤ k rows). Cell pairs are
+    // then enumerated on the driver — k² is tiny by construction.
+    val radii = Array.fill(k)(0.0)
+    assigned.groupBy(col("cell")).agg(max(col("cdist")).as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    def cdot(a: Array[Float], b: Array[Float]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
+    }
+    // ORDERED pairs, both orientations + (i,i), so a qualifying vector
+    // pair lands via (cell(a), cell(b)) exactly once in the join below.
+    val cellPairs = (for {
+      i <- 0 until k; j <- 0 until k
+      cd = math.sqrt(math.max(0.0, 2.0 - 2.0 * cdot(cents(i), cents(j))))
+      if cd - radii(i) - radii(j) <= distThresh
+    } yield (i, j)).toDF("cell_a", "cell_b")
+
     val a = assigned.select(col("cell").as("cell_a"),
       col("vec_id").as("id_a"), col("u").as("u_a"))
     val b = assigned.select(col("cell").as("cell_b"),
@@ -165,6 +221,44 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"),
         VecOps.fdot(s, col("u_a"), col("u_b")).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** Driver-local spherical k-means over a bounded sample: init = first k
+    * hash-ordered points, `iters` Lloyd rounds, centroids re-normalized to
+    * the unit sphere each round (an empty or zero cell keeps its previous
+    * centroid). O(sample·k·dim·iters) scalar work — microseconds next to
+    * one distributed scan.
+    */
+  private def sphericalLloyd(points: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val dim = points.head.length
+    var cents = Array.tabulate(k)(i => points(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = Array.fill(k)(0L)
+      points.foreach { p =>
+        var bestI = 0; var bestDot = Double.MinValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i).toDouble * cents(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; bestI = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bestI)(i) += p(i); i += 1 }
+        counts(bestI) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) cents(c) else m.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    cents
   }
 
   /** The small-SF exact baseline: all-pairs with one side broadcast.

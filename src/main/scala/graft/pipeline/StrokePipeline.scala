@@ -112,12 +112,32 @@ object StrokePipeline {
     * memoize per (session, path) so the several model queries sharing a
     * prepared frame don't re-run ingestion + indexer fits.
     */
+  private val MaxPrepared = 8
+
+  // Access-ordered LRU, bounded: the evicted frame is unpersisted, and
+  // entries whose session has stopped are dropped on every call — a
+  // long-lived JVM never holds cached frames for dead sessions or an
+  // unbounded set of (session, path) pairs.
   private val prepared =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        if (size > MaxPrepared) {
+          if (!e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
+          true
+        } else false
+    }
 
   def prepare(spark: SparkSession, path: String): DataFrame =
-    prepared.getOrElseUpdate((spark, path), {
-      val Encoded(enc, _) = encode(clean(readCsv(spark, path)))
-      assemble(enc).cache()
-    })
+    prepared.synchronized {
+      val it = prepared.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+      val key = (spark, path)
+      Option(prepared.get(key)).getOrElse {
+        val Encoded(enc, _) = encode(clean(readCsv(spark, path)))
+        val df = assemble(enc).cache()
+        prepared.put(key, df)
+        df
+      }
+    }
 }

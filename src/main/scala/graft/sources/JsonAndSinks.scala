@@ -34,14 +34,32 @@ object JsonAndSinks {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // One sink directory per source dir, deleted on JVM exit — repeated s7
+  // calls in one session (Verify + Bench + suites share sessions) must not
+  // leak a /tmp dir per call. Same pattern as streaming.EventStream.
+  private val sinkDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def sinkDir(src: String): java.nio.file.Path =
+    sinkDirs.getOrElseUpdate(src, {
+      val out = java.nio.file.Files.createTempDirectory("graft_partitioned_sink")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(out)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      out
+    })
+
   /** S7: partitioned parquet sink round-trip — write documents partitioned
     * by lang, read back through the partitioned layout, count per
     * partition. The oracle is the direct group-count: proving the sink
     * loses nothing and the partition column survives the round-trip.
     */
   private def s7PartitionedSink(s: SparkSession, d: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_partitioned_sink").toString
+    val out = sinkDir(d).toString
     Tables.documents(s, d)
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     s.read.parquet(out)

@@ -85,6 +85,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sims.sliding(2).forall(p => p(0) >= p(1)), "ranks not sorted by sim")
   }
 
+  test("x3: exact near-dup equals brute force on BOTH adaptive paths") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val brute = SimilarityOps.cosinePairsBrute(emb, 0.35)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    // fitSample=100 < corpus size forces the metric-pruned blocked path;
+    // the default cap takes the small-corpus broadcast-product path.
+    for (fs <- Seq(100, 4096)) {
+      val exact = SimilarityOps.cosinePairsExact(emb, 0.35, nCells = 8,
+        fitSample = fs)
+        .collect().map(r => key(r) -> r.getDouble(2)).toMap
+      assert(exact.keySet === brute.keySet, s"fitSample=$fs")
+      exact.foreach { case (k, s) =>
+        assert(math.abs(s - brute(k)) < 1e-5, s"sim mismatch at $k (fs=$fs)")
+      }
+    }
+  }
+
+  test("x3: zero-norm embeddings are dropped, not NaN-poisoned (both paths)") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq.fill(4)(0.0f)),                     // zero vector
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    for (fs <- Seq(2, 4096)) {
+      val pairs = SimilarityOps.cosinePairsExact(rows, 0.5, nCells = 2,
+        fitSample = fs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((1L, 2L)), s"fitSample=$fs")
+    }
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
