@@ -6,8 +6,10 @@ import graft.{Q, Tables}
 
 /** SparkEntry registrations for class balancing (SMOTE / k-NN), exercised
   * on the embeddings table (label as class, embedding as features —
-  * FIXTURES.md §B). No SQL oracle (RNG + distributed synthesis); invariants
-  * are property-tested in SmoteSpec.
+  * FIXTURES.md §B). The synthesized feature VALUES are RNG-driven
+  * (property-tested in SmoteSpec), but the registered outputs are
+  * deterministic — class counts (b1) and neighbour counts + nearest
+  * distance (b2) — so both carry DuckDB oracles.
   */
 object BalanceQueries {
 
@@ -29,16 +31,42 @@ object BalanceQueries {
     before.join(after, Seq("cls"), "outer").orderBy(col("cls"))
   }
 
-  /** B2: exact k-NN neighbour lists over the minority class. */
+  /** Oracle of the SMOTE count contract: percentOver=200 ⇒ 2 synthetic
+    * rows per minority row (3× total); percentUnder=100 keeps the whole
+    * majority. The RNG only decides feature values, never row counts.
+    */
+  private val b1Sql =
+    """SELECT cls, CAST(count(*) AS BIGINT) AS n_before,
+      |  CAST(count(*) * CASE WHEN cls = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_after
+      |FROM (SELECT CASE WHEN label = 0 THEN 0 ELSE 1 END AS cls FROM embeddings)
+      |GROUP BY cls ORDER BY cls""".stripMargin
+
+  /** B2: exact k-NN over the minority class — neighbour count plus the
+    * distance to the nearest neighbour (neighbors are ordered nearest
+    * first), rounded 6 dp for bit-exact oracle parity with DuckDB
+    * list_distance.
+    */
   private def b2Knn(s: SparkSession, d: String): DataFrame = {
     val minority = features(s, d).filter(col("cls") === 0)
-    Knn.exactNeighbors(minority, "vec_id", "features", 5)
-      .select(col("vec_id"), size(col("neighbors")).as("n_neighbors"))
+    minority.join(Knn.exactNeighbors(minority, "vec_id", "features", 5), "vec_id")
+      .select(col("vec_id"), size(col("neighbors")).as("n_neighbors"),
+        round(sqrt(Smote.sqDist(col("features"), element_at(col("neighbors"), 1))), 6)
+          .as("nn_dist"))
       .orderBy(col("vec_id"))
   }
 
+  private val b2Sql =
+    """WITH m AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE label = 0)
+      |SELECT a.vec_id,
+      |  CAST(least(5, (SELECT count(*) FROM m) - 1) AS INT) AS n_neighbors,
+      |  round(min(list_distance(a.emb, b.emb)), 6) AS nn_dist
+      |FROM m a JOIN m b ON a.vec_id <> b.vec_id
+      |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
-    "b1_smote_balance" -> Q(b1Smote, None),
-    "b2_knn_exact"     -> Q(b2Knn, None),
+    "b1_smote_balance" -> Q(b1Smote, Some(b1Sql)),
+    "b2_knn_exact"     -> Q(b2Knn, Some(b2Sql)),
   )
 }

@@ -235,10 +235,44 @@ object DedupOps {
     jaccardPairs(Tables.documents(s, d), 3, 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Plain-SQL shingle Jaccard, replicating [[shingles]] exactly:
+    * regexp-split keeps leading/trailing empties like Spark's
+    * split(limit=-1); slices truncate at the end the same way; the
+    * ≤ maxBucket stop-shingle cap applies before sizes AND pairs. The
+    * SQL distincts shingle STRINGS where Spark distincts their
+    * xxhash64s — identical modulo 64-bit collisions (none in testdata).
+    * Jaccard divides the same two integers in both engines → bit-exact
+    * doubles with no rounding step.
+    */
+  private val d4Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
+      |  FROM toks),
+      |shd AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS sh
+      |  FROM idx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
+      |grp AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= 64),
+      |kept AS (SELECT shd.doc_id, shd.sh FROM shd JOIN grp USING (sh)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+      |cm AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM cm
+      |JOIN sizes sa ON sa.doc_id = cm.id_a
+      |JOIN sizes sb ON sb.doc_id = cm.id_b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, None),
     "d3_simhash"        -> Q(d3Simhash, None),
-    "d4_ngram_jaccard"  -> Q(d4Jaccard, None),
+    "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
   )
 }

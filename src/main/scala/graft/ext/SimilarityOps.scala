@@ -50,12 +50,33 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Ranks come from the raw double sims; the emitted sim is rounded to
+    * 6 dp so the DuckDB oracle (list_cosine_similarity — same math,
+    * different accumulation order) hash-matches bit-exactly (CLAUDE.md
+    * derived-stat rounding discipline).
+    */
   private def x1BruteTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
-      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("sim"), 6).as("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private val x1Sql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT q_id, c_id, list_cosine_similarity(q_emb, c_emb) AS raw
+      |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, raw,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, c_id) AS "rank"
+      |  FROM scored)
+      |SELECT q_id, "rank", c_id, round(raw, 6) AS sim
+      |FROM ranked WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin
 
   /** Random-hyperplane LSH: signature = sign bits of dot(v, h_i) for
     * deterministic pseudo-random hyperplanes. Buckets index the corpus;
@@ -109,12 +130,13 @@ object SimilarityOps {
     *     qualifying pair only if d(cᵢ,cⱼ) − rᵢ − rⱼ ≤ √(2−2t),
     *  4. exact codegen'd verification inside surviving cell pairs.
     *
-    * Output identical to the brute-force join up to floating-point
-    * rounding at the threshold boundary (spec-compared): sim here is fdot
-    * over float32-rounded unit vectors, so a pair sitting exactly at
-    * minSim can differ in the last ulp vs the brute double-divide form;
-    * the pruning bound carries an epsilon slack so rounding never drops a
-    * qualifying pair. Zero-norm embeddings are filtered up front — they
+    * Output identical to the brute-force join: sim is fdot over the
+    * ORIGINAL embeddings divided by their norms — the same double-precision
+    * expression as [[cosinePairsBrute]] — while the float32-rounded unit
+    * vectors serve only cell assignment. The pruning bound carries an
+    * epsilon slack covering the float32 rounding of the unit vectors, so
+    * rounding never drops a qualifying pair. Zero-norm embeddings are
+    * filtered up front — they
     * cannot reach any positive minSim, and NaN unit vectors would poison
     * the centroid fit. Corpora that fit the bounded sample (proved for
     * free by the sample LIMIT returning fewer rows than its cap) skip
@@ -133,18 +155,21 @@ object SimilarityOps {
       nCells: Int = 16, fitSample: Int = 4096): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    // Epsilon slack: the pruning test runs in floating point; slack keeps
-    // the "never discards a qualifying pair" guarantee through rounding.
-    val distThresh = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim)) + 1e-6
+    // Epsilon slack: the pruning bound is evaluated over float32-rounded
+    // unit vectors (≤ ~sqrt(dim)·eps_f32 perturbation per distance); the
+    // slack keeps "never discards a qualifying pair" true through it.
+    val distThresh = math.sqrt(math.max(0.0, 2.0 - 2.0 * minSim)) + 1e-5
     // Normalize once per row: fnorm is hoisted into a scalar column OUTSIDE
     // the transform lambda (HOF lambdas are interpreted and not
     // subexpression-eliminated — recomputing the dot product per element
-    // was O(dim²) per row, the CLAUDE.md anti-pattern).
+    // was O(dim²) per row, the CLAUDE.md anti-pattern). The original
+    // embedding + norm ride along: the final sim is computed on THEM, so
+    // the output is bit-identical to the brute double-precision form.
     val unit = corpus
       .select(col("vec_id"), col("embedding"),
         VecOps.fnorm(s, col("embedding")).as("_n"))
       .filter(col("_n") > 0)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"), col("_n"),
         transform(col("embedding"), x => (x / col("_n")).cast("float")).as("u"))
     // Centroids from a driver-side spherical Lloyd fit over a BOUNDED
     // deterministic sample (TakeOrdered by hash — one pass, no count).
@@ -161,11 +186,18 @@ object SimilarityOps {
     if (sample.isEmpty)
       return corpus.select(col("vec_id").as("id_a"), col("vec_id").as("id_b"),
         lit(0.0).as("sim")).filter(lit(false))
-    def pairSim(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b)
+    // Pair similarity on the ORIGINAL embeddings (double accumulate /
+    // norms) — bit-identical between both adaptive paths and the brute
+    // baseline.
+    def side(df: DataFrame, sfx: String): DataFrame =
+      df.select(col("vec_id").as(s"id_$sfx"),
+        col("embedding").as(s"e_$sfx"), col("_n").as(s"n_$sfx"))
+    def simPairs(joined: DataFrame): DataFrame =
+      joined
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          VecOps.fdot(s, col("u_a"), col("u_b")).as("sim"))
+          (VecOps.fdot(s, col("e_a"), col("e_b")) /
+            (col("n_a") * col("n_b"))).as("sim"))
         .filter(col("sim") >= minSim)
     // The LIMIT doubles as a free size probe: fewer rows back than the cap
     // proves the corpus is ≤ fitSample rows, where the all-pairs broadcast
@@ -173,23 +205,21 @@ object SimilarityOps {
     // and the broadcast is trivially safe. Blocking engages exactly when
     // the corpus is big enough to need it.
     if (sample.length < fitSample)
-      return pairSim(
-        unit.select(col("vec_id").as("id_a"), col("u").as("u_a")),
-        broadcast(unit.select(col("vec_id").as("id_b"), col("u").as("u_b"))))
+      return simPairs(side(unit, "a").join(broadcast(side(unit, "b"))))
     val cents = sphericalLloyd(sample, math.min(nCells, sample.length), 5)
     val k = cents.length
 
     // All-codegen assignment: per-row best-cell = argmax centroid dot
     // (unit sphere: min distance ⇔ max dot). Scalar expressions are
     // subexpression-eliminated by whole-stage codegen, unlike HOF lambdas.
-    val centLits = cents.map(c => array(c.map(lit).toSeq: _*))
+    val centLits = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
     val dots = centLits.map(cl => VecOps.fdot(s, col("u"), cl))
     val best = greatest(dots: _*)
     val cellExpr = dots.zipWithIndex.reverse
       .foldLeft(lit(k - 1)) { case (acc, (d, i)) =>
         when(d === best, lit(i)).otherwise(acc)
       }
-    val assigned = unit.select(col("vec_id"), col("u"),
+    val assigned = unit.select(col("vec_id"), col("embedding"), col("_n"),
       cellExpr.as("cell"),
       sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * best)).as("cdist"))
 
@@ -211,16 +241,11 @@ object SimilarityOps {
       if cd - radii(i) - radii(j) <= distThresh
     } yield (i, j)).toDF("cell_a", "cell_b")
 
-    val a = assigned.select(col("cell").as("cell_a"),
-      col("vec_id").as("id_a"), col("u").as("u_a"))
-    val b = assigned.select(col("cell").as("cell_b"),
-      col("vec_id").as("id_b"), col("u").as("u_b"))
-    a.join(broadcast(cellPairs), "cell_a")
-      .join(b, "cell_b")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VecOps.fdot(s, col("u_a"), col("u_b")).as("sim"))
-      .filter(col("sim") >= minSim)
+    val a = assigned.select(col("cell").as("cell_a"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"), col("_n").as("n_a"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"), col("_n").as("n_b"))
+    simPairs(a.join(broadcast(cellPairs), "cell_a").join(b, "cell_b"))
   }
 
   /** Driver-local spherical k-means over a bounded sample: init = first k
@@ -275,9 +300,25 @@ object SimilarityOps {
       .filter(col("sim") >= minSim)
   }
 
+  /** Threshold filtering runs on the raw double sim (oracle agrees to
+    * ~1e-15, so the pair set is stable); the EMITTED sim is rounded 6 dp
+    * for bit-exact hash parity with the oracle.
+    */
   private def x3NearDupPairs(s: SparkSession, d: String): DataFrame =
     cosinePairsExact(Tables.embeddings(s, d), 0.35)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
+
+  private val x3Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** IVF (inverted-file) ANN: KMeans coarse quantizer over the corpus;
     * each query probes the nProbe nearest centroids and exact-reranks only
@@ -332,9 +373,9 @@ object SimilarityOps {
   }
 
   val qs: Seq[(String, Q)] = Seq(
-    "x1_cosine_topk_brute" -> Q(x1BruteTopK, None),
+    "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2LshTopK, None),
-    "x3_embedding_neardup" -> Q(x3NearDupPairs, None),
+    "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4IvfTopK, None),
   )
 }

@@ -97,8 +97,10 @@ class DedupSimilaritySpec extends SparkSpec {
         fitSample = fs)
         .collect().map(r => key(r) -> r.getDouble(2)).toMap
       assert(exact.keySet === brute.keySet, s"fitSample=$fs")
+      // both paths evaluate the SAME double-precision expression over the
+      // original embeddings — bit-identical, not merely close
       exact.foreach { case (k, s) =>
-        assert(math.abs(s - brute(k)) < 1e-5, s"sim mismatch at $k (fs=$fs)")
+        assert(s === brute(k), s"sim mismatch at $k (fs=$fs)")
       }
     }
   }
