@@ -44,6 +44,66 @@ object Profiling {
       Seq("l_quantity", "l_extendedprice", "l_discount"))
       .orderBy(col("column"))
 
+  /** A3 (full): describe() over a MIXED frame — numeric columns get the
+    * full stat row; string (and other non-numeric) columns get count-only
+    * rows with null stats, matching the reference's whole-frame
+    * `df.describe()` (stroke_predict.py:26, stroke_prediction.ipynb:70)
+    * in the melted one-row-per-column shape. Still ONE aggregate pass.
+    */
+  def describeAll(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val isNum = cols.map(c =>
+      c -> df.schema(c).dataType.isInstanceOf[NumericType]).toMap
+    val aggExprs = cols.flatMap { c =>
+      if (isNum(c))
+        Seq(
+          count(col(c)).as(s"__n_$c"),
+          davg(col(c)).as(s"__mean_$c"),
+          dstddev(col(c)).as(s"__std_$c"),
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c"))
+      else Seq(count(col(c)).as(s"__n_$c"))
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val structs = cols.map { c =>
+      if (isNum(c))
+        struct(
+          lit(c).as("column"), col(s"__n_$c").as("n"),
+          col(s"__mean_$c").as("mean"), col(s"__std_$c").as("stddev"),
+          col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+      else
+        struct(
+          lit(c).as("column"), col(s"__n_$c").as("n"),
+          nullD.as("mean"), nullD.as("stddev"),
+          nullD.as("min"), nullD.as("max"))
+    }
+    one.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  private def a3bDescribeAll(s: SparkSession, d: String): DataFrame =
+    describeAll(Tables.orders(s, d),
+      Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+      .orderBy(col("column"))
+
+  private val a3bSql = {
+    val numeric =
+      s"""SELECT 'o_totalprice' AS "column",
+         |  CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+         |  ${sqlDavg("o_totalprice")} AS mean,
+         |  ${sqlDstddev("o_totalprice")} AS stddev,
+         |  CAST(MIN(o_totalprice) AS DOUBLE) AS min,
+         |  CAST(MAX(o_totalprice) AS DOUBLE) AS max
+         |FROM orders""".stripMargin
+    val strings = Seq("o_orderstatus", "o_orderpriority").map(c =>
+      s"""SELECT '$c', CAST(COUNT($c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM orders""".stripMargin)
+    (numeric +: strings)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
+
   private def a3DescribeCol(c: String): String =
     s"""SELECT '$c' AS "column", CAST(COUNT($c) AS BIGINT) AS n,
        |  ${sqlDavg(c)} AS mean,
@@ -90,6 +150,47 @@ object Profiling {
       |       COUNT(*) AS n
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** ML18 'auto' bins (reference matplotlib bins='auto',
+    * stroke_predict.py:35-41): bin count from the data itself via the
+    * Sturges rule, ceil(log2 n)+1 — chosen over matplotlib's
+    * max(Sturges, Freedman–Diaconis) because every input (n, min, max) is
+    * EXACT in both engines, so edges and counts are bit-reproducible
+    * cross-engine (FD needs a percentile, whose interpolation is
+    * engine-specific). Two scans: a tiny stats agg broadcast into the
+    * binning pass — no collect, no driver loop. The top edge folds into
+    * the last bin (matplotlib's closed last interval).
+    */
+  def histogramAuto(df: DataFrame, c: String): DataFrame = {
+    val x = col(c).cast("double")
+    val stats = df.agg(count(x).as("cnt"), min(x).as("lo"), max(x).as("hi"))
+      .select(col("lo"),
+        (ceil(log2(col("cnt"))) + lit(1)).cast("long").as("nbins"),
+        ((col("hi") - col("lo")) /
+          (ceil(log2(col("cnt"))) + lit(1)).cast("long")).as("width"))
+    df.select(x.as("x")).crossJoin(broadcast(stats))
+      .select(least(floor((col("x") - col("lo")) / col("width")).cast("long"),
+        col("nbins") - 1).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  private def h2HistogramAuto(s: SparkSession, d: String): DataFrame =
+    histogramAuto(Tables.orders(s, d), "o_totalprice")
+      .orderBy(col("bin"))
+
+  private val h2Sql =
+    """WITH s AS (
+      |  SELECT count(o_totalprice) AS cnt, min(o_totalprice) AS lo,
+      |         max(o_totalprice) AS hi
+      |  FROM orders),
+      |b AS (
+      |  SELECT lo, CAST(ceil(log2(cnt)) + 1 AS BIGINT) AS nbins,
+      |    (hi - lo) / CAST(ceil(log2(cnt)) + 1 AS BIGINT) AS width
+      |  FROM s)
+      |SELECT CAST(least(CAST(floor((o_totalprice - lo) / width) AS BIGINT),
+      |                  nbins - 1) AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders, b GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** A1 variant: per-category frequency table over a categorical column
     * (stroke_predict.py:29-30 class histogram shape).
     */
@@ -115,9 +216,11 @@ object Profiling {
 
   val qs: Seq[(String, Q)] = Seq(
     "a3_describe"        -> Q(a3Describe, Some(a3Sql)),
+    "a3b_describe_all"   -> Q(a3bDescribeAll, Some(a3bSql)),
     "a4_null_profile"    -> Q(a4NullProfile, Some(a4Sql)),
     "a1_category_freq"   -> Q(a1CategoryFreq, Some(a1fSql)),
     "h1_histogram"       -> Q(h1Histogram, Some(h1Sql)),
+    "h2_histogram_auto"  -> Q(h2HistogramAuto, Some(h2Sql)),
     "a7_approx_distinct" -> Q(a7ApproxDistinct, None),
   )
 }

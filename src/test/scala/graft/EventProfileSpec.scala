@@ -25,6 +25,34 @@ class EventProfileSpec extends SparkSpec {
     }
   }
 
+  test("describeAll: whole-frame describe — string rows count-only, " +
+    "numeric rows match describeNumeric (reference stroke_predict.py:26)") {
+    // the reference's own mixed frame: the stroke CSV
+    val df = pipeline.StrokePipeline.readCsv(spark,
+      pipeline.StrokePipeline.RawCsv)
+    val all = profile.Profiling.describeAll(df, df.columns.toSeq)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(all.size === df.columns.length)     // every column gets a row
+    val gender = all("gender")                 // string: count-only
+    assert(gender.getAs[Long]("n") === 5110L)
+    assert(gender.isNullAt(gender.fieldIndex("mean")))
+    assert(gender.isNullAt(gender.fieldIndex("max")))
+    val age = all("age")                       // numeric: full stats
+    assert(age.getAs[Long]("n") === 5110L)
+    assert(math.abs(age.getAs[Double]("mean") - 43.226614) < 1e-4)
+    assert(age.getAs[Double]("max") === 82.0)
+  }
+
+  test("histogramAuto: Sturges bin count, counts partition the rows") {
+    val orders = Tables.orders(spark, Sf0001)
+    val h = profile.Profiling.histogramAuto(orders, "o_totalprice").collect()
+    val n = orders.count()
+    val nbins = math.ceil(math.log(n.toDouble) / math.log(2.0)).toLong + 1
+    assert(h.map(_.getLong(1)).sum === n)                      // no row lost
+    assert(h.map(_.getLong(0)).forall(b => b >= 0 && b < nbins))
+    assert(h.map(_.getLong(0)).max === nbins - 1)              // max folds in
+  }
+
   test("describeNumeric matches Spark's describe() values") {
     val li = Tables.lineitem(spark, Sf0001)
     val ours = profile.Profiling.describeNumeric(li, Seq("l_quantity"))
