@@ -51,7 +51,10 @@ def main(out_dir, sf_dir):
             kinds = {duck[c].dtype.kind, spark[c].dtype.kind}
             if kinds == {'O', 'f'}:
                 objside = duck[c] if duck[c].dtype.kind == 'O' else spark[c]
-                if any(type(v).__name__ == 'Decimal' for v in objside.head(5)):
+                # sniff the first NON-NULL value: a column whose head is all
+                # nulls would otherwise smuggle Decimals past the strict gate
+                if any(type(v).__name__ == 'Decimal'
+                       for v in objside.dropna().head(1)):
                     bad.append(f"{c}: dtype bridge mismatch — Decimal objects vs "
                                f"float64 (driver hash would fail; cast to DOUBLE "
                                f"on both sides)")

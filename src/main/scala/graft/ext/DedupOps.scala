@@ -206,14 +206,19 @@ object DedupOps {
     // ONE shuffle on the shingle hash; pairs generated inside the bucket
     // (ordered ids → each unordered pair once) — replaces the two-sided
     // self-join, which shuffled the frame twice and joined.
+    //
+    // The bucket table feeds THREE consumers (sizes joined twice + the
+    // pair expansion). Catalyst does NOT emit a ReusedExchange across
+    // them (verified by DedupSimilaritySpec's plan assertion — the
+    // round-2 claim that it would was wrong, and the docs scan ran three
+    // times). An eager localCheckpoint materializes it exactly once; the
+    // backing blocks are released by the ContextCleaner when the frame is
+    // garbage-collected, so unlike the round-1 persist there is no
+    // session-lifetime leak and no unpersist scope to manage.
     val grouped = sh.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= maxBucket)
-    // Per-doc discriminative-shingle counts, derived from the SAME
-    // aggregation: the sizes branch and the pair branch share one
-    // canonical Exchange, so Spark re-reads the shuffle (ReusedExchange)
-    // instead of re-scanning the docs — this replaces the round-1
-    // MEMORY_AND_DISK persist that was never unpersisted (leak).
+      .localCheckpoint()
     val sizes = grouped.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val buckets = grouped.filter(size(col("ids")) > 1)

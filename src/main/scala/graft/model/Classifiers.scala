@@ -73,14 +73,16 @@ object Classifiers {
   def trainEval(name: String, prepared: DataFrame,
       labelCol: String = "stroke", seed: Long = 42L): TrainResult = {
     val Array(train, test) = prepared.randomSplit(Array(0.7, 0.3), seed)
-    // LR/LinearSVC run up to 100 treeAggregate passes over `train`; cache it
-    // for the fit so each iteration reads memory instead of re-sampling the
-    // parent frame. Split membership is unchanged (same seed, same
-    // partitioning of `prepared`).
-    train.cache()
-    val model =
-      try estimator(name, labelCol).fit(train)
-      finally train.unpersist(blocking = false)
+    // LR/LinearSVC run up to 100 treeAggregate passes over `train`;
+    // materialize it once per call via an eager localCheckpoint. Plain
+    // cache()+finally-unpersist raced under Experiments.matrix's
+    // concurrent cells: identical (dataset, seed) cells share ONE
+    // CacheManager entry (dedup by canonicalized plan), so the first
+    // finisher's unpersist evicted it under the other fits — results
+    // stayed correct (seeded recompute) but the caching silently
+    // vanished. The checkpoint has its own storage identity per call and
+    // its blocks are freed by the ContextCleaner once the frame is GC'd.
+    val model = estimator(name, labelCol).fit(train.localCheckpoint())
     val pred = model.asInstanceOf[Model[_]].transform(test)
     TrainResult(pred, evaluator(labelCol).evaluate(pred))
   }

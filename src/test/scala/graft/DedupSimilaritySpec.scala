@@ -85,6 +85,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sims.sliding(2).forall(p => p(0) >= p(1)), "ranks not sorted by sim")
   }
 
+  test("d4: bucket table is materialized once — no repeated document scans") {
+    val q = DedupOps.jaccardPairs(Tables.documents(spark, Sf0001), 3, 0.5)
+    q.count()
+    // the three consumers (sizes ×2 + pair expansion) must all read the
+    // checkpointed buckets; any FileScan in the executed plan means the
+    // shingle explode+hash pipeline is being recomputed from parquet
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      "documents re-scanned: bucket materialization not in effect")
+  }
+
   test("x3: exact near-dup equals brute force on BOTH adaptive paths") {
     val emb = Tables.embeddings(spark, Sf0001)
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
