@@ -118,6 +118,36 @@ object TextOps {
       .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 
+  /** Oracle generated from the SAME [[LangMarkers]] map (the two sides
+    * cannot drift): per-language stopword hit counts via the identical
+    * single-space split, then the argmax with Spark's greatest-of-structs
+    * tie-break — ties go to the LARGEST lang name among the tied top
+    * scores, replicated by testing langs in reverse-alphabetical order.
+    */
+  private val t3Sql = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (l, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), w -> w IN ($inList))) AS s_$l"
+    }.mkString(",\n    ")
+    val g = langs.map("s_" + _._1).mkString("greatest(", ", ", ")")
+    val branches = langs.reverse.init
+      .map { case (l, _) => s"WHEN s_$l = $g THEN '$l'" }
+      .mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |    $scoreCols
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN $g = 0 THEN 'unknown'
+       |      $branches
+       |      ELSE '${langs.head._1}' END AS pred
+       |  FROM scored)
+       |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+  }
+
   // ---- T4: document fingerprint (64-bit FNV-1a rolling hash) -------------
   // Deterministic content fingerprint via xxhash64 (Spark-native, codegen).
   // No SQL oracle (hash function is engine-specific); spec pins stability.
@@ -259,7 +289,7 @@ object TextOps {
     "t9_array_funcs"     -> Q(t9ArrayFuncs, Some(t9Sql)),
     "t10_redaction"      -> Q(t10Redaction, Some(t10Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
-    "t3_lang_id"         -> Q(t3LangId, None),
+    "t3_lang_id"         -> Q(t3LangId, Some(t3Sql)),
     "t4_fingerprint"     -> Q(t4Fingerprint, None),
   )
 }
