@@ -28,7 +28,11 @@ object Knn {
       .orderBy(col("_dist"), col("_b_id"))
     a.crossJoin(b)
       .filter(col("_a_id") =!= col("_b_id"))
-      .withColumn("_dist", Smote.sqDist(col("_a_f"), col("_b_f")))
+      // codegen'd kernel in the O(n²)-pair loop; bit-identical to the
+      // Smote.sqDist expression form (same left-to-right double sums)
+      .withColumn("_dist",
+        graft.functions.VecOps.dsqdist(df.sparkSession,
+          col("_a_f"), col("_b_f")))
       .withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
       .groupBy(col("_a_id").as(idCol))

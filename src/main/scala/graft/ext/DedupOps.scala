@@ -110,8 +110,11 @@ object DedupOps {
         explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
-      .distinct()
+      // threshold BEFORE the dedup shuffle: a pair's est_jaccard is the
+      // same from every band it collides in, so filtering first is
+      // equivalent and the distinct shuffles only surviving pairs
       .filter(col("est_jaccard") >= minJaccard)
+      .distinct()
   }
 
   private def d2Minhash(s: SparkSession, d: String): DataFrame =

@@ -208,17 +208,7 @@ object SimilarityOps {
       return simPairs(side(unit, "a").join(broadcast(side(unit, "b"))))
     val cents = sphericalLloyd(sample, math.min(nCells, sample.length), 5)
     val k = cents.length
-
-    // All-codegen assignment: per-row best-cell = argmax centroid dot
-    // (unit sphere: min distance ⇔ max dot). Scalar expressions are
-    // subexpression-eliminated by whole-stage codegen, unlike HOF lambdas.
-    val centLits = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
-    val dots = centLits.map(cl => VecOps.fdot(s, col("u"), cl))
-    val best = greatest(dots: _*)
-    val cellExpr = dots.zipWithIndex.reverse
-      .foldLeft(lit(k - 1)) { case (acc, (d, i)) =>
-        when(d === best, lit(i)).otherwise(acc)
-      }
+    val (best, cellExpr) = cellAssignment(s, col("u"), cents)
     val assigned = unit.select(col("vec_id"), col("embedding"), col("_n"),
       cellExpr.as("cell"),
       sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * best)).as("cdist"))
@@ -246,6 +236,24 @@ object SimilarityOps {
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("_n").as("n_b"))
     simPairs(a.join(broadcast(cellPairs), "cell_a").join(b, "cell_b"))
+  }
+
+  /** All-codegen cell assignment against literal centroids: returns
+    * (best dot, argmax cell index). Max dot ⇔ min angle, so the argmax is
+    * scale-invariant — raw or unit input vectors give the same cell.
+    * Ties break to the lowest index. Scalar expressions are
+    * subexpression-eliminated by whole-stage codegen, unlike HOF lambdas.
+    */
+  private def cellAssignment(s: SparkSession, emb: Column,
+      cents: Array[Array[Float]]): (Column, Column) = {
+    val centLits = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
+    val dots = centLits.map(cl => VecOps.fdot(s, emb, cl))
+    val best = if (dots.length == 1) dots.head else greatest(dots: _*)
+    val cell = dots.zipWithIndex.reverse
+      .foldLeft(lit(cents.length - 1): Column) { case (acc, (d, i)) =>
+        when(d === best, lit(i)).otherwise(acc)
+      }
+    (best, cell)
   }
 
   /** Driver-local spherical k-means over a bounded sample: init = first k
@@ -326,26 +334,37 @@ object SimilarityOps {
     * coarse: cells ≈ sqrt(n), probe cost ≈ nProbe/cells of the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      nCells: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
     val s = corpus.sparkSession
-    val vec = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("_v"))
-    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("_v")
-      .setPredictionCol("cell")
-    val model = km.fit(vec)
-    val assigned = model.transform(vec)
+    // Coarse quantizer from the same driver-side spherical Lloyd fit as
+    // cosinePairsExact (bounded hash-ordered sample, normalized on the
+    // driver) — no MLlib KMeans, which caches the full corpus, costs a
+    // dozen scheduler rounds, and assigns through a non-codegen UDF.
+    // Direction cells suit the cosine metric, and argmax-dot assignment
+    // is scale-invariant, so raw embeddings need no normalize pass.
+    val sampleUnit = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(fitSample)
+      .select(col("embedding")).collect()
+      .flatMap { r =>
+        val p = r.getSeq[Float](0).toArray
+        var n2 = 0.0; var i = 0
+        while (i < p.length) { n2 += p(i).toDouble * p(i); i += 1 }
+        val n = math.sqrt(n2)
+        if (n == 0.0) None else Some(p.map(x => (x / n).toFloat))
+      }
+    if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
+    val cents = sphericalLloyd(sampleUnit,
+      math.min(nCells, sampleUnit.length), 5)
+    val (_, cellExpr) = cellAssignment(s, col("embedding"), cents)
+    val assigned = corpus
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        VecOps.fnorm(s, col("embedding")).as("c_norm"), col("cell"))
+        VecOps.fnorm(s, col("embedding")).as("c_norm"), cellExpr.as("cell"))
 
     // query → its nProbe nearest cells, via distance to the centroid table
     // (tiny: nCells rows, crossJoin + top-k window)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }
     import s.implicits._
-    val centDf = centroids.toSeq.toDF("cell", "centroid")
+    val centDf = cents.toIndexedSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
     val q = withNorm(s, queries, "q")
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist"), col("cell"))

@@ -72,11 +72,73 @@ case class FloatArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared euclidean distance of two array<double> columns, compiled to a
+  * tight Java loop. Accumulation is strictly left-to-right in double —
+  * bit-identical to the aggregate∘zip_with expression form it replaces in
+  * the k-NN pair loop (which evaluated an interpreted lambda per element
+  * per candidate pair).
+  */
+case class DoubleArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dsqdist expects (array<double>, array<double>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("sqdN")
+      val s = ctx.freshName("sqdS")
+      val i = ctx.freshName("sqdI")
+      val d = ctx.freshName("sqdD")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   /** Register SQL-callable kernels once per session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fdot", exprs => FloatArrayDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dsqdist", exprs => DoubleArraySqDist(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Dot product of two array<float> columns (codegen'd). */
   def fdot(spark: SparkSession, a: Column, b: Column): Column = {
@@ -87,4 +149,10 @@ object VecOps {
 
   def fnorm(spark: SparkSession, a: Column): Column =
     sqrt(fdot(spark, a, a))
+
+  /** Squared euclidean distance of two array<double> columns (codegen'd). */
+  def dsqdist(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("dsqdist", a, b)
+  }
 }
