@@ -51,27 +51,26 @@ object DedupOps {
     * string hashes. (Kirsch & Mitzenmacher, "Less Hashing, Same
     * Performance", ESA 2006.)
     *
-    * Shape: explode shingles once, hash each row once, then ONE codegen'd
-    * HashAggregate with k scalar `min` aggregates. The array-expression
-    * alternative (k × array_min(transform(...))) re-evaluates the lambda
-    * chain per hash family — higher-order lambdas are excluded from
-    * Catalyst subexpression elimination, which made it 25s at sf0.1 vs
-    * ~2s for this shape.
+    * Shape: MAP-ONLY — one codegen'd kernel call per document
+    * (functions.TextKernels.minhashSig) produces the whole signature: no
+    * shingle explode, no aggregation shuffle at all. The round-2 shape
+    * (explode + 16-min HashAggregate) was already the best *expression*
+    * form, but its shingle build walked an interpreted HOF chain that
+    * profiling put at ~3.2 s of d2's ~4.5 s at sf0.1; the kernel is
+    * bit-identical (spec-asserted) and removes the explode+shuffle
+    * entirely — at 100 TB signatures now cost exactly one corpus scan.
     *
     * Hashes are masked to 32 bits so h1 + k*h2 never overflows a long
     * under ANSI mode; 32-bit min-hashes are ample for shingle sets ≪ 2^16.
+    * Docs with no shingles produce no signature row (kernel yields null,
+    * filtered) — same as the old aggregation's inner-join semantics.
     */
   def minhashSignatures(docs: DataFrame, w: Int, numHashes: Int): DataFrame = {
-    val mask = lit(0xffffffffL)
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("sh"))
-      .select(col("doc_id"),
-        xxhash64(col("sh")).bitwiseAND(mask).as("_h1"),
-        xxhash64(col("sh"), lit(0x9747b28c)).bitwiseAND(mask).as("_h2"))
-    exploded.groupBy(col("doc_id"))
-      .agg(array((0 until numHashes).map { k =>
-        min(col("_h1") + lit(k.toLong) * col("_h2"))
-      }: _*).as("sig"))
+    val s = docs.sparkSession
+    docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.minhashSig(s, col("text"), w, numHashes)
+        .as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Near-dup candidate pairs via LSH banding: signature split into bands
@@ -136,25 +135,15 @@ object DedupOps {
     bits.reduce(_ + _)
   }
 
-  /** Corpus-scale SimHash: explode tokens once, hash each token once, ONE
-    * HashAggregate with 64 scalar conditional sums, then reassemble the
-    * 64-bit hash. Same result as [[simhash64]], but the per-token work is
-    * a single xxhash64 instead of 64 interpreted array traversals.
+  /** Corpus-scale SimHash: MAP-ONLY — one codegen'd kernel call per
+    * document (functions.TextKernels.simhash): no token explode, no
+    * 64-sum aggregation shuffle. Same result as [[simhash64]]
+    * (spec-asserted); at 100 TB the sketch costs exactly one corpus scan.
     */
-  def simhashTable(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_b$i")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), hash.as("simhash"))
-  }
+  def simhashTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.simhash(docs.sparkSession, col("text"))
+        .as("simhash"))
 
   private def d3Simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(Tables.documents(s, d))
@@ -202,10 +191,13 @@ object DedupOps {
   def jaccardPairs(docs: DataFrame, w: Int = 3, minJ: Double = 0.8,
       maxBucket: Int = 64): DataFrame = {
     // work on 8-byte shingle hashes, not strings — smaller shuffle;
-    // xxhash64 collisions are negligible here.
+    // xxhash64 collisions are negligible here. The hash set comes from
+    // the single-pass kernel (bit-identical to the old
+    // array_distinct∘transform∘xxhash64 HOF chain, which was interpreted
+    // and dominated the query).
     val sh = docs.select(col("doc_id"),
-      explode(array_distinct(transform(shingles(col("text"), w),
-        s => xxhash64(s)))).as("sh"))
+      explode(graft.functions.TextKernelFns.shingleHashes(
+        docs.sparkSession, col("text"), w)).as("sh"))
     // ONE shuffle on the shingle hash; pairs generated inside the bucket
     // (ordered ids → each unordered pair once) — replaces the two-sided
     // self-join, which shuffled the frame twice and joined.

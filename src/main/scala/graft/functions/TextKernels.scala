@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text-sketch kernels.
+  *
+  * The SQL-expression forms of shingling/minhash/simhash (DedupOps) walk
+  * interpreted higher-order-function chains — sequence → transform(slice ∘
+  * concat_ws) → filter → array_distinct per document, then explode +
+  * shuffle to aggregate. Profiling at sf0.1 put the shingle explode alone
+  * at ~3.2 s of d2's ~4.5 s. These kernels do the whole sketch in one
+  * tight JVM loop per document, called directly from whole-stage codegen
+  * (a static forwarder call — the projection stays fused), and make
+  * minhash/simhash map-only: no explode, no aggregation shuffle.
+  *
+  * Parity: tokenization replicates `split(lower(text), regex, -1)` (Java
+  * regex semantics — leading/trailing empties kept) and hashes replicate
+  * Spark's `xxhash64` (XXH64 over UTF-8 bytes, seed 42; the second
+  * Kirsch–Mitzenmacher hash chains an int literal exactly like the
+  * multi-argument xxhash64 expression). DedupSimilaritySpec asserts
+  * bit-equality against the original expression forms.
+  */
+object TextKernels {
+
+  /** Replicates xxhash64(string): XXH64 over UTF-8 bytes, seed 42. */
+  def xxhashString(s: String, seed: Long): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+  }
+
+  /** Tokens of `split(lower(text), "\\s+", -1)`, Java regex semantics. */
+  private def tokens(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split("\\s+", -1)
+
+  /** Distinct w-token shingle strings, in first-seen order (order is
+    * irrelevant to every consumer; the SET is the contract).
+    */
+  private def shingleSet(text: UTF8String, w: Int): java.util.LinkedHashSet[String] = {
+    val toks = tokens(text)
+    val n = toks.length
+    val out = new java.util.LinkedHashSet[String]()
+    val last = math.max(n - w, 0)
+    var i = 0
+    while (i <= last) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + w, n)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      if (sb.length > 0) out.add(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** xxhash64 of each distinct w-shingle (seed 42 — identical values to
+    * the SQL `xxhash64(shingle)` form). Used by d4's exact Jaccard.
+    */
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val set = shingleSet(text, w)
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = xxhashString(it.next(), 42L); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The exact second-hash family of the SQL form `xxhash64(sh, lit(seed2))`:
+    * multi-argument xxhash64 chains — hash the string with seed 42, then
+    * hash the int literal with that result as seed.
+    */
+  private def kmSecondHash(sh: String, seed2: Int): Long =
+    XXH64.hashInt(seed2, xxhashString(sh, 42L))
+
+  /** Kirsch–Mitzenmacher minhash signature over distinct w-shingles:
+    * sig_j = min over shingles of (h1 + j·h2), hashes masked to 32 bits
+    * (ANSI-overflow-safe). Bit-identical to DedupOps' expression+agg form,
+    * but map-only: one kernel call per document, no explode, no shuffle.
+    */
+  def minhashSig(text: UTF8String, w: Int, numHashes: Int): ArrayData = {
+    val set = shingleSet(text, w)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = set.iterator()
+    val empty = set.isEmpty
+    while (it.hasNext) {
+      val sh = it.next()
+      val h1 = xxhashString(sh, 42L) & 0xffffffffL
+      val h2 = kmSecondHash(sh, 0x9747b28c) & 0xffffffffL
+      var j = 0
+      while (j < numHashes) {
+        val v = h1 + j.toLong * h2
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    if (empty) null else new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token xxhash64s — identical to DedupOps'
+    * simhashTable aggregation (every token, empties included, hashed with
+    * seed 42; bit b set iff more tokens have bit b than not). Map-only.
+    */
+  def simhash(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val sums = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = xxhashString(toks(t), 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) out += (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** array<long> of distinct w-shingle xxhash64s (codegen: direct static
+  * call, stays inside whole-stage codegen).
+  */
+case class ShingleHashesExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.shingleHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<long> minhash signature (null for shingle-less docs — matches the
+  * aggregation form, where such docs produce no row).
+  */
+case class MinHashSigExpr(child: Expression, w: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.minhashSig(t.asInstanceOf[UTF8String], w, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.TextKernels.minhashSig($c, $w, $numHashes);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit simhash of the token stream (codegen). */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64k expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.simhash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextKernelFns {
+  /** Register the kernels in the session FunctionRegistry (idempotent;
+    * `new Column(expr)` is private in Spark 4 — CLAUDE.md convention).
+    */
+  def register(spark: SparkSession): Unit = {
+    def intLit(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), intLit(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64k", exprs => SimHashExpr(exprs(0)), "built-in")
+  }
+
+  def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
+    register(spark)
+    call_function("shingle_hashes", text,
+      org.apache.spark.sql.functions.lit(w))
+  }
+
+  def minhashSig(spark: SparkSession, text: Column, w: Int,
+      numHashes: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", text,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhash(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash64k", text)
+  }
+}

@@ -85,6 +85,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sims.sliding(2).forall(p => p(0) >= p(1)), "ranks not sorted by sim")
   }
 
+  test("minhash kernel is bit-identical to the expression+aggregation form") {
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    // the round-2 reference implementation: explode shingles, hash twice,
+    // 16-min HashAggregate (kept here as the parity oracle for the kernel)
+    val mask = lit(0xffffffffL)
+    val exploded = docs
+      .select(col("doc_id"), explode(DedupOps.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"),
+        xxhash64(col("sh")).bitwiseAND(mask).as("_h1"),
+        xxhash64(col("sh"), lit(0x9747b28c)).bitwiseAND(mask).as("_h2"))
+    val oldForm = exploded.groupBy(col("doc_id"))
+      .agg(array((0 until 16).map { k =>
+        min(col("_h1") + lit(k.toLong) * col("_h2"))
+      }: _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = DedupOps.minhashSignatures(docs, 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel === oldForm)
+  }
+
+  test("shingle-hash kernel is bit-identical to the HOF chain") {
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val oldForm = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(DedupOps.shingles(col("text"), 3),
+        s => xxhash64(s)))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = docs.select(col("doc_id"),
+      array_sort(graft.functions.TextKernelFns.shingleHashes(
+        spark, col("text"), 3)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel === oldForm)
+  }
+
   test("d4: bucket table is materialized once — no repeated document scans") {
     val q = DedupOps.jaccardPairs(Tables.documents(spark, Sf0001), 3, 0.5)
     q.count()
