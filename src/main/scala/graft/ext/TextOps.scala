@@ -94,7 +94,7 @@ object TextOps {
   // ---- T3: language-ID heuristic (no SQL oracle: model-like logic) -------
   // Per-language stopword profiles; argmax of hit counts. Spec-checked
   // against the `lang` column for accuracy instead of an oracle.
-  private val LangMarkers: Map[String, Seq[String]] = Map(
+  private[graft] val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "que", "dans", "avec"),
@@ -112,9 +112,16 @@ object TextOps {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
   }
 
+  /** The registered query runs the single-pass kernel
+    * (functions.LangIdExpr — one call per row instead of four interpreted
+    * filter∘isin lambda passes); [[langId]] above is the expression form,
+    * spec-asserted identical.
+    */
   private def t3LangId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("lang"), langId(col("text")).as("pred"))
+      .select(col("lang"),
+        graft.functions.TextKernelFns.langId(s, col("text"), LangMarkers.toSeq)
+          .as("pred"))
       .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
 

@@ -62,6 +62,17 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getLong(0) === 2L && row.getLong(1) === 2L)
   }
 
+  test("lang-id kernel is identical to the expression form") {
+    val docs = Tables.documents(spark, Sf0001)
+    val expr = docs.select(col("doc_id"), TextOps.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.langId(spark, col("text"),
+        TextOps.LangMarkers.toSeq).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel === expr)
+  }
+
   test("IVF top-k achieves high recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
