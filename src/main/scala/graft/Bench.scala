@@ -12,9 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet reader, broadcast machinery) so
-    // JIT/startup cost isn't attributed to whichever query runs first.
+    // Warm the session on the tiny sf0.001 tables — codegen, parquet
+    // reader, broadcast machinery, the HOF interpreter, window exec and
+    // the custom kernels — so one-time JIT/compile cost isn't attributed
+    // to whichever query of that shape happens to run first.
+    val warmDir = "/root/testdata/sf0.001"
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    Seq("t9_array_funcs", "w4_rank_family", "j1_join_broadcast",
+      "d3_simhash", "x1_cosine_topk_brute")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     // Optional args = query names to run (local iteration); no args = all.
     val only = args.toSet
     val selected =
