@@ -82,7 +82,14 @@ object Classifiers {
     // stayed correct (seeded recompute) but the caching silently
     // vanished. The checkpoint has its own storage identity per call and
     // its blocks are freed by the ContextCleaner once the frame is GC'd.
-    val model = estimator(name, labelCol).fit(train.localCheckpoint())
+    //
+    // Coalesce first: the stroke parity surface is inherently
+    // driver-scale data (~5k rows), and every fit iteration otherwise
+    // launches one task per shuffle partition (~160 rows each) — task
+    // overhead, not compute. Membership of the seeded split is decided
+    // BEFORE the coalesce, so models stay within the golden AUC ranges.
+    val model = estimator(name, labelCol)
+      .fit(train.coalesce(8).localCheckpoint())
     val pred = model.asInstanceOf[Model[_]].transform(test)
     TrainResult(pred, evaluator(labelCol).evaluate(pred))
   }
