@@ -83,6 +83,22 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Run the stateful sessionizer to completion over the static directory
+    * (append-mode memory sink). Emits CLOSED sessions only: over a finite
+    * stream that is every session except each user's last (nothing ever
+    * arrives to close it) — the oracle-able contract.
+    */
+  def runSessionsToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_sessions"): DataFrame = {
+    val q = sessionizeStream(readStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // ---- custom state: streaming sessionizer ------------------------------
 
   final case class Ev(user_id: Long, ts_us: Long)

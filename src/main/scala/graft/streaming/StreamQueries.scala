@@ -21,7 +21,44 @@ object StreamQueries {
        |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** E6: the stateful sessionizer (flatMapGroupsWithState) run to
+    * completion. Closed sessions over a finite stream = the batch
+    * gaps-and-islands sessions MINUS each user's last session (it never
+    * closes — no later event arrives) — which the oracle derives
+    * independently with window SQL. Robust to micro-batch splits: a
+    * session closed in any later batch still emits exactly once.
+    */
+  private def e6StreamSessions(s: SparkSession, d: String): DataFrame =
+    EventStream.runSessionsToCompletion(s, d,
+      s"stream_sessions_${System.nanoTime()}")
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  private val e6Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |), agg AS (
+      |  SELECT user_id, session_id,
+      |    EPOCH_US(MIN(ts)) AS start_us, EPOCH_US(MAX(ts)) AS end_us,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, start_us, end_us, n_events FROM agg
+      |WHERE session_id < (SELECT MAX(a2.session_id) FROM agg a2
+      |                    WHERE a2.user_id = agg.user_id)
+      |ORDER BY user_id, start_us""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),
   )
 }
