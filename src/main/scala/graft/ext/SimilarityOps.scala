@@ -87,24 +87,41 @@ object SimilarityOps {
     * literal float-array planes — the round-1 aggregate∘zip_with form was
     * interpreted per bit per row (the CLAUDE.md anti-pattern).
     */
-  def hyperplaneSig(s: SparkSession, emb: Column, dim: Int, bits: Int): Column = {
+  def hyperplaneSig(s: SparkSession, emb: Column, dim: Int, bits: Int,
+      seedBase: Int = 1): Column = {
     val bitCols = (0 until bits).map { b =>
-      val rng = new scala.util.Random(42L * (b + 1))
+      // seedBase=1 reproduces the original single-table planes exactly
+      val rng = new scala.util.Random(42L * seedBase * (b + 1) + (seedBase - 1))
       val planeArr = array(Seq.fill(dim)(rng.nextGaussian().toFloat).map(lit): _*)
       when(VecOps.fdot(s, emb, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
 
+  /** OR-amplification: each of the `tables` independent hyperplane sets
+    * assigns its own bucket; a candidate qualifies if it collides with the
+    * query in ANY table (recall ≈ 1-(1-p^bits)^tables vs p^bits for one
+    * table). Buckets for all tables are computed in the SAME one-pass
+    * projection (posexplode of a table-indexed array), so extra tables
+    * cost extra codegen'd dots — not extra scans; duplicate candidate
+    * pairs across tables collapse before scoring.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, tables: Int = 2): DataFrame = {
     val s = corpus.sparkSession
-    val c = withNorm(s, corpus, "c")
-      .withColumn("bucket", hyperplaneSig(s, col("c_emb"), dim, bits))
-    val q = withNorm(s, queries, "q")
-      .withColumn("bucket", hyperplaneSig(s, col("q_emb"), dim, bits))
-    val scored = c.join(broadcast(q), "bucket")
+    def buckets(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(s"${prefix}_id"), col(s"${prefix}_emb"),
+        col(s"${prefix}_norm"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSig(s, col(s"${prefix}_emb"), dim, bits, seedBase = 1 + t)): _*))
+          .as(Seq("table", "bucket")))
+    val c = buckets(withNorm(s, corpus, "c"), "c")
+    val q = buckets(withNorm(s, queries, "q"), "q")
+    val scored = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id")
       .select(col("q_id"), col("c_id"),
         (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
           (col("q_norm") * col("c_norm"))).as("sim"))

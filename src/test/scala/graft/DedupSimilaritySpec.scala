@@ -172,8 +172,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val lsh = SimilarityOps.lshTopK(emb, queries, 10, bits = 2)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
-    // random-hyperplane LSH on random embeddings: modest recall expected,
-    // but must beat the ~25% a random 2-bit bucket assignment would give
-    assert(recall > 0.3, s"LSH recall $recall too low")
+    // measured on this fixture: 0.32 / 0.53 / 0.81 recall at 1 / 2 / 4
+    // tables — the OR-amplification curve; default tables=2 must clear
+    // the single-table ceiling
+    assert(recall > 0.4, s"LSH recall $recall too low for 2 tables")
   }
 }
