@@ -225,10 +225,15 @@ object SimilarityOps {
       return simPairs(side(unit, "a").join(broadcast(side(unit, "b"))))
     val cents = sphericalLloyd(sample, math.min(nCells, sample.length), 5)
     val k = cents.length
-    val (best, cellExpr) = cellAssignment(s, col("u"), cents)
-    val assigned = unit.select(col("vec_id"), col("embedding"), col("_n"),
-      cellExpr.as("cell"),
-      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * best)).as("cdist"))
+    // struct evaluated once per row (two-step select), then split into
+    // cell + bound distance
+    val assigned = unit
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        VecOps.centroidArgmax(s, col("u"), cents).as("_am"))
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        col("_am.cell").as("cell"),
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("_am.best")))
+          .as("cdist"))
 
     // Per-cell radius: one tiny agg collect (≤ k rows). Cell pairs are
     // then enumerated on the driver — k² is tiny by construction.
@@ -253,24 +258,6 @@ object SimilarityOps {
     val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"), col("_n").as("n_b"))
     simPairs(a.join(broadcast(cellPairs), "cell_a").join(b, "cell_b"))
-  }
-
-  /** All-codegen cell assignment against literal centroids: returns
-    * (best dot, argmax cell index). Max dot ⇔ min angle, so the argmax is
-    * scale-invariant — raw or unit input vectors give the same cell.
-    * Ties break to the lowest index. Scalar expressions are
-    * subexpression-eliminated by whole-stage codegen, unlike HOF lambdas.
-    */
-  private def cellAssignment(s: SparkSession, emb: Column,
-      cents: Array[Array[Float]]): (Column, Column) = {
-    val centLits = cents.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
-    val dots = centLits.map(cl => VecOps.fdot(s, emb, cl))
-    val best = if (dots.length == 1) dots.head else greatest(dots: _*)
-    val cell = dots.zipWithIndex.reverse
-      .foldLeft(lit(cents.length - 1): Column) { case (acc, (d, i)) =>
-        when(d === best, lit(i)).otherwise(acc)
-      }
-    (best, cell)
   }
 
   /** Driver-local spherical k-means over a bounded sample: init = first k
@@ -372,10 +359,13 @@ object SimilarityOps {
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
       math.min(nCells, sampleUnit.length), 5)
-    val (_, cellExpr) = cellAssignment(s, col("embedding"), cents)
+    // argmax dot is scale-invariant, so assignment runs on the raw
+    // embedding (single struct use — getField directly)
     val assigned = corpus
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        VecOps.fnorm(s, col("embedding")).as("c_norm"), cellExpr.as("cell"))
+        VecOps.fnorm(s, col("embedding")).as("c_norm"),
+        VecOps.centroidArgmax(s, col("embedding"), cents)
+          .getField("cell").as("cell"))
 
     // query → its nProbe nearest cells, via distance to the centroid table
     // (tiny: nCells rows, crossJoin + top-k window)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -131,6 +131,70 @@ case class DoubleArraySqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmax centroid dot in one kernel call: returns struct(best dot, cell
+  * index), ties to the lowest index. The expression-chain alternative
+  * (greatest over k fdot-against-literal columns + a k-way when chain)
+  * embeds k·dim literals TWICE in the generated code — a Janino
+  * compile-time cliff at k=16, dim=64 — and re-evaluates dots when
+  * subexpression elimination misses. Centroids live in the expression
+  * (structural equality via Seq) and reach generated code through an
+  * addReferenceObj handle.
+  */
+case class CentroidArgmax(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("best", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_argmax expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+
+  /** Public for generated code. Accumulation is left-to-right double —
+    * bit-identical to the fdot expression form it replaces.
+    */
+  def kernelEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var bestI = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      val n = math.min(dim, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += arr.getFloat(i).toDouble * cent(i); i += 1 }
+      if (d > bestD) { bestD = d; bestI = c }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestI))
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidArgmax", this,
+      classOf[CentroidArgmax].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.InternalRow) $ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecOps {
   /** Register SQL-callable kernels once per session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -154,5 +218,14 @@ object VecOps {
   def dsqdist(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dsqdist", a, b)
+  }
+
+  /** struct(best dot, argmax cell) against a fixed centroid set. */
+  def centroidArgmax(spark: SparkSession, emb: Column,
+      cents: Array[Array[Float]]): Column = {
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "centroid_argmax", exprs => CentroidArgmax(exprs(0), centSeq), "built-in")
+    call_function("centroid_argmax", emb)
   }
 }
