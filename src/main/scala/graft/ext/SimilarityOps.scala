@@ -89,13 +89,14 @@ object SimilarityOps {
     */
   def hyperplaneSig(s: SparkSession, emb: Column, dim: Int, bits: Int,
       seedBase: Int = 1): Column = {
-    val bitCols = (0 until bits).map { b =>
+    val planes = Array.tabulate(bits) { b =>
       // seedBase=1 reproduces the original single-table planes exactly
       val rng = new scala.util.Random(42L * seedBase * (b + 1) + (seedBase - 1))
-      val planeArr = array(Seq.fill(dim)(rng.nextGaussian().toFloat).map(lit): _*)
-      when(VecOps.fdot(s, emb, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
+      Array.fill(dim)(rng.nextGaussian().toFloat)
     }
-    bitCols.reduce(_ + _)
+    // one kernel call per row (functions.PlaneSignBits) — the per-bit
+    // fdot-against-literal form embedded bits·dim literals in codegen
+    VecOps.planeSignBits(s, emb, planes)
   }
 
   /** OR-amplification: each of the `tables` independent hyperplane sets

@@ -195,6 +195,61 @@ case class CentroidArgmax(child: Expression, cents: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Random-hyperplane sign signature: bit b = (dot(v, plane_b) > 0).
+  * Same rationale as [[CentroidArgmax]] — the per-bit
+  * fdot-against-literal-array form embeds bits·dim literals in generated
+  * code (compile cliff) and each dot is a separate expression.
+  */
+case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"plane_sign_bits expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    planes.map(_.toArray).toArray
+
+  /** Public for generated code; accumulation left-to-right double, strict
+    * `> 0` — bit-identical to the fdot expression form.
+    */
+  def kernelEval(a: Any): Long = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < mat.length) {
+      val p = mat(b)
+      val n = math.min(dim, p.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += arr.getFloat(i).toDouble * p(i); i += 1 }
+      if (d > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeSignBits", this,
+      classOf[PlaneSignBits].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecOps {
   /** Register SQL-callable kernels once per session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -218,6 +273,15 @@ object VecOps {
   def dsqdist(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("dsqdist", a, b)
+  }
+
+  /** 64-bit-max hyperplane sign signature against a fixed plane set. */
+  def planeSignBits(spark: SparkSession, emb: Column,
+      planes: Array[Array[Float]]): Column = {
+    val planeSeq: Seq[Seq[Float]] = planes.toIndexedSeq.map(_.toIndexedSeq)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "plane_sign_bits", exprs => PlaneSignBits(exprs(0), planeSeq), "built-in")
+    call_function("plane_sign_bits", emb)
   }
 
   /** struct(best dot, argmax cell) against a fixed centroid set. */
