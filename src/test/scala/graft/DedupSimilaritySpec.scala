@@ -118,6 +118,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kernel === oldForm)
   }
 
+  test("d2: signatures are map-only — no shuffle before banding") {
+    val sig = DedupOps.minhashSignatures(Tables.documents(spark, Sf0001), 3, 16)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "minhash signatures must not shuffle — one kernel call per document")
+    assert(!plan.contains("Generate"),
+      "minhash signatures must not explode shingles")
+  }
+
   test("d4: bucket table is materialized once — no repeated document scans") {
     val q = DedupOps.jaccardPairs(Tables.documents(spark, Sf0001), 3, 0.5)
     q.count()
