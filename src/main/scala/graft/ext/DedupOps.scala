@@ -144,6 +144,9 @@ object DedupOps {
     docs.select(col("doc_id"),
       graft.functions.TextKernelFns.simhash(docs.sparkSession, col("text"))
         .as("simhash"))
+      // null-text docs vanish, as in the explode+aggregate form (a null
+      // token array exploded to zero rows)
+      .filter(col("simhash").isNotNull)
 
   private def d3Simhash(s: SparkSession, d: String): DataFrame =
     simhashTable(Tables.documents(s, d))

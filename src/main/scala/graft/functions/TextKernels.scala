@@ -277,8 +277,13 @@ object TextKernelFns {
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
     register(spark)
-    call_function("shingle_hashes", text,
-      org.apache.spark.sql.functions.lit(w))
+    // null text → empty set, matching the HOF chain (greatest() skips the
+    // null size and concat_ws treats the null slice as empty, so the
+    // expression form yields [] — never null — for null input)
+    org.apache.spark.sql.functions.coalesce(
+      call_function("shingle_hashes", text,
+        org.apache.spark.sql.functions.lit(w)),
+      org.apache.spark.sql.functions.typedLit(Seq.empty[Long]))
   }
 
   def minhashSig(spark: SparkSession, text: Column, w: Int,
@@ -298,6 +303,10 @@ object TextKernelFns {
       markers: Seq[(String, Seq[String])]): Column = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpr(exprs(0), markers), "built-in")
-    call_function("lang_id", text)
+    // null text → "unknown", matching the expression form (its
+    // when(null > 0).otherwise path lands on the otherwise branch)
+    org.apache.spark.sql.functions.coalesce(
+      call_function("lang_id", text),
+      org.apache.spark.sql.functions.lit("unknown"))
   }
 }

@@ -46,9 +46,12 @@ class TextKernelsSpec extends SparkSpec {
     edge ++ fuzz
   }
 
+  private val NullId = 9999L
+
   private def docsDf = {
     import spark.implicits._
-    corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      ((NullId, null: String))).toDF("doc_id", "text")
   }
 
   test("shingle-hash kernel ≡ HOF chain on adversarial inputs") {
@@ -88,12 +91,14 @@ class TextKernelsSpec extends SparkSpec {
 
   test("simhash kernel ≡ per-row expression form on adversarial inputs") {
     val docs = docsDf
-    val expr = docs.select(col("doc_id"),
-      DedupOps.simhash64(col("text")).as("h"))
+    val expr = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), DedupOps.simhash64(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val kernel = DedupOps.simhashTable(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kernel === expr)
+    // null-text docs vanish from the table (explode-of-null semantics)
+    assert(!kernel.contains(NullId))
   }
 
   test("lang-id kernel ≡ expression form on adversarial inputs") {
