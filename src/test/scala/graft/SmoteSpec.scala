@@ -82,6 +82,30 @@ class SmoteSpec extends SparkSpec {
     }
   }
 
+  test("approx k-NN (LSH): degenerate bucket equals exact; real bucket has recall") {
+    val minority = embFeatures.filter(col("cls") === 0).limit(40).cache()
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toVector).toSet).toMap
+    val exact = neighborSets(
+      Knn.exactNeighbors(minority, "vec_id", "features", 3))
+    def recallAt(bucketLength: Double): Double = {
+      val approx = neighborSets(Knn.approxNeighbors(spark, minority,
+        "vec_id", "features", 3, bucketLength = bucketLength))
+      val hits = exact.keys.toSeq.map { id =>
+        (exact(id) & approx.getOrElse(id, Set.empty)).size.toDouble /
+          exact(id).size
+      }
+      hits.sum / hits.size
+    }
+    // bucketLength ≫ data diameter still splits by projection SIGN
+    // (floor(±ε/L) is 0 or −1), so candidates aren't complete — but with
+    // 3 OR-ed tables only ~(1/2)³ of true pairs can miss every table:
+    // recall must be near-complete. Realistic bucketing must beat chance.
+    assert(recallAt(1e6) > 0.8, "near-complete candidate set expected")
+    assert(recallAt(4.0) > 0.3, "LSH k-NN recall too low")
+  }
+
   test("SMOTE balances the stroke dataset (ML17 on the reference's data)") {
     import org.apache.spark.ml.functions.vector_to_array
     val prepared = graft.pipeline.StrokePipeline
