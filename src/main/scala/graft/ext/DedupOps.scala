@@ -238,6 +238,78 @@ object DedupOps {
     jaccardPairs(Tables.documents(s, d), 3, 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- D5: duplicate-cluster resolution ----------------------------------
+  /** Connected components over an undirected pair list via min-label
+    * propagation (Hash-to-Min): every node's label converges to the
+    * smallest doc_id reachable from it. The step a dedup pipeline needs
+    * AFTER pair generation — near-dup is transitive in practice (A≈B≈C
+    * must collapse to ONE keeper even when (A,C) itself missed the
+    * threshold).
+    *
+    * Scale shape: one equi-join + min-aggregate per round, labels
+    * re-materialized per round with localCheckpoint (truncates the
+    * iterative lineage — the classic iterative-Spark failure mode) —
+    * rounds bounded by component diameter, and dup clusters are
+    * near-cliques (diameter ~2-3). Throws if maxIter rounds don't
+    * converge rather than returning unstable labels.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("_old")), "id")
+        .filter(col("label") < col("_old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** D5: duplicate clusters from the d4 pair graph — (cluster_id = the
+    * cluster's smallest doc_id, n_docs ≥ 2).
+    */
+  private def d5DupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(jaccardPairs(Tables.documents(s, d), 3, 0.5))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("label").as("cluster_id"), col("n_docs"))
+      .orderBy(col("cluster_id"))
+
+  /** Oracle: transitive closure by recursive CTE over the same pair CTE,
+    * label = least(id, min reachable peer). Lazy: [[dupPairsCte]] is
+    * declared further down the file (beside d4Sql) — a plain val here
+    * would initialize first and interpolate null.
+    */
+  private lazy val d5Sql =
+    s"""WITH RECURSIVE $dupPairsCte,
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+       |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS peer FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+       |labels AS (
+       |  SELECT id, least(id, min(peer)) AS cluster_id
+       |  FROM reach GROUP BY id)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** Plain-SQL shingle Jaccard, replicating [[shingles]] exactly:
     * regexp-split keeps leading/trailing empties like Spark's
     * split(limit=-1); slices truncate at the end the same way; the
@@ -247,8 +319,12 @@ object DedupOps {
     * Jaccard divides the same two integers in both engines → bit-exact
     * doubles with no rounding step.
     */
-  private val d4Sql =
-    """WITH toks AS (
+  /** Shared CTE body: the shingle-Jaccard candidate pairs at minJ=0.5 —
+    * used by the d4 oracle directly and by d5's connected-components
+    * oracle on top.
+    */
+  private val dupPairsCte =
+    """toks AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
       |  FROM documents),
       |idx AS (
@@ -263,19 +339,25 @@ object DedupOps {
       |cm AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT id_a, id_b,
-      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-      |FROM cm
-      |JOIN sizes sa ON sa.doc_id = cm.id_a
-      |JOIN sizes sb ON sb.doc_id = cm.id_b
-      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |dup_pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |  FROM cm
+      |  JOIN sizes sa ON sa.doc_id = cm.id_a
+      |  JOIN sizes sb ON sb.doc_id = cm.id_b
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)""".stripMargin
+
+  private val d4Sql =
+    s"""WITH $dupPairsCte
+       |SELECT id_a, id_b, jaccard FROM dup_pairs
+       |ORDER BY id_a, id_b""".stripMargin
 
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, None),
     "d3_simhash"        -> Q(d3Simhash, None),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
+    "d7_dup_clusters"   -> Q(d5DupClusters, Some(d5Sql)),
   )
 }
