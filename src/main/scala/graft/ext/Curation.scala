@@ -51,7 +51,59 @@ object Curation {
       |SELECT doc_id, lang, n_chars FROM deduped
       |WHERE doc_id % 5 = 0 ORDER BY doc_id""".stripMargin
 
+  /** PIPE2: the full modern curation recipe — quality gate → exact dedup
+    * → NEAR-DUP CLUSTER COLLAPSE (shingle-Jaccard pairs → connected
+    * components → keep each cluster's smallest doc_id). Near-dup is
+    * transitive in practice, so pair-level filtering alone under-deletes;
+    * the collapse stage is what guarantees one keeper per duplicate
+    * cluster. Everything is deterministic, so the whole pipeline passes
+    * through the DuckDB oracle (the collapse verified by a recursive-CTE
+    * transitive closure).
+    */
+  private def pipe2CurationFull(s: SparkSession, d: String): DataFrame = {
+    val gated = qualityFilter(Tables.documents(s, d))
+    val exact = gated.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("lang")).as("lang"),
+        min(col("n_chars")).as("n_chars"))
+    val pairs = DedupOps.jaccardPairs(
+      exact.select(col("doc_id"), col("text")), 3, 0.5)
+    val losers = DedupOps.connectedComponents(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipe2Sql =
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT * FROM documents
+       |  WHERE n_chars BETWEEN 80 AND 520
+       |    AND LEN(STR_SPLIT(text, ' ')) >= 15
+       |    AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |        / LENGTH(text) < 0.05
+       |), deduped AS (
+       |  SELECT MIN(doc_id) AS doc_id, text, MIN(lang) AS lang,
+       |         MIN(n_chars) AS n_chars
+       |  FROM gated GROUP BY text
+       |),
+       |${DedupOps.dupPairsCteFrom("deduped")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+       |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS peer FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+       |losers AS (
+       |  SELECT id FROM reach GROUP BY id HAVING min(peer) < id)
+       |SELECT doc_id, lang, n_chars FROM deduped
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
+    "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
   )
 }

@@ -296,7 +296,7 @@ object DedupOps {
     * would initialize first and interpolate null.
     */
   private lazy val d5Sql =
-    s"""WITH RECURSIVE $dupPairsCte,
+    s"""WITH RECURSIVE ${dupPairsCteFrom("documents")},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
        |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
@@ -319,14 +319,14 @@ object DedupOps {
     * Jaccard divides the same two integers in both engines → bit-exact
     * doubles with no rounding step.
     */
-  /** Shared CTE body: the shingle-Jaccard candidate pairs at minJ=0.5 —
-    * used by the d4 oracle directly and by d5's connected-components
-    * oracle on top.
+  /** Shared CTE body: the shingle-Jaccard candidate pairs at minJ=0.5
+    * over any (doc_id, text) source — used by the d4 oracle directly, by
+    * d7's connected-components oracle, and by pipe2's collapse stage.
     */
-  private val dupPairsCte =
-    """toks AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
-      |  FROM documents),
+  private[ext] def dupPairsCteFrom(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      |  FROM $src),
       |idx AS (
       |  SELECT doc_id, t, unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
       |  FROM toks),
@@ -349,7 +349,7 @@ object DedupOps {
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)""".stripMargin
 
   private val d4Sql =
-    s"""WITH $dupPairsCte
+    s"""WITH ${dupPairsCteFrom("documents")}
        |SELECT id_a, id_b, jaccard FROM dup_pairs
        |ORDER BY id_a, id_b""".stripMargin
 
