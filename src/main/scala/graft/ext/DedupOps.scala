@@ -246,14 +246,53 @@ object DedupOps {
     * must collapse to ONE keeper even when (A,C) itself missed the
     * threshold).
     *
-    * Scale shape: one equi-join + min-aggregate per round, labels
-    * re-materialized per round with localCheckpoint (truncates the
-    * iterative lineage — the classic iterative-Spark failure mode) —
-    * rounds bounded by component diameter, and dup clusters are
-    * near-cliques (diameter ~2-3). Throws if maxIter rounds don't
-    * converge rather than returning unstable labels.
+    * Scale shape: graphs within `maxDriverEdges` (the common case — the
+    * pair list is post-filter output) are solved with driver union-find
+    * via a LIMIT size probe; beyond the cap, distributed propagation:
+    * one equi-join + min-aggregate per round, labels re-materialized per
+    * round with localCheckpoint (truncates the iterative lineage — the
+    * classic iterative-Spark failure mode), rounds bounded by component
+    * diameter, and dup clusters are near-cliques (diameter ~2-3). Throws
+    * if maxIter rounds don't converge rather than returning unstable
+    * labels.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      maxDriverEdges: Int = 1 << 20): DataFrame = {
+    val s = pairs.sparkSession
+    // The pair list is the OUTPUT of aggressive filtering (banding +
+    // verification), so it is almost always orders of magnitude smaller
+    // than the corpus. The LIMIT doubles as a free size probe (same
+    // pattern as cosinePairsExact): a graph that fits the cap is solved
+    // with driver union-find in microseconds — no iterative rounds at
+    // all; the distributed propagation below engages only beyond it.
+    val probe = pairs.select(col("id_a"), col("id_b"))
+      .limit(maxDriverEdges + 1).collect()
+    if (probe.length <= maxDriverEdges) {
+      import s.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        parent.getOrElseUpdate(math.min(ra, rb), math.min(ra, rb))
+      }
+      val nodes = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { n =>
+        val r = find(n)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+      }
+      return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "label")
+    }
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

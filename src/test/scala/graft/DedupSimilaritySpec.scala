@@ -118,16 +118,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kernel === oldForm)
   }
 
-  test("d7: connected components resolve chains, cliques, and isolates") {
+  test("d7: connected components resolve chains, cliques, and isolates " +
+    "on BOTH adaptive paths") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — transitivity across non-adjacent
     // pairs), {10,11,12} (a triangle), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
-    val labels = DedupOps.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // cap 0 forces the distributed label-propagation path; the default
+    // takes driver union-find
+    for (cap <- Seq(0, 1 << 20)) {
+      val labels = DedupOps.connectedComponents(pairs, maxDriverEdges = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === expect, s"maxDriverEdges=$cap")
+    }
   }
 
   test("d2: signatures are map-only — no shuffle before banding") {
