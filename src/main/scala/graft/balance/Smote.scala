@@ -68,9 +68,22 @@ object Smote {
   def balance(spark: SparkSession, df: DataFrame, idCol: String,
       featCol: String, labelCol: String, minority: Column,
       p: Params = Params()): DataFrame = {
-    val minorityDf = df.filter(col(labelCol) === minority)
+    // Fail fast — distributed, zero extra actions — if a source id
+    // intrudes into the reserved synthetic namespace. The clearest way
+    // to hit this is re-balancing a frame that already contains
+    // synthetic rows; silently colliding ids would collapse rows in any
+    // downstream join/dedup, which is exactly what the namespace exists
+    // to prevent.
+    val guardedId = when(col(idCol) >= SyntheticIdBase,
+      raise_error(concat(
+        lit(s"$idCol >= 2^62 intrudes into the reserved synthetic id " +
+          "namespace (already-balanced input?): "),
+        col(idCol).cast("string"))))
+      .otherwise(col(idCol))
+    val guarded = df.withColumn(idCol, guardedId)
+    val minorityDf = guarded.filter(col(labelCol) === minority)
       .select(col(idCol), col(featCol), col(labelCol))
-    val majorityDf = df.filter(col(labelCol) =!= minority)
+    val majorityDf = guarded.filter(col(labelCol) =!= minority)
       .select(col(idCol), col(featCol), col(labelCol))
 
     // Synthetic ids must stay unique across the WHOLE balanced output

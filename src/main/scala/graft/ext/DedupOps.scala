@@ -238,7 +238,7 @@ object DedupOps {
     jaccardPairs(Tables.documents(s, d), 3, 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
-  // ---- D5: duplicate-cluster resolution ----------------------------------
+  // ---- D7: duplicate-cluster resolution ----------------------------------
   /** Connected components over an undirected pair list via min-label
     * propagation (Hash-to-Min): every node's label converges to the
     * smallest doc_id reachable from it. The step a dedup pipeline needs
@@ -319,10 +319,10 @@ object DedupOps {
     labels
   }
 
-  /** D5: duplicate clusters from the d4 pair graph — (cluster_id = the
+  /** D7: duplicate clusters from the d4 pair graph — (cluster_id = the
     * cluster's smallest doc_id, n_docs ≥ 2).
     */
-  private def d5DupClusters(s: SparkSession, d: String): DataFrame =
+  private def d7DupClusters(s: SparkSession, d: String): DataFrame =
     connectedComponents(jaccardPairs(Tables.documents(s, d), 3, 0.5))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -334,7 +334,7 @@ object DedupOps {
     * declared further down the file (beside d4Sql) — a plain val here
     * would initialize first and interpolate null.
     */
-  private lazy val d5Sql =
+  private lazy val d7Sql =
     s"""WITH RECURSIVE ${dupPairsCteFrom("documents")},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
@@ -397,6 +397,6 @@ object DedupOps {
     "d2_minhash_pairs"  -> Q(d2Minhash, None),
     "d3_simhash"        -> Q(d3Simhash, None),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
-    "d7_dup_clusters"   -> Q(d5DupClusters, Some(d5Sql)),
+    "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),
   )
 }

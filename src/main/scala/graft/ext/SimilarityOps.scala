@@ -304,8 +304,13 @@ object SimilarityOps {
     */
   def cosinePairsBrute(corpus: DataFrame, minSim: Double): DataFrame = {
     val s = corpus.sparkSession
+    // zero-norm filter matches cosinePairsExact: without it a zero vector
+    // yields sim = 0/0 = NaN, and Spark's NaN ordering treats NaN as
+    // GREATER than every double, so `sim >= minSim` would KEEP the pair
     val a = withNorm(s, corpus, "a").withColumnRenamed("a_id", "id_a")
+      .filter(col("a_norm") > 0)
     val b = withNorm(s, corpus, "b").withColumnRenamed("b_id", "id_b")
+      .filter(col("b_norm") > 0)
     a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (VecOps.fdot(s, col("a_emb"), col("b_emb")) /

@@ -301,12 +301,15 @@ object TextKernelFns {
 
   def langId(spark: SparkSession, text: Column,
       markers: Seq[(String, Seq[String])]): Column = {
+    // state-hashed name: resolution happens at analysis time, so two
+    // marker sets in one plan must not share a registry entry
+    val name = s"lang_id_${(markers.hashCode & Int.MaxValue).toHexString}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lang_id", exprs => LangIdExpr(exprs(0), markers), "built-in")
+      name, exprs => LangIdExpr(exprs(0), markers), "built-in")
     // null text → "unknown", matching the expression form (its
     // when(null > 0).otherwise path lands on the otherwise branch)
     org.apache.spark.sql.functions.coalesce(
-      call_function("lang_id", text),
+      call_function(name, text),
       org.apache.spark.sql.functions.lit("unknown"))
   }
 }

@@ -275,21 +275,31 @@ object VecOps {
     call_function("dsqdist", a, b)
   }
 
-  /** 64-bit-max hyperplane sign signature against a fixed plane set. */
+  /** 64-bit-max hyperplane sign signature against a fixed plane set.
+    * The function name folds in a hash of the planes: resolution happens
+    * at ANALYSIS time against the registry, so two different plane sets
+    * in ONE plan (multi-table LSH!) must not share a name — a fixed name
+    * silently resolved both to the last-registered set.
+    */
   def planeSignBits(spark: SparkSession, emb: Column,
       planes: Array[Array[Float]]): Column = {
     val planeSeq: Seq[Seq[Float]] = planes.toIndexedSeq.map(_.toIndexedSeq)
+    val name = s"plane_sign_bits_${(planeSeq.hashCode & Int.MaxValue).toHexString}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "plane_sign_bits", exprs => PlaneSignBits(exprs(0), planeSeq), "built-in")
-    call_function("plane_sign_bits", emb)
+      name, exprs => PlaneSignBits(exprs(0), planeSeq), "built-in")
+    call_function(name, emb)
   }
 
-  /** struct(best dot, argmax cell) against a fixed centroid set. */
+  /** struct(best dot, argmax cell) against a fixed centroid set. State-
+    * hashed name for the same analysis-time-resolution reason as
+    * [[planeSignBits]].
+    */
   def centroidArgmax(spark: SparkSession, emb: Column,
       cents: Array[Array[Float]]): Column = {
     val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val name = s"centroid_argmax_${(centSeq.hashCode & Int.MaxValue).toHexString}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "centroid_argmax", exprs => CentroidArgmax(exprs(0), centSeq), "built-in")
-    call_function("centroid_argmax", emb)
+      name, exprs => CentroidArgmax(exprs(0), centSeq), "built-in")
+    call_function(name, emb)
   }
 }

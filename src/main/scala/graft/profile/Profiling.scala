@@ -163,13 +163,17 @@ object Profiling {
   def histogramAuto(df: DataFrame, c: String): DataFrame = {
     val x = col(c).cast("double")
     val stats = df.agg(count(x).as("cnt"), min(x).as("lo"), max(x).as("hi"))
-      .select(col("lo"),
+      .select(col("lo"), col("hi"),
         (ceil(log2(col("cnt"))) + lit(1)).cast("long").as("nbins"),
         ((col("hi") - col("lo")) /
           (ceil(log2(col("cnt"))) + lit(1)).cast("long")).as("width"))
+    // hi == lo (constant column / one row) ⇒ width 0 ⇒ 0.0/0.0 = NaN,
+    // whose long cast THROWS under ANSI — degenerate inputs take bin 0
     df.select(x.as("x")).crossJoin(broadcast(stats))
-      .select(least(floor((col("x") - col("lo")) / col("width")).cast("long"),
-        col("nbins") - 1).as("bin"))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(
+          floor((col("x") - col("lo")) / col("width")).cast("long"),
+          col("nbins") - 1)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
 
@@ -183,11 +187,12 @@ object Profiling {
       |         max(o_totalprice) AS hi
       |  FROM orders),
       |b AS (
-      |  SELECT lo, CAST(ceil(log2(cnt)) + 1 AS BIGINT) AS nbins,
+      |  SELECT lo, hi, CAST(ceil(log2(cnt)) + 1 AS BIGINT) AS nbins,
       |    (hi - lo) / CAST(ceil(log2(cnt)) + 1 AS BIGINT) AS width
       |  FROM s)
-      |SELECT CAST(least(CAST(floor((o_totalprice - lo) / width) AS BIGINT),
-      |                  nbins - 1) AS BIGINT) AS bin,
+      |SELECT CAST(CASE WHEN hi = lo THEN 0
+      |            ELSE least(CAST(floor((o_totalprice - lo) / width) AS BIGINT),
+      |                       nbins - 1) END AS BIGINT) AS bin,
       |       CAST(count(*) AS BIGINT) AS n
       |FROM orders, b GROUP BY 1 ORDER BY bin""".stripMargin
 

@@ -74,6 +74,10 @@ object EventStream {
     */
   def runToCompletion(spark: SparkSession, dir: String,
       queryName: String = "stream_tumbling"): DataFrame = {
+    // a long-lived shared session must not accumulate one memory-sink
+    // table (a full driver-side result copy) per invocation — callers
+    // reuse fixed names and the previous run's table is dropped here
+    spark.catalog.dropTempView(queryName)
     val q = tumblingAgg(readStream(spark, dir))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
@@ -90,6 +94,7 @@ object EventStream {
     */
   def runSessionsToCompletion(spark: SparkSession, dir: String,
       queryName: String = "stream_sessions"): DataFrame = {
+    spark.catalog.dropTempView(queryName)   // see runToCompletion
     val q = sessionizeStream(readStream(spark, dir))
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)

@@ -13,7 +13,10 @@ import graft.util.Det._
 object StreamQueries {
 
   private def e4Stream(s: SparkSession, d: String): DataFrame =
-    EventStream.runToCompletion(s, d, s"stream_tumbling_${System.nanoTime()}")
+    // fixed name: runToCompletion drops the previous run's table, so a
+    // shared session holds at most ONE result copy (nanoTime-suffixed
+    // names accumulated one driver-memory table per invocation)
+    EventStream.runToCompletion(s, d, "graft_stream_tumbling")
       .orderBy(col("hour"), col("event_type"))
 
   private val e4Sql =
@@ -29,8 +32,7 @@ object StreamQueries {
     * session closed in any later batch still emits exactly once.
     */
   private def e6StreamSessions(s: SparkSession, d: String): DataFrame =
-    EventStream.runSessionsToCompletion(s, d,
-      s"stream_sessions_${System.nanoTime()}")
+    EventStream.runSessionsToCompletion(s, d, "graft_stream_sessions")
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
 

@@ -137,6 +137,21 @@ class SmoteSpec extends SparkSpec {
     assert(balanced.select("vec_id").distinct().count() === balanced.count())
   }
 
+  test("balance rejects ids already in the reserved synthetic namespace") {
+    val df = embFeatures
+    val balanced = Smote.balance(spark, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100))
+    // re-balancing a balanced frame would collide old and new synthetic
+    // ids — the guard must fail fast, not silently collapse rows
+    val ex = intercept[Exception] {
+      Smote.balance(spark, balanced, "vec_id", "features", "cls",
+        lit(0), Smote.Params(k = 2, percentOver = 100, percentUnder = 100))
+        .count()
+    }
+    assert(ex.getMessage.contains("reserved synthetic id namespace") ||
+      Option(ex.getCause).exists(_.getMessage.contains("reserved synthetic id namespace")))
+  }
+
   test("params: reference bug §2.7a fixed — bounds are validated") {
     intercept[IllegalArgumentException] {
       Smote.Params(percentUnder = 5)
