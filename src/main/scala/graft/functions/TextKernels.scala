@@ -264,15 +264,12 @@ object TextKernelFns {
   def register(spark: SparkSession): Unit = {
     def intLit(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes",
-      exprs => ShingleHashesExpr(exprs(0), intLit(exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64k", exprs => SimHashExpr(exprs(0)), "built-in")
+    KernelRegistry.ensure(spark, "shingle_hashes")(
+      exprs => ShingleHashesExpr(exprs(0), intLit(exprs(1))))
+    KernelRegistry.ensure(spark, "minhash_sig")(
+      exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    KernelRegistry.ensure(spark, "simhash64k")(
+      exprs => SimHashExpr(exprs(0)))
   }
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
@@ -304,8 +301,8 @@ object TextKernelFns {
     // state-hashed name: resolution happens at analysis time, so two
     // marker sets in one plan must not share a registry entry
     val name = s"lang_id_${(markers.hashCode & Int.MaxValue).toHexString}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => LangIdExpr(exprs(0), markers), "built-in")
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => LangIdExpr(exprs(0), markers))
     // null text → "unknown", matching the expression form (its
     // when(null > 0).otherwise path lands on the otherwise branch)
     org.apache.spark.sql.functions.coalesce(

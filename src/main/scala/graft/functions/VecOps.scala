@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * similarity-search bench (42s for 4M pairs at sf0.1). This custom
   * Catalyst Expression compiles the dot product to a tight Java loop via
   * doGenCode, the preferred extension point after built-ins
-  * (custom Expression > UDF; see /opt/skills/guides/spark_guide.md).
+  * (custom codegen Expression > UDF).
   *
   * Accumulation is strictly left-to-right in double — identical to the
   * expression form, so results are bit-for-bit unchanged.
@@ -251,12 +251,14 @@ case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
 }
 
 object VecOps {
-  /** Register SQL-callable kernels once per session (idempotent). */
+  /** Register SQL-callable kernels once per session (lookup-before-create
+    * via [[KernelRegistry.ensure]] — no replacement, no WARN spam).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fdot", exprs => FloatArrayDot(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dsqdist", exprs => DoubleArraySqDist(exprs(0), exprs(1)), "built-in")
+    KernelRegistry.ensure(spark, "fdot")(
+      exprs => FloatArrayDot(exprs(0), exprs(1)))
+    KernelRegistry.ensure(spark, "dsqdist")(
+      exprs => DoubleArraySqDist(exprs(0), exprs(1)))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */
@@ -285,8 +287,8 @@ object VecOps {
       planes: Array[Array[Float]]): Column = {
     val planeSeq: Seq[Seq[Float]] = planes.toIndexedSeq.map(_.toIndexedSeq)
     val name = s"plane_sign_bits_${(planeSeq.hashCode & Int.MaxValue).toHexString}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => PlaneSignBits(exprs(0), planeSeq), "built-in")
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => PlaneSignBits(exprs(0), planeSeq))
     call_function(name, emb)
   }
 
@@ -298,8 +300,8 @@ object VecOps {
       cents: Array[Array[Float]]): Column = {
     val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
     val name = s"centroid_argmax_${(centSeq.hashCode & Int.MaxValue).toHexString}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => CentroidArgmax(exprs(0), centSeq), "built-in")
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => CentroidArgmax(exprs(0), centSeq))
     call_function(name, emb)
   }
 }
