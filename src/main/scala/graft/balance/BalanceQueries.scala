@@ -65,8 +65,28 @@ object BalanceQueries {
       |FROM m a JOIN m b ON a.vec_id <> b.vec_id
       |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin
 
+  /** B3: the SMOTE 100 TB scale path — identical recipe to b1 but k-NN
+    * through [[Knn.approxNeighbors]] (BucketedRandomProjectionLSH):
+    * candidate pairs only from shared buckets, near-linear in minority
+    * rows where b1's exact path is O(n²). The oracle is the SAME
+    * deterministic count contract as b1 (the RNG and the LSH recall
+    * decide feature VALUES and which neighbour is interpolated toward,
+    * never row counts — neighbourless rows fall back to
+    * self-duplication, see Smote.synthesize).
+    */
+  private def b3SmoteLsh(s: SparkSession, d: String): DataFrame = {
+    val df = features(s, d)
+    val before = df.groupBy(col("cls")).agg(count(lit(1)).as("n_before"))
+    val balanced = Smote.balance(s, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100),
+      Smote.LshKnn(bucketLength = 2.0, numHashTables = 3))
+    val after = balanced.groupBy(col("cls")).agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cls"), "outer").orderBy(col("cls"))
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "b1_smote_balance" -> Q(b1Smote, Some(b1Sql)),
     "b2_knn_exact"     -> Q(b2Knn, Some(b2Sql)),
+    "b3_smote_lsh"     -> Q(b3SmoteLsh, Some(b1Sql)),
   )
 }

@@ -44,6 +44,16 @@ object Smote {
     def underFraction: Double = percentUnder / 100.0
   }
 
+  /** Which k-NN engine feeds synthesis. [[ExactKnn]] is the parity path
+    * (O(n²) pairs over the minority class — fine when "minority" means
+    * what it says). [[LshKnn]] is the 100 TB path: candidate pairs only
+    * from shared random-projection buckets, near-linear in rows.
+    */
+  sealed trait NeighborStrategy
+  case object ExactKnn extends NeighborStrategy
+  final case class LshKnn(bucketLength: Double = 2.0,
+      numHashTables: Int = 3) extends NeighborStrategy
+
   /** Reserved id namespace for synthetic rows: bit 62. Source ids are
     * required < 2^62 (any realistic surrogate key; monotonically
     * increasing ids with < 2^29 partitions stay below it too), so
@@ -67,7 +77,8 @@ object Smote {
     */
   def balance(spark: SparkSession, df: DataFrame, idCol: String,
       featCol: String, labelCol: String, minority: Column,
-      p: Params = Params()): DataFrame = {
+      p: Params = Params(),
+      strategy: NeighborStrategy = ExactKnn): DataFrame = {
     // Fail fast — distributed, zero extra actions — if a source id
     // intrudes into the reserved synthetic namespace. The clearest way
     // to hit this is re-balancing a frame that already contains
@@ -95,7 +106,7 @@ object Smote {
     // with zero extra actions; see [[SyntheticIdBase]].
     val synth =
       synthesize(spark, minorityDf, idCol, featCol, labelCol, p,
-        Some(SyntheticIdBase))
+        Some(SyntheticIdBase), strategy)
     val underMajority =
       majorityDf.sample(withReplacement = false, p.underFraction, p.seed)
     minorityDf.union(synth).union(underMajority)
@@ -113,12 +124,27 @@ object Smote {
     */
   def synthesize(spark: SparkSession, minorityDf: DataFrame, idCol: String,
       featCol: String, labelCol: String, p: Params,
-      idStart: Option[Long] = None): DataFrame = {
+      idStart: Option[Long] = None,
+      strategy: NeighborStrategy = ExactKnn): DataFrame = {
     val offset = idStart.getOrElse(SyntheticIdBase)
-    val withNeighbors =
-      Knn.exactNeighbors(minorityDf, idCol, featCol, p.k)
-        .join(minorityDf, Seq(idCol))
-        .select(col(idCol), col(featCol), col(labelCol), col("neighbors"))
+    val nn = strategy match {
+      case ExactKnn =>
+        Knn.exactNeighbors(minorityDf, idCol, featCol, p.k)
+      case LshKnn(bucketLength, numHashTables) =>
+        Knn.approxNeighbors(spark, minorityDf, idCol, featCol, p.k,
+          bucketLength, numHashTables)
+    }
+    // LEFT join + self-fallback: LSH gives no recall guarantee, so a
+    // minority row may share a bucket with nobody and come back
+    // neighbourless. Interpolating toward itself degenerates to plain
+    // duplication (classic random over-sampling), which keeps the
+    // nSynthPerRow count contract DETERMINISTIC regardless of recall —
+    // the property b1/b3's oracle checks. Under ExactKnn every row with
+    // n_minority > 1 has neighbours and the fallback never fires.
+    val withNeighbors = minorityDf
+      .join(nn, Seq(idCol), "left")
+      .select(col(idCol), col(featCol), col(labelCol),
+        coalesce(col("neighbors"), array(col(featCol))).as("neighbors"))
 
     val schema = withNeighbors.schema
     val featIdx  = schema.fieldIndex(featCol)

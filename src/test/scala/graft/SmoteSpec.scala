@@ -152,6 +152,43 @@ class SmoteSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("reserved synthetic id namespace")))
   }
 
+  test("LSH strategy: count contract holds regardless of recall") {
+    val df = embFeatures
+    val minority = df.filter(col("cls") === 0)
+    val nMin = minority.count()
+    // tiny bucketLength forces sparse buckets → some rows may come back
+    // neighbourless; the self-duplication fallback must keep counts exact
+    val synth = Smote.synthesize(spark, minority, "vec_id", "features",
+      "cls", Smote.Params(k = 5, percentOver = 200, percentUnder = 100),
+      strategy = Smote.LshKnn(bucketLength = 0.05, numHashTables = 1))
+    assert(synth.count() === nMin * 2)
+    val balanced = Smote.balance(spark, df, "vec_id", "features", "cls",
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100),
+      Smote.LshKnn())
+    val counts = balanced.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = df.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) === before(0) * 3)
+    assert(counts(1) === before(1))
+  }
+
+  test("LSH strategy: synthetic points stay in the minority bounding box") {
+    val minority = embFeatures.filter(col("cls") === 0)
+    val synth = Smote.synthesize(spark, minority, "vec_id", "features",
+      "cls", Smote.Params(k = 3, percentOver = 100, percentUnder = 100),
+      strategy = Smote.LshKnn())
+    val bounds = minority
+      .select(posexplode(col("features")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    val violations = synth
+      .select(posexplode(col("features")).as(Seq("dim", "v")))
+      .join(bounds, "dim")
+      .filter(col("v") < col("lo") - 1e-9 || col("v") > col("hi") + 1e-9)
+      .count()
+    assert(violations === 0)
+  }
+
   test("params: reference bug §2.7a fixed — bounds are validated") {
     intercept[IllegalArgumentException] {
       Smote.Params(percentUnder = 5)
