@@ -239,22 +239,30 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- D7: duplicate-cluster resolution ----------------------------------
-  /** Connected components over an undirected pair list via min-label
-    * propagation (Hash-to-Min): every node's label converges to the
-    * smallest doc_id reachable from it. The step a dedup pipeline needs
-    * AFTER pair generation — near-dup is transitive in practice (A≈B≈C
-    * must collapse to ONE keeper even when (A,C) itself missed the
-    * threshold).
+  /** Connected components over an undirected pair list: every node's
+    * label converges to the smallest doc_id reachable from it. The step a
+    * dedup pipeline needs AFTER pair generation — near-dup is transitive
+    * in practice (A≈B≈C must collapse to ONE keeper even when (A,C)
+    * itself missed the threshold).
     *
     * Scale shape: graphs within `maxDriverEdges` (the common case — the
     * pair list is post-filter output) are solved with driver union-find
-    * via a LIMIT size probe; beyond the cap, distributed propagation:
-    * one equi-join + min-aggregate per round, labels re-materialized per
-    * round with localCheckpoint (truncates the iterative lineage — the
-    * classic iterative-Spark failure mode), rounds bounded by component
-    * diameter, and dup clusters are near-cliques (diameter ~2-3). Throws
-    * if maxIter rounds don't converge rather than returning unstable
-    * labels.
+    * via a LIMIT size probe; beyond the cap, distributed alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's larger neighbours (large-star) then its smaller ones
+    * (small-star) to the neighbourhood minimum, converging to one star
+    * per component in O(log n) rounds — where min-label propagation needs
+    * O(diameter) rounds and a chain-shaped pair graph would exhaust
+    * maxIter. Both operations are groupBy-min + equi-join (NOT a window):
+    * the partial min combines map-side, and the join on a skewed star
+    * center is exactly the shape AQE skew-join splits. The edge set is
+    * re-materialized per round with localCheckpoint (truncates iterative
+    * lineage), and the convergence probe — an except() emptiness check,
+    * exact, not a hash — runs over the already-checkpointed blocks of the
+    * current and previous rounds, so it costs a local scan instead of the
+    * old recompute-the-round join+count second action. Throws if maxIter
+    * rounds don't converge rather than returning unstable labels.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       maxDriverEdges: Int = 1 << 20): DataFrame = {
@@ -293,30 +301,48 @@ object DedupOps {
       }
       return nodes.toSeq.map(n => (n, minOfRoot(find(n)))).toDF("id", "label")
     }
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // large-star: connect every neighbour LARGER than u to the minimum of
+    // u's closed neighbourhood. Output edges always point big → small.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(min(least(col("dst"), col("src"))).as("m"))
+      sym.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: connect every (smaller) neighbour and u itself to the
+    // minimum of u's neighbourhood. Input/output edges point big → small.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
+      e.join(mins, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      val prop = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("_old")), "id")
-        .filter(col("label") < col("_old")).count()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set equality over two checkpointed frames — E'⊆E ∧ E⊆E'.
+      converged = next.except(edges).union(edges.except(next)).isEmpty
+      edges = next
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    // Fixed point = one star per component, centred on the component
+    // minimum: every non-centre node has exactly one edge (u → min);
+    // centres appear only as dst and label themselves.
+    edges.select(col("src").as("id"), col("dst").as("label"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("label")).distinct())
   }
 
   /** D7: duplicate clusters from the d4 pair graph — (cluster_id = the

@@ -136,6 +136,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d7: star contraction solves a 1,000-node path graph in O(log n) " +
+    "rounds through the distributed branch") {
+    import spark.implicits._
+    // A pure chain is min-label propagation's worst case: diameter 999
+    // would exhaust any sane maxIter. Large-star/small-star must converge
+    // within the default 25 rounds (O(log n), log2(1000) ≈ 10).
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(chain, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 1000)
+    assert(labels.forall(_._2 == 1L),
+      s"non-min labels: ${labels.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("d2: signatures are map-only — no shuffle before banding") {
     val sig = DedupOps.minhashSignatures(Tables.documents(spark, Sf0001), 3, 16)
     val plan = sig.queryExecution.executedPlan.toString
