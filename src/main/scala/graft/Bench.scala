@@ -34,15 +34,14 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     // Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
-    // MEDIAN — single-shot timings on a busy box attributed up to 4x
-    // interference to innocent queries in round 3 (d1/w1/p1/s1), and the
-    // median is robust to one slow outlier where last-rep is not.
+    // MIN (best-of) — single-shot timings on a busy box attributed up to
+    // 4x interference to innocent queries in round 3 (d1/w1/p1/s1).
+    // External interference only ever ADDS time, so the min is the stable
+    // estimator of a query's true cost: in a three-run experiment the
+    // medians of two quiet runs agreed to 0.2% on the total but still
+    // swung >10% on sub-second queries whenever load landed on 2 of 3
+    // reps; a real regression raises the min just the same.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     // A failing query is reported as -1, never as an ordinary small timing —
     // silent failures would inflate apparent coverage.
     val results = selected.map { case (name, fn) =>
@@ -57,7 +56,7 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           None
       }
-      name -> timed.map(median).getOrElse(-1.0)
+      name -> timed.map(_.min).getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
