@@ -238,6 +238,142 @@ object DedupOps {
     jaccardPairs(Tables.documents(s, d), 3, 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- D8: incremental dedup (re-ingest against an existing corpus) ------
+  /** Keep only batch documents whose content digest is NOT already in the
+    * corpus, collapsing in-batch copies to the smallest doc_id — the
+    * re-crawl shape: yesterday's corpus is already deduped, today's crawl
+    * must be checked against it without rescanning yesterday's text.
+    *
+    * Scale: the corpus side reduces to a digest column (32 bytes/doc,
+    * pruned scan — in production a precomputed digest index); the
+    * anti-join shuffles digests only, never documents. Uniform digest
+    * distribution means no skew. (No reference counterpart — extension
+    * per the LLM-pipeline mandate, like d1 it extends
+    * data_preprocessing semantics to content identity.)
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    batch.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .join(corpus.select(sha2(col("text"), 256).as("digest")),
+        Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("n_in_batch"))
+
+  /** D8 query: corpus = doc_id%10 ∈ [0,6), batch = doc_id%10 ∈ [4,10) —
+    * the 20% overlap (digits 4,5) is the re-crawled fraction the
+    * anti-join must drop; disjoint batch docs pass through.
+    */
+  private def d8Incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalDedup(
+      docs.filter(col("doc_id") % 10 < 6),
+      docs.filter(col("doc_id") % 10 >= 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d8Sql =
+    """WITH corpus AS (
+      |  SELECT sha256(text) AS digest FROM documents WHERE doc_id % 10 < 6),
+      |batch AS (
+      |  SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id,
+      |         CAST(COUNT(*) AS BIGINT) AS n_in_batch
+      |  FROM documents WHERE doc_id % 10 >= 4 GROUP BY 1)
+      |SELECT doc_id, n_in_batch FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- D9: train/eval decontamination ------------------------------------
+  /** Flag training documents sharing enough discriminative shingles with
+    * an eval document. The score is CONTAINMENT — |common| / |eval doc's
+    * shingles| — not Jaccard: a 10 kB train document that swallows a
+    * 200-token eval item whole is exactly what must be caught, and its
+    * Jaccard is tiny. Stop-shingles (shared by > maxBucket docs across
+    * both sides) are excluded from numerator and denominator, as in d4.
+    *
+    * Scale shape: same single-shuffle bucket pattern as [[jaccardPairs]] —
+    * one (shingle → members) aggregation, localCheckpoint for the three
+    * consumers, in-bucket train×eval expansion via codegen slice/explode
+    * (members sorted so eval docs come first; no interpreted HOF per
+    * bucket). Real eval sets are MBs against a 100 TB train side, so the
+    * eval shingle table broadcasts and contamination becomes one map-side
+    * join over the train scan; at testdata scale both sides ride the one
+    * bucket shuffle.
+    */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame, w: Int = 3,
+      minContainment: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val s = train.sparkSession
+    def shingled(df: DataFrame, isTrain: Boolean) =
+      df.select(lit(isTrain).as("is_train"), col("doc_id"),
+        explode(graft.functions.TextKernelFns.shingleHashes(
+          s, col("text"), w)).as("sh"))
+    // struct sort key (is_train, doc_id): eval members (false) sort first,
+    // so slice(ms, 1, n_ev) is the eval side and the rest is the train side
+    val grouped = shingled(train, isTrain = true)
+      .union(shingled(eval_, isTrain = false))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("is_train"), col("doc_id"))))
+          .as("ms"),
+        sum(when(col("is_train"), 0).otherwise(1)).as("n_ev"))
+      .filter(size(col("ms")) <= maxBucket)
+      .localCheckpoint()
+    val evalSizes = grouped
+      .select(explode(slice(col("ms"), lit(1), col("n_ev"))).as("e"))
+      .groupBy(col("e.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("n_eval_sh"))
+    val common = grouped
+      .filter(col("n_ev") > 0 && col("n_ev") < size(col("ms")))
+      .select(explode(slice(col("ms"), lit(1), col("n_ev"))).as("e"),
+        slice(col("ms"), col("n_ev") + 1, size(col("ms")) - col("n_ev"))
+          .as("ts"))
+      .select(col("e.doc_id").as("eval_id"), explode(col("ts")).as("t"))
+      .groupBy(col("t.doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("common"))
+    common.join(evalSizes, "eval_id")
+      .select(col("train_id"), col("eval_id"),
+        (col("common").cast("double") / col("n_eval_sh")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** D9 query: even doc_ids play the training corpus, odd the eval set. */
+  private def d9Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminationPairs(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Oracle replicates the shingling of [[shingles]] on strings (vs Spark's
+    * xxhash64 of them — identical modulo collisions, none in testdata),
+    * the cross-side stop-shingle cap, and the containment division of the
+    * same two integers → bit-exact doubles.
+    */
+  private val d9Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS is_train,
+      |         regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, is_train, t,
+      |         unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
+      |  FROM toks),
+      |shd AS (
+      |  SELECT DISTINCT doc_id, is_train,
+      |         array_to_string(t[i+1:i+3], ' ') AS sh
+      |  FROM idx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
+      |grp AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= 64),
+      |kept AS (SELECT shd.doc_id, shd.is_train, shd.sh
+      |         FROM shd JOIN grp USING (sh)),
+      |esz AS (SELECT doc_id, count(*) AS n FROM kept
+      |        WHERE NOT is_train GROUP BY doc_id),
+      |cm AS (
+      |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS c
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.is_train AND NOT b.is_train
+      |  GROUP BY 1, 2)
+      |SELECT train_id, eval_id, CAST(c AS DOUBLE) / esz.n AS containment
+      |FROM cm JOIN esz ON esz.doc_id = cm.eval_id
+      |WHERE CAST(c AS DOUBLE) / esz.n >= 0.5
+      |ORDER BY train_id, eval_id""".stripMargin
+
   // ---- D7: duplicate-cluster resolution ----------------------------------
   /** Connected components over an undirected pair list: every node's
     * label converges to the smallest doc_id reachable from it. The step a
@@ -424,5 +560,7 @@ object DedupOps {
     "d3_simhash"        -> Q(d3Simhash, None),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),
+    "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),
+    "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
   )
 }

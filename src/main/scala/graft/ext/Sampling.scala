@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -13,25 +14,95 @@ import graft.{Q, Tables}
   * and it plans as TakeOrderedAndProject (per-partition top-n + merge) —
   * no global sort, no collect. This is how you carve a reproducible 1B-doc
   * training subset out of a 100 TB corpus.
+  *
+  * Two rank functions, same plan shape:
+  *  - xxhash64 (default): cheapest — an 8-byte long per row, pure codegen.
+  *  - md5 (portable): a 32-hex-char string rank computed identically by
+  *    any engine with md5 (DuckDB, Trino, Postgres), so a sample carved by
+  *    this library can be reproduced bit-for-bit outside Spark. Costs a
+  *    string comparison per heap operation — still TakeOrderedAndProject,
+  *    still no global sort; prefer it whenever cross-engine reproducibility
+  *    matters more than the last ns of rank comparison.
   */
 object Sampling {
 
   def hashSample(df: DataFrame, keyCols: Seq[String], n: Int,
+      seed: Long = 42L): DataFrame =
+    rankSample(df, keyCols, n, xxhash64((keyCols.map(col) :+ lit(seed)): _*))
+
+  /** Engine-portable variant: rank = md5 of the '|'-joined key columns and
+    * seed. Any engine evaluating the same expression selects the same rows
+    * in the same order — this is the oracle-checked path (`m3`).
+    */
+  def hashSampleMd5(df: DataFrame, keyCols: Seq[String], n: Int,
       seed: Long = 42L): DataFrame = {
-    val rank = xxhash64((keyCols.map(col) :+ lit(seed)): _*)
+    val joined = concat_ws("|",
+      (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*)
+    rankSample(df, keyCols, n, md5(joined))
+  }
+
+  private def rankSample(df: DataFrame, keyCols: Seq[String], n: Int,
+      rank: Column): DataFrame =
     df.withColumn("_rank", rank)
       .orderBy((col("_rank") +: keyCols.map(col)): _*)
       .limit(n)
       .drop("_rank")
-  }
 
-  /** M3: deterministic 100-doc sample of the corpus. */
+  /** M3: deterministic 100-doc sample of the corpus, md5-ranked so DuckDB
+    * reproduces the exact membership (promoted from rows-only in round 4).
+    */
   private def m3HashSample(s: SparkSession, d: String): DataFrame =
-    hashSample(Tables.documents(s, d), Seq("doc_id"), 100)
+    hashSampleMd5(Tables.documents(s, d), Seq("doc_id"), 100)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Per-group quota sampling — cap every group at `quota` rows chosen by
+    * the portable md5 rank: the "≤ N documents per domain" curation op
+    * that keeps one boilerplate-heavy domain from dominating a training
+    * mix. Deterministic: membership is a pure function of (group, key,
+    * seed), reproducible by any engine.
+    *
+    * Scale: one shuffle on the group key, rank-k selection inside each
+    * group via row_number. A domain holding half the corpus makes that
+    * window the classic skew pitfall — for small quotas pre-reduce with a
+    * per-partition top-quota (partial TakeOrdered per group) before the
+    * window so the skewed group's full row set never lands in one task
+    * (docs/SCALING.md).
+    */
+  def quotaSample(df: DataFrame, groupCol: String, keyCols: Seq[String],
+      quota: Int, seed: Long = 42L): DataFrame = {
+    val rank = md5(concat_ws("|",
+      (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((rank +: keyCols.map(col)): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= quota)
+      .drop("_rn")
+  }
+
+  /** C2: at most 10 docs per source, md5-ranked → DuckDB-reproducible. */
+  private def c2QuotaSample(s: SparkSession, d: String): DataFrame =
+    quotaSample(Tables.documents(s, d), "source", Seq("doc_id"), 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val c2Sql =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')), doc_id
+      |  ) AS rn FROM documents)
+      |WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
+  private val m3Sql =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')), doc_id
+      |  LIMIT 100
+      |) ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
-    "m3_hash_sample" -> Q(m3HashSample, None),
+    "m3_hash_sample"  -> Q(m3HashSample, Some(m3Sql)),
+    "c2_quota_sample" -> Q(c2QuotaSample, Some(c2Sql)),
   )
 }

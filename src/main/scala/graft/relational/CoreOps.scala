@@ -270,6 +270,35 @@ object CoreOps {
        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
 
+  // ---- Q6: forecast revenue (TPC-H Q6 shape) -----------------------------
+  // Pure scan → filter → one-row aggregate: the whole WHERE reaches the
+  // parquet reader as PushedFilters and only three columns are decoded
+  // (plan-asserted in CoreOpsSpec). At 100 TB this is the I/O-bound query
+  // class where pushdown + pruning ARE the optimization — no join, no
+  // shuffle beyond the single partial-agg exchange of one row per task.
+  private def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(14, 2)) *
+          col("l_discount").cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+      |           CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   // ---- J3: semi/anti join (EXISTS / NOT EXISTS) --------------------------
   private def j3SemiAnti(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -323,6 +352,7 @@ object CoreOps {
   val qs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> Q(q1Pricing, Some(q1Sql)),
     "sql1_tpch_q1"       -> Q(sql1TpchQ1, Some(q1Sql)),
+    "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
     "p3_when_otherwise"  -> Q(p3WhenOtherwise, Some(p3Sql)),

@@ -69,4 +69,31 @@ class BucketingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a === b, "sample changed under repartitioning")
   }
+
+  test("md5 sampling: exact size, partition-independent, xx/md5 differ") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Sampling.hashSampleMd5(docs, Seq("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.size === 100)
+    val b = Sampling.hashSampleMd5(docs.repartition(7), Seq("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "md5 sample changed under repartitioning")
+    // different rank functions select different (both valid) subsets —
+    // guards against one silently delegating to the other
+    val xx = Sampling.hashSample(docs, Seq("doc_id"), 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== xx)
+  }
+
+  test("quota sampling: every group capped, deterministic under repartition") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = Sampling.quotaSample(docs, "lang", Seq("doc_id"), 5)
+      .select("doc_id", "lang").collect()
+    val perGroup = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(perGroup.nonEmpty && perGroup.values.forall(_ <= 5), perGroup)
+    val b = Sampling.quotaSample(docs.repartition(13), "lang", Seq("doc_id"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_.getLong(0)).toSet === b,
+      "quota sample changed under repartitioning")
+  }
 }

@@ -51,6 +51,15 @@ class CoreOpsSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(1200))
   }
 
+  test("q6: predicates pushed to the scan, no unneeded columns read") {
+    val plan = planString("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount"),
+      "range predicates not pushed:\n" + plan.take(800))
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_returnflag"),
+      "scan reads columns q6 never touches:\n" + plan.take(800))
+  }
+
   test("money aggregates are bit-identical across partitionings (Det)") {
     import graft.util.Det._
     def sums(n: Int) = Tables.lineitem(spark, Sf0001).repartition(n)

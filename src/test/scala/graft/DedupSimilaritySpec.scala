@@ -205,6 +205,38 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: drops re-crawled docs, collapses in-batch copies") {
+    val corpus = Seq(
+      (1L, "aaa bbb ccc"),
+      (2L, "ddd eee fff")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aaa bbb ccc"),     // already in corpus → dropped
+      (11L, "new content one"),
+      (12L, "new content one"), // in-batch copy of 11 → collapsed under 11
+      (13L, "another new doc")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(corpus, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
+  test("decontamination: containment catches an eval item swallowed whole") {
+    val train = Seq(
+      (2L, "intro text the quick brown fox jumps over the lazy dog end of document trailer"),
+      (4L, "completely unrelated training material about query engines")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "some other eval question entirely different")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.contaminationPairs(train, eval_, w = 3,
+        minContainment = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every shingle of eval doc 1 appears in train doc 2 → containment 1.0,
+    // even though Jaccard(2,1) is only 7/12 — the case containment exists for
+    assert(out.keySet === Set((2L, 1L)))
+    assert(out((2L, 1L)) === 1.0)
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
