@@ -155,14 +155,31 @@ object TextOps {
        |FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
   }
 
-  // ---- T4: document fingerprint (64-bit FNV-1a rolling hash) -------------
-  // Deterministic content fingerprint via xxhash64 (Spark-native, codegen).
-  // No SQL oracle (hash function is engine-specific); spec pins stability.
+  // ---- T4: document fingerprints (rolling polynomial + sha256) -----------
+  // Two content fingerprints, both engine-neutral and ORACLE-CHECKED
+  // (promoted from rows-only in round 4): a polynomial rolling hash over
+  // unicode codepoints — h := (h·31 + cp) mod (2³¹−1), the codegen kernel
+  // functions/TextKernels.polyFingerprint, reproduced in DuckDB by a
+  // list_reduce fold — and sha256, which both engines hash identically.
+  // (The engine-specific xxhash64 remains the workhorse inside d1/d2/d3,
+  // where the frozen sketch fixtures pin its behavior.)
   private def t4Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), xxhash64(col("text")).as("fingerprint"),
-        sha2(col("text"), 256).as("sha"))
+      .select(col("doc_id"),
+        graft.functions.TextKernelFns.polyFingerprint(s, col("text"))
+          .as("poly_fp"),
+        sha2(col("text"), 256).as("sha256_fp"))
       .orderBy(col("doc_id"))
+
+  private val t4Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS poly_fp,
+      |  sha256(text) AS sha256_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- T5: corpus length distribution (exact discrete quantiles) ---------
   // percentile_disc picks actual data values — engine-neutral, unlike
@@ -297,6 +314,6 @@ object TextOps {
     "t10_redaction"      -> Q(t10Redaction, Some(t10Sql)),
     "t2_quality_by_lang" -> Q(t2QualityByLang, Some(t2Sql)),
     "t3_lang_id"         -> Q(t3LangId, Some(t3Sql)),
-    "t4_fingerprint"     -> Q(t4Fingerprint, None),
+    "t4_fingerprint"     -> Q(t4Fingerprint, Some(t4Sql)),
   )
 }

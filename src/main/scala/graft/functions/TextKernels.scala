@@ -107,6 +107,25 @@ object TextKernels {
     if (empty) null else new GenericArrayData(sig)
   }
 
+  /** Polynomial rolling fingerprint over unicode codepoints:
+    * h := (h·31 + codepoint) mod (2³¹−1), h₀ = 0. Deliberately
+    * engine-neutral — any engine that can fold over codepoints computes
+    * the identical value (the DuckDB oracle does, via
+    * list_reduce/unicode), unlike xxhash64 whose seeding is
+    * Spark-specific. One tight loop per document, codegen'd.
+    */
+  def polyFingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** 64-bit SimHash over token xxhash64s — identical to DedupOps'
     * simhashTable aggregation (every token, empties included, hashed with
     * seed 42; bit b set iff more tokens have bit b than not). Map-only.
@@ -239,6 +258,25 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** long polynomial rolling fingerprint of the codepoint stream (codegen). */
+case class PolyFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"poly_fingerprint expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.polyFingerprint(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.polyFingerprint($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit simhash of the token stream (codegen). */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -270,6 +308,8 @@ object TextKernelFns {
       exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
     KernelRegistry.ensure(spark, "simhash64k")(
       exprs => SimHashExpr(exprs(0)))
+    KernelRegistry.ensure(spark, "poly_fingerprint")(
+      exprs => PolyFingerprintExpr(exprs(0)))
   }
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
@@ -294,6 +334,11 @@ object TextKernelFns {
   def simhash(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("simhash64k", text)
+  }
+
+  def polyFingerprint(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("poly_fingerprint", text)
   }
 
   def langId(spark: SparkSession, text: Column,

@@ -55,6 +55,64 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  // At-least-once landing dir: the same events file staged under TWO
+  // names — every event delivered twice, as a redeliver-on-retry source
+  // does. Cached/cleaned like stagedDirs.
+  private val dupStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def dupStageDir(dir: String): java.nio.file.Path =
+    dupStagedDirs.getOrElseUpdate(dir, {
+      val staged = java.nio.file.Files.createTempDirectory("graft_events_dup")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(src, staged.resolve("events.parquet"))
+      java.nio.file.Files.copy(src, staged.resolve("events_redelivery.parquet"))
+      sys.addShutdownHook {
+        java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(
+          staged.resolve("events_redelivery.parquet"))
+        java.nio.file.Files.deleteIfExists(staged)
+      }
+      staged
+    })
+
+  def readStreamDuplicated(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(RawSchema)
+      .parquet(dupStageDir(dir).toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exactly-once materialization from an at-least-once stream:
+    * watermark-scoped dedup on the delivery key. State holds one entry
+    * per event_id seen within the 1-hour watermark horizon and is
+    * expired past it — bounded regardless of stream length, the only
+    * dedup contract that survives an unbounded 100 TB/day feed (a plain
+    * streaming dropDuplicates would grow state forever). Redeliveries
+    * arrive either inside the horizon (dropped by the dedup state) or
+    * beyond it (dropped as late by the watermark) — exactly once either
+    * way.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run the dedup stream over the duplicate-delivery landing dir; the
+    * result must equal the events table exactly — each event once.
+    */
+  def runDedupToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_dedup"): DataFrame = {
+    spark.catalog.dropTempView(queryName)   // see runToCompletion
+    val q = dedupStream(readStreamDuplicated(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Tumbling 1-hour window with a 1-hour watermark: count + sum(value)
     * per (window, event_type). State is bounded by the watermark — late
     * events beyond 1h are dropped, which is the 100 TB-safe contract.

@@ -59,8 +59,23 @@ object StreamQueries {
       |                    WHERE a2.user_id = agg.user_id)
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** E7: exactly-once from at-least-once — every event delivered twice
+    * (duplicate-delivery landing dir), watermark-scoped dedup on
+    * event_id; the output must equal the events table row-for-row, which
+    * is exactly what the oracle checks.
+    */
+  private def e7StreamDedup(s: SparkSession, d: String): DataFrame =
+    EventStream.runDedupToCompletion(s, d, "graft_stream_dedup")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  private val e7Sql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
     "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),
+    "e7_stream_dedup"    -> Q(e7StreamDedup, Some(e7Sql)),
   )
 }

@@ -46,6 +46,15 @@ class StreamSpec extends SparkSpec {
     assert(streamed === expectClosed)
   }
 
+  test("duplicate-delivery dedup stream emits each event exactly once") {
+    val out = EventStream.runDedupToCompletion(spark, Sf0001, "spec_dedup")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val truth = Tables.events(spark, Sf0001)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    // every event delivered twice upstream; exactly one copy survives
+    assert(out.toSeq === truth.toSeq)
+  }
+
   test("per-user windowed activity runs and sums to total events") {
     val q = EventStream.perUserActivity(EventStream.readStream(spark, Sf0001))
       .writeStream.outputMode("complete").format("memory")

@@ -110,4 +110,16 @@ class TextKernelsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kernel === expr)
   }
+
+  test("poly fingerprint: known values, codepoint (not UTF-16) semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    assert(TextKernels.polyFingerprint(UTF8String.fromString("")) === 0L)
+    // "ab": (0·31 + 97)·31 + 98 = 3105
+    assert(TextKernels.polyFingerprint(UTF8String.fromString("ab")) === 3105L)
+    // U+1F600 is ONE codepoint (128512), not its two surrogate units —
+    // matches DuckDB's unicode(c) per character
+    assert(TextKernels.polyFingerprint(
+      UTF8String.fromString("😀")) === 128512L)
+  }
 }
