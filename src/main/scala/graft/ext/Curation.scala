@@ -102,8 +102,56 @@ object Curation {
        |WHERE doc_id NOT IN (SELECT id FROM losers)
        |ORDER BY doc_id""".stripMargin
 
+  /** PIPE3: training-mix assembly — the step AFTER cleaning: quality gate
+    * → exact dedup → per-source quota (≤15 docs/source, so no domain
+    * dominates the mix) → deterministic global sample to the target size.
+    * Every stage is a pure function of (content, seed): the mix is
+    * re-derivable by any engine, which is exactly what the oracle checks
+    * (full membership, not just counts).
+    *
+    * Scale shape: gate predicates fuse into the scan; dedup is one
+    * digest-keyed shuffle; the quota window shuffles (source, 16-byte
+    * rank, ids) — never text; the final sample is TakeOrderedAndProject.
+    * One corpus scan, two shuffles, a top-k merge.
+    */
+  private def pipe3TrainingMix(s: SparkSession, d: String): DataFrame = {
+    val gated = qualityFilter(Tables.documents(s, d))
+    val deduped = gated.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("source")).as("source"),
+        min(col("lang")).as("lang"))
+      .select(col("doc_id"), col("source"), col("lang"))
+    val quotaed = Sampling.quotaSample(deduped, "source", Seq("doc_id"), 15)
+    Sampling.hashSampleMd5(quotaed, Seq("doc_id"), 100, seed = 7L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val pipe3Sql =
+    """WITH gated AS (
+      |  SELECT * FROM documents
+      |  WHERE n_chars BETWEEN 80 AND 520
+      |    AND LEN(STR_SPLIT(text, ' ')) >= 15
+      |    AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |        / LENGTH(text) < 0.05
+      |), deduped AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
+      |         MIN(lang) AS lang
+      |  FROM gated GROUP BY text
+      |), quotaed AS (
+      |  SELECT doc_id, source, lang FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+      |               doc_id) AS rn
+      |    FROM deduped) WHERE rn <= 15
+      |), mix AS (
+      |  SELECT doc_id, source, lang FROM quotaed
+      |  ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '7')), doc_id
+      |  LIMIT 100)
+      |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
+    "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),
   )
 }

@@ -162,6 +162,36 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: the event stream joined to a broadcast
+    * dimension snapshot (user → market segment), then aggregated. The
+    * static side is planned as a broadcast hash join against every
+    * micro-batch — no stream-side shuffle for the join; only the tiny
+    * per-segment aggregate state persists. This is the standard
+    * "enrich the firehose with reference data" shape; at 100 TB/day the
+    * dimension rides the broadcast as long as it fits (else: shuffle
+    * join with the stream side already partitioned by the key).
+    */
+  def enrichedSegmentAgg(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("value")).as("sum_value"))
+
+  def runEnrichedToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_enriched"): DataFrame = {
+    spark.catalog.dropTempView(queryName)   // see runToCompletion
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val q = enrichedSegmentAgg(readStream(spark, dir), customer)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // ---- custom state: streaming sessionizer ------------------------------
 
   final case class Ev(user_id: Long, ts_us: Long)

@@ -73,9 +73,24 @@ object StreamQueries {
     """SELECT event_id, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** E8: stream-static enrichment — events joined to the broadcast
+    * customer dimension per micro-batch, aggregated by segment; equals
+    * the batch join+agg, which is the oracle.
+    */
+  private def e8StreamEnriched(s: SparkSession, d: String): DataFrame =
+    EventStream.runEnrichedToCompletion(s, d, "graft_stream_enriched")
+      .orderBy(col("c_mktsegment"))
+
+  private val e8Sql =
+    s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
     "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),
     "e7_stream_dedup"    -> Q(e7StreamDedup, Some(e7Sql)),
+    "e8_stream_enriched" -> Q(e8StreamEnriched, Some(e8Sql)),
   )
 }
