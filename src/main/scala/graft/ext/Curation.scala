@@ -109,14 +109,16 @@ object Curation {
     * re-derivable by any engine, which is exactly what the oracle checks
     * (full membership, not just counts).
     *
-    * Scale shape: gate predicates fuse into the scan; dedup is one
-    * digest-keyed shuffle; the quota window shuffles (source, 16-byte
-    * rank, ids) — never text; the final sample is TakeOrderedAndProject.
-    * One corpus scan, two shuffles, a top-k merge.
+    * Scale shape: gate predicates fuse into the scan; dedup groups by the
+    * 32-byte sha256 digest, NOT the raw text (unlike pipe1/pipe2, nothing
+    * downstream needs text, so no document ever rides a shuffle — a plan
+    * assert in CoreOpsSpec checks every exchange); the quota window
+    * shuffles (source, 16-byte rank, ids); the final sample is
+    * TakeOrderedAndProject. One corpus scan, two shuffles, a top-k merge.
     */
   private def pipe3TrainingMix(s: SparkSession, d: String): DataFrame = {
     val gated = qualityFilter(Tables.documents(s, d))
-    val deduped = gated.groupBy(col("text"))
+    val deduped = gated.groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"),
         min(col("source")).as("source"),
         min(col("lang")).as("lang"))
@@ -136,7 +138,7 @@ object Curation {
       |), deduped AS (
       |  SELECT MIN(doc_id) AS doc_id, MIN(source) AS source,
       |         MIN(lang) AS lang
-      |  FROM gated GROUP BY text
+      |  FROM gated GROUP BY sha256(text)
       |), quotaed AS (
       |  SELECT doc_id, source, lang FROM (
       |    SELECT *, row_number() OVER (PARTITION BY source

@@ -60,6 +60,32 @@ class CoreOpsSpec extends SparkSpec {
       "scan reads columns q6 never touches:\n" + plan.take(800))
   }
 
+  test("pipe3: no shuffle carries document text") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("pipe3_training_mix")(spark, Sf001)
+    df.collect()
+    // walk through AQE wrappers — plan.collect does not descend into them
+    def shuffleOutputs(p: SparkPlan): Seq[Seq[String]] = {
+      val self = p match {
+        case s: ShuffleExchangeLike => Seq(s.output.map(_.name))
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(shuffleOutputs)
+    }
+    val outs = shuffleOutputs(df.queryExecution.executedPlan)
+    assert(outs.nonEmpty, "expected at least one shuffle (dedup + quota)")
+    outs.foreach(cols =>
+      assert(!cols.contains("text"),
+        s"a shuffle carries the text column: $cols"))
+  }
+
   test("money aggregates are bit-identical across partitionings (Det)") {
     import graft.util.Det._
     def sums(n: Int) = Tables.lineitem(spark, Sf0001).repartition(n)

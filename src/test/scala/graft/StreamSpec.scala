@@ -55,6 +55,17 @@ class StreamSpec extends SparkSpec {
     assert(out.toSeq === truth.toSeq)
   }
 
+  test("enrichment join is broadcast (asserted on the batch plan shape)") {
+    // same join code the stream runs per micro-batch, applied to the
+    // batch events frame — the static dimension must ride a broadcast
+    val df = EventStream.enrichedSegmentAgg(
+      Tables.events(spark, Sf0001),
+      spark.read.parquet(s"$Sf0001/customer.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("per-user windowed activity runs and sums to total events") {
     val q = EventStream.perUserActivity(EventStream.readStream(spark, Sf0001))
       .writeStream.outputMode("complete").format("memory")
