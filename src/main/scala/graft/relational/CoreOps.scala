@@ -151,6 +151,31 @@ object CoreOps {
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---- A9: grouping sets (the non-hierarchical family member) ------------
+  // ((flag,status),(status)) is expressible by neither rollup nor cube —
+  // it is the "report plus one side margin" shape. One shuffle: Spark
+  // expands the sets map-side and aggregates all of them in one pass.
+  private def a9GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val a9Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus))
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---- U1: union (smote_sampling.py:52-54 — position-based unionAll) -----
   private def u1Union(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -362,6 +387,7 @@ object CoreOps {
     "a5_distinct"        -> Q(a5Distinct, Some(a5Sql)),
     "a6_rollup"          -> Q(a6Rollup, Some(a6Sql)),
     "a8_cube"            -> Q(a8Cube, Some(a8Sql)),
+    "a9_grouping_sets"   -> Q(a9GroupingSets, Some(a9Sql)),
     "u1_union"           -> Q(u1Union, Some(u1Sql)),
     "o1_topk"            -> Q(o1TopK, Some(o1Sql)),
     "j1_join_broadcast"  -> Q(j1Join, Some(j1Sql)),
