@@ -20,6 +20,7 @@ object Registry {
       relational.TypedOps.qs ++
       relational.Skew.qs ++
       relational.AsOfJoin.qs ++
+      relational.RangeJoin.qs ++
       relational.Bucketed.qs ++
       sources.JsonAndSinks.qs ++
       ext.Sampling.qs ++

@@ -29,10 +29,13 @@ object EventOps {
   // Classic gaps-and-islands: lag ts per user, new-session flag when gap >
   // 30 min, running sum of flags = session id. Two window passes over the
   // same (user_id, ts) partitioning — one shuffle, reused.
-  private def e2Sessions(s: SparkSession, d: String): DataFrame = {
+  /** Per-user session intervals (public: also the interval side of the
+    * af2 range join).
+    */
+  def sessions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val ev = Tables.events(s, d)
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -40,12 +43,15 @@ object EventOps {
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    ev.groupBy(col("user_id"), col("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-      .orderBy(col("user_id"), col("session_id"))
   }
+
+  private def e2Sessions(s: SparkSession, d: String): DataFrame =
+    sessions(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_id"))
 
   private val e2Sql =
     """WITH flagged AS (

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.relational.AsOfJoin
+import graft.relational.{AsOfJoin, RangeJoin}
 
 /** Planted edge cases for the as-of join composition: inclusive equal-ts
   * match, no-match nulls, and agreement with a local brute force.
@@ -54,5 +54,38 @@ class AsOfJoinSpec extends SparkSpec {
         .sortBy(_.getTime).lastOption
       assert(got(c.getLong(1)) === expect, s"event ${c.getLong(1)}")
     }
+  }
+
+  test("binned range join equals the naive range join, without nested loops") {
+    val events = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val sess = graft.ext.EventOps.sessions(Tables.events(spark, Sf0001))
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val binned = RangeJoin.binnedRangeJoin(events, sess, "user_id",
+        "ts", "session_start", "session_end", binUs = 3600L * 1000000L)
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = events.join(sess,
+        events("user_id") === sess("user_id") &&
+          col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === naive)
+    assert(binned.size === events.count())   // every event in exactly one session
+
+    // tiny bins (expansion >> 1) must not change the result either
+    val tiny = RangeJoin.binnedRangeJoin(events, sess, "user_id",
+        "ts", "session_start", "session_end", binUs = 60L * 1000000L)
+      .select("event_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny === naive)
+
+    // the claim the operator exists for: an equi-join plan, no nested loop
+    val df = SparkEntry.queries("af2_range_join")(spark, Sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
   }
 }
