@@ -404,10 +404,72 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- X5: SQ8 scalar-quantized top-k ------------------------------------
+  /** The storage-side ANN path: the corpus rides as 8-bit codes (4× less
+    * I/O and memory than float32 — at 100 TB of embeddings the scan IS
+    * the cost), queries stay float. Score phase reconstructs the dot
+    * product from the codes — dot(x,y) ≈ min·Σy + step·Σ(q_i·y_i), with
+    * Σ(q_i·y_i) a codegen kernel (VecKernels.qdot8) — takes the top
+    * k·expand candidates per query, then reranks them EXACTLY against
+    * the float corpus (the candidate list is tiny, so it broadcasts onto
+    * one corpus scan — the corpus itself never shuffles). SQ8 error is
+    * sub-1% of the similarity scale, so recall@k with a 4× expand is
+    * near-1 (spec-asserted ≥ 0.9 vs brute force).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      expand: Int = 4): DataFrame = {
+    val s = corpus.sparkSession
+    val amin = array_min(col("embedding"))
+    val amax = array_max(col("embedding"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      VecOps.fnorm(s, col("embedding")).as("c_norm"),
+      amin.cast("double").as("vmin"),
+      ((amax - amin) / lit(255.0f)).cast("double").as("step"),
+      VecOps.quantize8(s, col("embedding")).as("qb"))
+      .filter(col("c_norm") > 0)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      VecOps.fnorm(s, col("embedding")).as("q_norm"),
+      // interpreted HOF is fine HERE: the query side is a handful of rows
+      aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double")).as("q_sum"))
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        ((col("vmin") * col("q_sum") +
+          col("step") * VecOps.qdot8(s, col("qb"), col("q_emb"))) /
+          (col("c_norm") * col("q_norm"))).as("approx_sim"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_sim").desc, col("c_id"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * expand)
+      .select(col("q_id"), col("c_id"))
+    val exact = corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"),
+        VecOps.fnorm(s, col("embedding")).as("c_norm"))
+      .join(broadcast(cands), "c_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_norm"))),
+        "q_id")
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def x5Sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    sq8TopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2LshTopK, None),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4IvfTopK, None),
+    "x5_cosine_topk_sq8"   -> Q(x5Sq8TopK, None),
   )
 }

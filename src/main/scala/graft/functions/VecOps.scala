@@ -131,6 +131,100 @@ case class DoubleArraySqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static forwarders for the SQ8 kernels — generated code calls these
+  * directly, so the whole quantize / quantized-dot loop stays inside
+  * whole-stage codegen (same pattern as TextKernels).
+  */
+object VecKernels {
+  /** Per-vector 8-bit scalar quantization: q_i = round((x_i − min)/step),
+    * step = (max − min)/255 in FLOAT (callers recompute the same scalars
+    * with array_min/array_max and must match). Degenerate constant
+    * vectors (step ≤ 0) quantize to all-zero bytes.
+    */
+  def quantize8(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    var mn = Float.MaxValue
+    var mx = Float.MinValue
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    val step = (mx - mn) / 255.0f
+    if (step > 0) {
+      i = 0
+      while (i < n) {
+        val q = Math.round((a.getFloat(i) - mn) / step)
+        out(i) = (if (q > 255) 255 else if (q < 0) 0 else q).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Σ (q_i · y_i) over the quantized corpus bytes and a float query —
+    * the data-dependent term of the reconstructed dot product
+    * dot(x, y) ≈ min·Σy + step·qdot8.
+    */
+  def qdot8(b: Array[Byte], q: ArrayData): Double = {
+    val n = math.min(b.length, q.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += (b(i) & 0xff).toDouble * q.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+/** binary SQ8 code of an array<float> vector (codegen). */
+case class QuantizeFloat8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize8 expects array<float>, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.quantize8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.quantize8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ (q_i · y_i) of SQ8 bytes against a float query vector (codegen). */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qdot8 expects (binary, array<float>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.qdot8(l.asInstanceOf[Array[Byte]], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.qdot8($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Argmax centroid dot in one kernel call: returns struct(best dot, cell
   * index), ties to the lowest index. The expression-chain alternative
   * (greatest over k fdot-against-literal columns + a k-way when chain)
@@ -259,6 +353,10 @@ object VecOps {
       exprs => FloatArrayDot(exprs(0), exprs(1)))
     KernelRegistry.ensure(spark, "dsqdist")(
       exprs => DoubleArraySqDist(exprs(0), exprs(1)))
+    KernelRegistry.ensure(spark, "quantize8")(
+      exprs => QuantizeFloat8(exprs(0)))
+    KernelRegistry.ensure(spark, "qdot8")(
+      exprs => QuantizedDot(exprs(0), exprs(1)))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */
@@ -270,6 +368,18 @@ object VecOps {
 
   def fnorm(spark: SparkSession, a: Column): Column =
     sqrt(fdot(spark, a, a))
+
+  /** SQ8 quantization of an array<float> column → binary (codegen'd). */
+  def quantize8(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("quantize8", a)
+  }
+
+  /** Σ(q_i·y_i) of SQ8 bytes against a float query column (codegen'd). */
+  def qdot8(spark: SparkSession, bytes: Column, query: Column): Column = {
+    register(spark)
+    call_function("qdot8", bytes, query)
+  }
 
   /** Squared euclidean distance of two array<double> columns (codegen'd). */
   def dsqdist(spark: SparkSession, a: Column, b: Column): Column = {
