@@ -151,9 +151,60 @@ object Curation {
       |  LIMIT 100)
       |SELECT doc_id, source, lang FROM mix ORDER BY doc_id""".stripMargin
 
+  /** C3: overlapping token-window chunking — split every document into
+    * windows of `cap` tokens advancing by `stride` (overlap = cap −
+    * stride keeps context across boundaries), the precursor to
+    * context-window packing in every LLM data pipeline. Map-only: one
+    * sequence + slice per row, no shuffle at all — chunking 100 TB costs
+    * exactly the corpus scan plus the output write.
+    *
+    * Chunk count = 1 + max(0, ⌈(len − cap)/stride⌉), computed in integer
+    * arithmetic (`(len − cap + stride − 1) div stride`) so the Spark and
+    * DuckDB sides can't drift on float ceil. Tokenization replicates the
+    * d4-proven split parity (regexp \s+, empties kept by both engines).
+    */
+  def chunkDocs(docs: DataFrame, cap: Int, stride: Int): DataFrame = {
+    require(stride > 0 && cap >= stride, "need 0 < stride <= cap")
+    val toks = split(col("text"), "\\s+")
+    val len = size(toks)
+    // floor-div: Column./ is fractional; floor over positives == integer
+    // div, and the negative (shorter-than-cap) case clamps to 0 in both
+    // engines (DuckDB // is floor division too)
+    val extra = greatest(
+      floor((len - cap + lit(stride) - 1).cast("double") / stride), lit(0L))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        posexplode(sequence(lit(0L), extra)).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(cap)))
+          .as("chunk"),
+        least(lit(cap),
+          size(col("toks")) - col("chunk_id").cast("int") * stride)
+          .as("n_tokens"))
+  }
+
+  private def c3Chunk(s: SparkSession, d: String): DataFrame =
+    chunkDocs(Tables.documents(s, d), cap = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val c3Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, greatest((len(t) - 64 + 47) // 48, 0) + 1)) AS i
+      |  FROM toks)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |  array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk,
+      |  CAST(least(64, len(t) - i*48) AS INT) AS n_tokens
+      |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
     "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),
+    "c3_chunking" -> Q(c3Chunk, Some(c3Sql)),
   )
 }
