@@ -201,10 +201,76 @@ object Curation {
       |  CAST(least(64, len(t) - i*48) AS INT) AS n_tokens
       |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
 
+  final case class DocTok(source: String, doc_id: Long, n_tok: Long)
+  final case class Packed(source: String, doc_id: Long, bin_id: Long)
+
+  /** C4: greedy context-window packing — assign documents (in doc_id
+    * order, per source) to consecutive bins of ≤ `capacity` tokens; a
+    * document that would overflow starts the next bin; an oversized
+    * document sits alone in its own bin. This is inherently SEQUENTIAL
+    * state (each assignment depends on the running total, which resets),
+    * inexpressible as a window function — exactly the
+    * KeyValueGroupedDataset case from the extension preference order
+    * (same typed-API tool as the e6 sessionizer). One shuffle on the
+    * group key; the per-group scan is the algorithm. A group too large
+    * for one task is pre-split into deterministic rank blocks packed
+    * independently (boundary bins may under-fill — the standard
+    * distributed-packing tradeoff).
+    */
+  def packBins(docs: DataFrame, capacity: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("source"), col("doc_id"), col("n_tok"))
+      .as[DocTok]
+      .groupByKey(_.source)
+      .flatMapGroups { (src: String, it: Iterator[DocTok]) =>
+        val sorted = it.toIndexedSeq.sortBy(_.doc_id)
+        var bin = 0L
+        var acc = 0L
+        sorted.iterator.map { d =>
+          if (acc > 0 && acc + d.n_tok > capacity) { bin += 1; acc = 0 }
+          acc += d.n_tok
+          Packed(src, d.doc_id, bin)
+        }
+      }
+      .toDF()
+  }
+
+  private def c4Packing(s: SparkSession, d: String): DataFrame =
+    packBins(
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+      capacity = 512L)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Oracle: the same greedy fold as a recursive CTE walking each
+    * source's docs in doc_id order, carrying (bin, running total).
+    */
+  private val c4Sql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT source, doc_id, LEN(STR_SPLIT(text, ' ')) AS n_tok,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT source, doc_id, n_tok, rn,
+      |         CAST(0 AS BIGINT) AS bin_id, n_tok AS acc
+      |  FROM toks WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.doc_id, t.n_tok, t.rn,
+      |    CASE WHEN p.acc + t.n_tok > 512 THEN p.bin_id + 1
+      |         ELSE p.bin_id END,
+      |    CASE WHEN p.acc + t.n_tok > 512 THEN t.n_tok
+      |         ELSE p.acc + t.n_tok END
+      |  FROM pack p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1)
+      |SELECT source, doc_id, bin_id FROM pack
+      |ORDER BY source, doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
     "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),
     "c3_chunking" -> Q(c3Chunk, Some(c3Sql)),
+    "c4_packing" -> Q(c4Packing, Some(c4Sql)),
   )
 }

@@ -276,6 +276,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out((2L, 1L)) === 1.0)
   }
 
+  test("greedy packing: bins respect capacity, oversized docs sit alone") {
+    import graft.ext.Curation
+    val docs = Seq(
+      ("s", 1L, 100L), ("s", 2L, 200L), ("s", 3L, 250L),  // 1+2 fit, 3 spills
+      ("s", 4L, 700L),                                     // oversized: alone
+      ("s", 5L, 10L),
+      ("t", 6L, 512L), ("t", 7L, 1L)                       // exactly-full bin
+    ).toDF("source", "doc_id", "n_tok")
+    val out = Curation.packBins(docs, 512L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      6L -> 0L, 7L -> 1L))
+    // invariant: no bin over capacity unless it is a single oversized doc
+    val byBin = docs.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .map { case (s, id, n) => ((s, out(id)), n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byBin.values.foreach(ns =>
+      assert(ns.sum <= 512L || ns.length === 1, ns.toSeq))
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
