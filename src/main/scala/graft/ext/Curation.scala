@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -201,7 +202,8 @@ object Curation {
       |  CAST(least(64, len(t) - i*48) AS INT) AS n_tokens
       |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
 
-  final case class DocTok(source: String, doc_id: Long, n_tok: Long)
+  final case class DocTokB(source: String, doc_id: Long, n_tok: Long,
+      block: Long)
   final case class Packed(source: String, doc_id: Long, bin_id: Long)
 
   /** C4: greedy context-window packing — assign documents (in doc_id
@@ -211,27 +213,49 @@ object Curation {
     * state (each assignment depends on the running total, which resets),
     * inexpressible as a window function — exactly the
     * KeyValueGroupedDataset case from the extension preference order
-    * (same typed-API tool as the e6 sessionizer). One shuffle on the
-    * group key; the per-group scan is the algorithm. A group too large
-    * for one task is pre-split into deterministic rank blocks packed
-    * independently (boundary bins may under-fill — the standard
-    * distributed-packing tradeoff).
+    * (same typed-API tool as the e6 sessionizer).
+    *
+    * Skew safety, in two layers:
+    *  1. Rank-block pre-split: a deterministic `row_number` per source
+    *     assigns each doc a block = (rn−1) div `blockSize`; packing runs
+    *     per (source, block), so one dominant source (half the corpus in
+    *     one domain — the realistic crawl shape) splits across
+    *     ⌈group/blockSize⌉ tasks instead of landing whole in one. Blocks
+    *     pack independently into DISJOINT bin-id ranges (block·blockSize
+    *     + local bin — at most one bin per doc, so ranges can't
+    *     collide); only the block-boundary bins may under-fill, the
+    *     standard distributed-packing tradeoff. With one block per
+    *     group the ids and fills are exactly the sequential greedy
+    *     fold's — which is what the DuckDB oracle checks.
+    *  2. Streaming fold: `flatMapSortedGroups` hands each task a
+    *     doc_id-SORTED iterator (Spark's spillable sort, not an in-task
+    *     buffer), and the fold itself carries O(1) state — no
+    *     `toIndexedSeq`, so even a block is never materialized in task
+    *     memory.
     */
-  def packBins(docs: DataFrame, capacity: Long): DataFrame = {
+  def packBins(docs: DataFrame, capacity: Long,
+      blockSize: Long = 1L << 20): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
     val s = docs.sparkSession
     import s.implicits._
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // floor over a double is exact here: rn ≤ 2^31 and blockSize ≤ 2^20
+    // stay far inside double's 2^53 integer range
     docs.select(col("source"), col("doc_id"), col("n_tok"))
-      .as[DocTok]
-      .groupByKey(_.source)
-      .flatMapGroups { (src: String, it: Iterator[DocTok]) =>
-        val sorted = it.toIndexedSeq.sortBy(_.doc_id)
-        var bin = 0L
-        var acc = 0L
-        sorted.iterator.map { d =>
-          if (acc > 0 && acc + d.n_tok > capacity) { bin += 1; acc = 0 }
-          acc += d.n_tok
-          Packed(src, d.doc_id, bin)
-        }
+      .withColumn("block",
+        floor((row_number().over(w) - 1).cast("double") / blockSize)
+          .cast("long"))
+      .as[DocTokB]
+      .groupByKey(r => (r.source, r.block))
+      .flatMapSortedGroups(col("doc_id")) {
+        case ((src: String, block: Long), it: Iterator[DocTokB]) =>
+          var bin = block * blockSize
+          var acc = 0L
+          it.map { d =>
+            if (acc > 0 && acc + d.n_tok > capacity) { bin += 1; acc = 0 }
+            acc += d.n_tok
+            Packed(src, d.doc_id, bin)
+          }
       }
       .toDF()
   }

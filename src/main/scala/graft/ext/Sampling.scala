@@ -62,22 +62,53 @@ object Sampling {
     * mix. Deterministic: membership is a pure function of (group, key,
     * seed), reproducible by any engine.
     *
-    * Scale: one shuffle on the group key, rank-k selection inside each
-    * group via row_number. A domain holding half the corpus makes that
-    * window the classic skew pitfall — for small quotas pre-reduce with a
-    * per-partition top-quota (partial TakeOrdered per group) before the
-    * window so the skewed group's full row set never lands in one task
-    * (docs/SCALING.md).
+    * Scale: a domain holding half the corpus makes a plain
+    * `row_number over (partition by group)` window the classic skew
+    * pitfall — the dominant group's full row set sorts in ONE task. So
+    * the window is two-level: [[quotaPreReduce]] first ranks within
+    * (group, salt) — salt = key hash mod `preSplit`, layout-independent —
+    * and keeps each salted slice's top `quota`, spreading the dominant
+    * group over `preSplit` tasks and shrinking it to ≤ preSplit·quota
+    * rows; the final per-group window then ranks that bounded residue.
+    * Result is IDENTICAL to the single-window form (spec-asserted): a
+    * row in the global per-group top-quota ranks ≤ quota inside its own
+    * salt slice too, so the pre-reduce can never drop it.
     */
   def quotaSample(df: DataFrame, groupCol: String, keyCols: Seq[String],
-      quota: Int, seed: Long = 42L): DataFrame = {
-    val rank = md5(concat_ws("|",
-      (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*))
+      quota: Int, seed: Long = 42L, preSplit: Int = 32): DataFrame = {
+    val rank = rankMd5(keyCols, seed)
+    val reduced = quotaPreReduce(df, groupCol, keyCols, quota, seed, preSplit)
     val w = Window.partitionBy(col(groupCol))
       .orderBy((rank +: keyCols.map(col)): _*)
-    df.withColumn("_rn", row_number().over(w))
+    reduced.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= quota)
       .drop("_rn")
+  }
+
+  private def rankMd5(keyCols: Seq[String], seed: Long): Column =
+    md5(concat_ws("|",
+      (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*))
+
+  /** Level-1 skew pre-reduce for [[quotaSample]] (visible for the skew
+    * spec): top-`quota` within every (group, salt) slice. Conservative by
+    * construction — a superset of the final per-group top-quota.
+    */
+  private[graft] def quotaPreReduce(df: DataFrame, groupCol: String,
+      keyCols: Seq[String], quota: Int, seed: Long,
+      preSplit: Int): DataFrame = {
+    if (preSplit <= 1) return df
+    val rank = rankMd5(keyCols, seed)
+    // salt from the key hash, not spark_partition_id: deterministic and
+    // layout-independent, so the reduce (and thus the plan) is stable
+    // under any input partitioning
+    val salt = pmod(xxhash64((keyCols.map(col) :+ lit(seed)): _*),
+      lit(preSplit.toLong))
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy((rank +: keyCols.map(col)): _*)
+    df.withColumn("_salt", salt)
+      .withColumn("_rn1", row_number().over(w1))
+      .filter(col("_rn1") <= quota)
+      .drop("_salt", "_rn1")
   }
 
   /** C2: at most 10 docs per source, md5-ranked → DuckDB-reproducible. */

@@ -96,4 +96,31 @@ class BucketingSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSet === b,
       "quota sample changed under repartitioning")
   }
+
+  test("quota sampling: skew pre-reduce bounds the final window's input " +
+      "and never changes the result") {
+    import spark.implicits._
+    // one dominant group (10k rows) — the skew shape the pre-reduce exists
+    // for — plus a small group that must pass through untouched
+    val skewed = ((1L to 10000L).map(i => ("big", i)) ++
+      (1L to 20L).map(i => ("small", 100000L + i))).toDF("grp", "id")
+    val quota = 7
+    val preSplit = 32
+    val reduced = Sampling.quotaPreReduce(skewed, "grp", Seq("id"), quota,
+      seed = 42L, preSplit = preSplit)
+    val perGroup = reduced.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the dominant group shrinks to ≤ preSplit·quota rows BEFORE the final
+    // per-group window — this is the level-1 reduction the skew story claims
+    assert(perGroup("big") <= (preSplit * quota).toLong, perGroup)
+    assert(perGroup("big") > quota.toLong)   // level 1 alone over-keeps…
+    assert(perGroup("small") === 20L)
+    // …and the two-level form selects EXACTLY the single-window membership
+    val twoLevel = Sampling.quotaSample(skewed, "grp", Seq("id"), quota)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val oneWindow = Sampling.quotaSample(skewed, "grp", Seq("id"), quota,
+        preSplit = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(twoLevel === oneWindow)
+  }
 }

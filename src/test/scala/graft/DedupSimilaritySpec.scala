@@ -296,6 +296,42 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(ns.sum <= 512L || ns.length === 1, ns.toSeq))
   }
 
+  test("greedy packing: skewed group splits into rank blocks, all packed") {
+    import graft.ext.Curation
+    // one dominant source (100 docs) vs a tiny one — the crawl-skew shape
+    val docs = ((1L to 100L).map(i => ("big", i, 60L)) ++
+      Seq(("small", 200L, 10L))).toDF("source", "doc_id", "n_tok")
+    val out = Curation.packBins(docs, capacity = 512L, blockSize = 16L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 101)
+    // block path engaged: 100 docs / blockSize 16 → 7 blocks, so some bin
+    // ids land beyond the first block's disjoint range [0, 16)
+    val bigBins = out.filter(_._1 == "big").map(_._3)
+    assert(bigBins.exists(_ >= 16L), s"block offsets missing: ${bigBins.toSeq}")
+    // capacity invariant holds across every block
+    val byBin = out.filter(_._1 == "big").groupBy(_._3)
+    byBin.values.foreach(ds => assert(ds.map(_ => 60L).sum <= 512L))
+    // within each block, packing is the greedy fold: 8 docs of 60 fit a
+    // 512 bin, so a 16-doc block packs as two full bins
+    assert(byBin.values.map(_.length).toSeq.sorted.reverse.head === 8)
+    // single-block groups keep sequential ids from 0
+    assert(out.filter(_._1 == "small").map(_._3).toSeq === Seq(0L))
+  }
+
+  test("greedy packing: one block ≡ sequential fold (block-size invariance)") {
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(n_chars / 5 AS LONG)").as("n_tok"))
+    val oneBlock = Curation.packBins(docs, 512L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // any blockSize ≥ the largest group ⇒ identical assignment, bin ids
+    // included (sf0.001 has 500 docs total, so 500 covers every source)
+    val blocked = Curation.packBins(docs, 512L, blockSize = 500L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(oneBlock === blocked)
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
