@@ -1,5 +1,9 @@
 package graft.ext
 
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,44 +11,230 @@ import graft.{Q, Tables}
 
 /** Multimodal-column plumbing: treat media as opaque `binary` columns with
   * typed metadata, and run decode / feature-extraction as a partition-wise
-  * batch operator.
+  * batch operator (the Scala analogue of a Pandas-UDF `mapInPandas` over
+  * Arrow batches — each task decodes its own partition, parallelism =
+  * input splits, no shuffle, constant memory per batch).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — but everything Spark-side is real:
-  * the schema (binary payload + metadata struct), the mapPartitions batch
-  * shape (the Scala analogue of a Pandas-UDF `mapInPandas` over Arrow
-  * batches), and the downstream feature schema. Swapping `decodeStub` for a
-  * JNI codec is a one-function change.
+  * The decode is REAL: PNG payloads go through `javax.imageio` and the
+  * features are computed from the actual decoded pixel raster; WAV
+  * payloads are parsed chunk-by-chunk from the RIFF container and the
+  * features come from the actual PCM samples; anything else gets honest
+  * byte-level statistics (mean/stddev/entropy of the payload bytes). The
+  * testdata ships no media blobs, so [[synthesizeMedia]] fabricates real
+  * PNG/WAV files deterministically per doc_id — the decoders never see
+  * that provenance: they sniff magic bytes and parse the containers like
+  * any other file.
   */
 object MultimodalOps {
 
   val FeatureDim = 8
 
-  /** STUB: "decode" a media payload into a fixed-dim feature vector.
-    * Deterministic fake: bytes → rolling 64-bit hash per stripe →
-    * normalized floats. A real build links an image/audio codec here.
+  /** Feature vector layout, FeatureDim floats per payload. f(0) is the
+    * sniffed kind: 1 = image, 2 = audio, 0 = opaque bytes (including
+    * corrupt/undecodable media — decode failures must not kill a 100 TB
+    * job; they degrade to byte statistics).
+    *
+    *  - image: [1, width, height, channels, meanR, meanG, meanB, meanLuma]
+    *  - audio: [2, sampleRate, channels, durationMs, rms, peak, nSamples,
+    *    bitsPerSample]
+    *  - opaque: [0, nBytes, meanByte, stdByte, entropyBits, 0, 0, 0]
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    if (payload == null || payload.isEmpty) return out
-    var i = 0
-    while (i < payload.length) {
-      val d = i % FeatureDim
-      out(d) = out(d) + (payload(i) & 0xff) * 1e-3f
-      i += 1
+  def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](FeatureDim)
+    if (isPng(payload)) {
+      val f = decodeImage(payload)
+      if (f != null) return f
     }
-    out
+    if (isRiffWave(payload)) {
+      val f = decodeWav(payload)
+      if (f != null) return f
+    }
+    byteStats(payload)
   }
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("media_type", StringType),
-    StructField("n_bytes", LongType),
-    StructField("features", ArrayType(FloatType))))
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
 
-  /** Binary ingestion: synthesize a binary payload column from text (the
-    * testdata ships no media blobs) plus a metadata struct — the schema a
-    * real media table would have.
+  private def isRiffWave(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  /** Honest PNG decode: ImageIO parses the container and inflates the
+    * raster; width/height/bands and the per-channel means come from the
+    * decoded pixels. Returns null on undecodable bytes.
+    */
+  private def decodeImage(payload: Array[Byte]): Array[Float] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val bands = img.getRaster.getNumBands
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+    Array(1f, w.toFloat, h.toFloat, bands.toFloat, mr.toFloat, mg.toFloat,
+      mb.toFloat, (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat)
+  }
+
+  /** Honest WAV parse: walks the RIFF chunk list for fmt/data, reads the
+    * declared rate/channels/bits, and computes RMS + peak over the actual
+    * 16-bit PCM samples. Returns null when the container is malformed or
+    * not integer PCM16 (the one encoding [[synthesizeMedia]] and most
+    * pipeline audio use; other codecs would plug in here).
+    */
+  private def decodeWav(payload: Array[Byte]): Array[Float] = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12 // past RIFF<size>WAVE
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return null
+      id match {
+        case "fmt " if len >= 16 =>
+          if (bb.getShort(pos + 8) != 1) return null // PCM only
+          channels = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => ()
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return null
+    val nSamples = dataLen / 2
+    var sumSq = 0.0; var peak = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val s = bb.getShort(dataOff + 2 * i) / 32768.0
+      sumSq += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 1
+    }
+    val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
+    val durMs = nSamples.toDouble / channels / rate * 1000.0
+    Array(2f, rate.toFloat, channels.toFloat, durMs.toFloat, rms.toFloat,
+      peak.toFloat, nSamples.toFloat, bits.toFloat)
+  }
+
+  /** Fallback for opaque payloads: honest byte statistics (mean, stddev,
+    * empirical entropy in bits) over the actual bytes.
+    */
+  private def byteStats(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Long](256)
+    var sum = 0L; var sumSq = 0.0
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      hist(v) += 1; sum += v; sumSq += v.toDouble * v
+      i += 1
+    }
+    val n = payload.length.toDouble
+    val mean = sum / n
+    val std = math.sqrt(math.max(0.0, sumSq / n - mean * mean))
+    var ent = 0.0
+    var b = 0
+    while (b < 256) {
+      if (hist(b) > 0) { val p = hist(b) / n; ent -= p * math.log(p) }
+      b += 1
+    }
+    Array(0f, payload.length.toFloat, mean.toFloat, std.toFloat,
+      (ent / math.log(2.0)).toFloat, 0f, 0f, 0f)
+  }
+
+  // ---- deterministic media synthesis (testdata adapter) -------------------
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String)
+
+  private def mix(z0: Long): Long = {
+    // splitmix64 finalizer — deterministic pixel/sample noise
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Synthesize a real PNG file: a w×h RGB image whose pixels are a pure
+    * function of (doc_id, x, y), encoded by the JDK's PNG writer.
+    */
+  private[ext] def makePng(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 4 + (docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (mix(docId * 1000003L + y * 131L + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a real WAV file: 44-byte RIFF/fmt/data header + PCM16
+    * mono samples that are a pure function of (doc_id, i).
+    */
+  private[ext] def makeWav(docId: Long): Array[Byte] = {
+    val n = 64 + (docId % 129).toInt
+    val dataLen = n * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      bb.putShort((mix(docId * 2654435761L + i) >> 16).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Media table with REAL payloads: even doc_ids carry a PNG, odd a WAV,
+    * both deterministic per doc_id (the container adapter for testdata
+    * that ships no blobs). Metadata is derived from the payload itself by
+    * codegen expressions — length and sha256 of the actual bytes.
+    */
+  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          if (id % 2 == 0) MediaRow(id, makePng(id), "image/png")
+          else MediaRow(id, makeWav(id), "audio/wav")
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest")).as("meta"))
+  }
+
+  /** Binary ingestion from text (the mm2 framing table): payload = raw
+    * text bytes as application/octet-stream — [[decodeFeatures]] routes
+    * these through the byte-statistics path.
     */
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -55,28 +245,42 @@ object MultimodalOps {
         length(col("text")).cast("long").as("n_bytes"),
         sha2(col("text"), 256).as("digest")).as("meta"))
 
-  /** Partition-wise batch decode: one pass, no shuffle, constant memory per
-    * batch — the shape that runs decode at 100 TB (each task decodes its
-    * own partition; parallelism = input splits).
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Partition-wise batch decode: one pass, no shuffle, constant memory
+    * per batch — the shape that runs decode at 100 TB (each task decodes
+    * its own partition; parallelism = input splits). Decoding dispatches
+    * on sniffed magic bytes, never on the declared mime.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    media.select(col("doc_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+    media.select(col("doc_id"), col("payload"), col("meta.mime"),
+        col("meta.n_bytes"))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"),
-            r.getAs[Long]("n_bytes"), decodeStub(payload))
+            r.getAs[Long]("n_bytes"), decodeFeatures(payload))
         }
       }(enc)
   }
 
+  /** MM1: synthesize real PNG/WAV payloads, decode them for real, emit
+    * per-doc features — kind, primary dimension (image width / audio
+    * sample rate), and a content statistic (mean red / RMS) that only a
+    * true decode can produce.
+    */
   private def mm1Features(s: SparkSession, d: String): DataFrame =
-    extractFeatures(s, asMediaTable(Tables.documents(s, d)))
-      .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("features"), 1), 3).as("f0"),
-        round(element_at(col("features"), FeatureDim), 3).as(s"f${FeatureDim - 1}"))
+    extractFeatures(s, synthesizeMedia(Tables.documents(s, d)))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        element_at(col("features"), 1).cast("int").as("kind"),
+        element_at(col("features"), 2).cast("int").as("dim0"),
+        round(element_at(col("features"), 5), 3).as("stat0"))
       .orderBy(col("doc_id"))
 
   /** Frame sampling: split a payload into fixed-size stripes ("frames"),

@@ -1,0 +1,76 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+import graft.ext.{DedupOps, MultimodalOps}
+
+/** One-shot generator for the frozen test fixtures under
+  * `src/test/resources/fixtures` — the hard gates for outputs DuckDB
+  * cannot oracle (seeded-xxhash sketches d2/d3, approximate ANN top-k
+  * x2/x4/x5, the real-decode mm1 features).
+  *
+  * Freezing discipline: a fixture is generated ONCE from a verified
+  * implementation and committed; regeneration is only legitimate after an
+  * intentional, reviewed semantic change (git history is the freeze).
+  * Existing fixtures are therefore NOT overwritten unless `--force` is
+  * passed.
+  *
+  * Usage (sbt): `runMain graft.tools.GenFixtures [--force]`
+  */
+object GenFixtures {
+  private val OutBase = "src/test/resources/fixtures"
+
+  def main(args: Array[String]): Unit = {
+    val force = args.contains("--force")
+    // mirror SparkSpec's session shape — fixtures are consumed there
+    // (the outputs are partitioning-independent, but identical configs
+    // remove a variable)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def write(name: String)(df: => DataFrame): Unit = {
+      val path = Paths.get(OutBase, name)
+      if (Files.exists(path) && !force) {
+        println(s"[genfixtures] keep   $name (exists; --force to regenerate)")
+      } else {
+        df.coalesce(1).write.mode("overwrite").parquet(path.toString)
+        println(s"[genfixtures] wrote  $name")
+      }
+    }
+
+    for ((dir, tag) <- Seq("/root/testdata/sf0.01" -> "sf0.01",
+        "/root/testdata/sf0.1" -> "sf0.1")) {
+      // d2/d3: same call shapes as SketchFixtureSpec
+      write(s"d2_pairs_$tag") {
+        DedupOps.minhashPairs(Tables.documents(spark, dir))
+      }
+      write(s"d3_simhash_$tag") {
+        DedupOps.simhashTable(Tables.documents(spark, dir))
+      }
+      // ANN registered queries: frozen top-k as data (AnnFixtureSpec)
+      for (q <- Seq("x2_cosine_topk_lsh", "x4_cosine_topk_ivf",
+          "x5_cosine_topk_sq8"))
+        write(s"${q.split('_').head}_topk_$tag") {
+          SparkEntry.queries(q)(spark, dir)
+        }
+    }
+    // mm1: real-decode features over synthesized media (MultimodalSpec)
+    write("mm1_sf0.01") {
+      MultimodalOps.extractFeatures(spark,
+          MultimodalOps.synthesizeMedia(
+            Tables.documents(spark, "/root/testdata/sf0.01")))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("features"))
+    }
+    spark.stop()
+  }
+}

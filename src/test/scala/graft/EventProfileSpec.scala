@@ -72,7 +72,7 @@ class EventProfileSpec extends SparkSpec {
     assert(hist.agg(sum("n")).head().getLong(0) === o.count())
   }
 
-  test("multimodal: decode stub is deterministic and batch shape preserves rows") {
+  test("multimodal: batch decode is deterministic and preserves rows") {
     val docs = Tables.documents(spark, Sf0001)
     val a = MultimodalOps.extractFeatures(spark, MultimodalOps.asMediaTable(docs))
     assert(a.count() === docs.count())
