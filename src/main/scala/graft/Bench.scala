@@ -63,7 +63,15 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // Also write the line to a file when asked: pane-scraped stdout
+    // truncated the round-4 driver capture to 63 of 90 queries, losing
+    // per-query data — a file sidesteps terminal buffering entirely.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
+    }
     spark.stop()
   }
 }

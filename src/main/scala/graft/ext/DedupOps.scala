@@ -477,8 +477,16 @@ object DedupOps {
     // Fixed point = one star per component, centred on the component
     // minimum: every non-centre node has exactly one edge (u → min);
     // centres appear only as dst and label themselves.
-    edges.select(col("src").as("id"), col("dst").as("label"))
+    val labeled = edges.select(col("src").as("id"), col("dst").as("label"))
       .union(edges.select(col("dst").as("id"), col("dst").as("label")).distinct())
+    // Self-pairs vanish from the star edge set (src ≠ dst filter) but are
+    // legitimate degenerate input — a node whose ONLY edge is (v, v) must
+    // still appear, labeled with itself, exactly as the driver union-find
+    // path returns it. Nodes with real edges are already labeled.
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labeled, Seq("id"), "left_anti")
+    labeled.union(selfOnly.select(col("id"), col("id").as("label")))
   }
 
   /** D7: duplicate clusters from the d4 pair graph — (cluster_id = the

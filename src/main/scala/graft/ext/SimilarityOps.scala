@@ -419,12 +419,15 @@ object SimilarityOps {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       expand: Int = 4): DataFrame = {
     val s = corpus.sparkSession
-    val amin = array_min(col("embedding"))
-    val amax = array_max(col("embedding"))
+    // (min, step) come from the SAME kernel arithmetic the codes were
+    // quantized with (VecKernels.qparams8) — a column-side (max−min)/255
+    // recomputation promotes to double and can double-round a step the
+    // byte codes weren't built against
+    val qp = VecOps.qparams8(s, col("embedding"))
     val c = corpus.select(col("vec_id").as("c_id"),
       VecOps.fnorm(s, col("embedding")).as("c_norm"),
-      amin.cast("double").as("vmin"),
-      ((amax - amin) / lit(255.0f)).cast("double").as("step"),
+      element_at(qp, 1).cast("double").as("vmin"),
+      element_at(qp, 2).cast("double").as("step"),
       VecOps.quantize8(s, col("embedding")).as("qb"))
       .filter(col("c_norm") > 0)
     val q = queries.select(col("vec_id").as("q_id"),

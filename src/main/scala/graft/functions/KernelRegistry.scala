@@ -60,6 +60,17 @@ object KernelRegistry {
     * evicts (and deregisters) the least-recently-used transient entry
     * beyond [[MaxTransient]]. Re-ensuring an existing name refreshes its
     * LRU position without re-creating it.
+    *
+    * USE-IMMEDIATELY CONTRACT: `call_function` resolves BY NAME when the
+    * plan is ANALYZED, so a Column built against a transient name must be
+    * planted in a DataFrame (triggering analysis) before [[MaxTransient]]
+    * further transient registrations occur — a Column hoarded across ≥128
+    * later registrations can find its name evicted and fail analysis
+    * with an unresolved-function error. Every builder in this repo
+    * (planeSignBits / centroidArgmax / langId) registers and embeds the
+    * Column in the same expression tree construction, which satisfies
+    * the contract; callers caching such Columns long-term must re-invoke
+    * the builder (it re-ensures the name) rather than reuse the Column.
     */
   def ensureTransient(spark: SparkSession, name: String)(
       builder: Seq[Expression] => Expression): Unit = synchronized {

@@ -344,7 +344,9 @@ object TextKernelFns {
   def langId(spark: SparkSession, text: Column,
       markers: Seq[(String, Seq[String])]): Column = {
     // state-hashed name: resolution happens at analysis time, so two
-    // marker sets in one plan must not share a registry entry
+    // marker sets in one plan must not share a registry entry; use the
+    // Column immediately (KernelRegistry use-immediately contract — the
+    // name can be LRU-evicted after MaxTransient later registrations)
     val name = s"lang_id_${(markers.hashCode & Int.MaxValue).toHexString}"
     KernelRegistry.ensureTransient(spark, name)(
       exprs => LangIdExpr(exprs(0), markers))

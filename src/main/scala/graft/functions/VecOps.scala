@@ -165,6 +165,27 @@ object VecKernels {
     out
   }
 
+  /** The (min, step) scalars [[quantize8]] quantized with, emitted by the
+    * SAME float-precision arithmetic — callers reconstructing the dot
+    * product must use these, never recompute them in double (Spark's
+    * Divide promotes to double and can double-round a different step).
+    */
+  def qparams8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mn = Float.MaxValue
+    var mx = Float.MinValue
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val step = (mx - mn) / 255.0f
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](mn, if (step > 0) step else 0f))
+  }
+
   /** Σ (q_i · y_i) over the quantized corpus bytes and a float query —
     * the data-dependent term of the reconstructed dot product
     * dot(x, y) ≈ min·Σy + step·qdot8.
@@ -197,6 +218,26 @@ case class QuantizeFloat8(child: Expression) extends UnaryExpression {
     VecKernels.quantize8(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.quantize8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [min, step] scalars of the SQ8 quantization, float-exact (codegen). */
+case class QuantizeParams8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"qparams8 expects array<float>, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.qparams8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecKernels.qparams8($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -357,6 +398,8 @@ object VecOps {
       exprs => QuantizeFloat8(exprs(0)))
     KernelRegistry.ensure(spark, "qdot8")(
       exprs => QuantizedDot(exprs(0), exprs(1)))
+    KernelRegistry.ensure(spark, "qparams8")(
+      exprs => QuantizeParams8(exprs(0)))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */
@@ -381,6 +424,14 @@ object VecOps {
     call_function("qdot8", bytes, query)
   }
 
+  /** [min, step] the SQ8 codes were quantized with, bit-identical to the
+    * kernel's own float arithmetic (codegen'd).
+    */
+  def qparams8(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("qparams8", a)
+  }
+
   /** Squared euclidean distance of two array<double> columns (codegen'd). */
   def dsqdist(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
@@ -392,6 +443,11 @@ object VecOps {
     * at ANALYSIS time against the registry, so two different plane sets
     * in ONE plan (multi-table LSH!) must not share a name — a fixed name
     * silently resolved both to the last-registered set.
+    *
+    * Use the returned Column immediately (KernelRegistry use-immediately
+    * contract): the transient name can be LRU-evicted after MaxTransient
+    * further registrations; re-invoke this builder instead of caching
+    * the Column.
     */
   def planeSignBits(spark: SparkSession, emb: Column,
       planes: Array[Array[Float]]): Column = {
@@ -404,7 +460,7 @@ object VecOps {
 
   /** struct(best dot, argmax cell) against a fixed centroid set. State-
     * hashed name for the same analysis-time-resolution reason as
-    * [[planeSignBits]].
+    * [[planeSignBits]] — same use-immediately contract, too.
     */
   def centroidArgmax(spark: SparkSession, emb: Column,
       cents: Array[Array[Float]]): Column = {

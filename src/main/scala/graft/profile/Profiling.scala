@@ -211,13 +211,35 @@ object Profiling {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** Approximate distinct (HLL) — the 100 TB path for cardinality stats.
-    * No SQL oracle (sketch internals differ across engines); spec-tested
-    * against exact distinct at small SF.
+    * HLL sketch internals differ across engines, so the raw estimate
+    * can't hash-match a DuckDB value; instead the query emits the EXACT
+    * counts plus booleans asserting the estimates land within 3× the
+    * configured rsd of them — the oracle then checks the exact counts
+    * and expects the bounds to hold (TRUE), turning the former rows-only
+    * row into a hard error-bound gate. (The exact count is affordable
+    * here because it IS the oracle contract; production callers use the
+    * estimate alone.)
     */
-  private def a7ApproxDistinct(s: SparkSession, d: String): DataFrame =
+  private def a7ApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    val rsd = 0.01
     Tables.lineitem(s, d)
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"))
+      .select(col("n_orders"), col("n_parts"),
+        (abs(col("approx_orders") - col("n_orders")).cast("double") /
+          col("n_orders") <= 3 * rsd).as("orders_within_bound"),
+        (abs(col("approx_parts") - col("n_parts")).cast("double") /
+          col("n_parts") <= 3 * rsd).as("parts_within_bound"))
+  }
+
+  private val a7Sql =
+    """SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+      |       TRUE AS orders_within_bound,
+      |       TRUE AS parts_within_bound
+      |FROM lineitem""".stripMargin
 
   val qs: Seq[(String, Q)] = Seq(
     "a3_describe"        -> Q(a3Describe, Some(a3Sql)),
@@ -226,6 +248,6 @@ object Profiling {
     "a1_category_freq"   -> Q(a1CategoryFreq, Some(a1fSql)),
     "h1_histogram"       -> Q(h1Histogram, Some(h1Sql)),
     "h2_histogram_auto"  -> Q(h2HistogramAuto, Some(h2Sql)),
-    "a7_approx_distinct" -> Q(a7ApproxDistinct, None),
+    "a7_approx_distinct" -> Q(a7ApproxDistinct, Some(a7Sql)),
   )
 }

@@ -97,6 +97,28 @@ class BucketingSpec extends SparkSpec {
       "quota sample changed under repartitioning")
   }
 
+  test("bucketed landing re-lands when the source parquet is rewritten") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft_j6_stale")
+    try {
+      for (t <- Seq("lineitem.parquet", "orders.parquet"))
+        Files.copy(Paths.get(Sf0001, t), tmp.resolve(t))
+      val first = relational.Bucketed.preparedNames(spark, tmp.toString)
+      // unchanged source → memo hit, same landed tables
+      assert(relational.Bucketed.preparedNames(spark, tmp.toString) === first)
+      // rewrite the source (bump mtime past filesystem granularity) →
+      // fresh landing under new names, not the stale layout
+      val li = tmp.resolve("lineitem.parquet")
+      Files.setLastModifiedTime(li, java.nio.file.attribute.FileTime
+        .fromMillis(li.toFile.lastModified() + 5000))
+      val second = relational.Bucketed.preparedNames(spark, tmp.toString)
+      assert(second !== first, "stale bucketed landing served after rewrite")
+    } finally {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("quota sampling: skew pre-reduce bounds the final window's input " +
       "and never changes the result") {
     import spark.implicits._

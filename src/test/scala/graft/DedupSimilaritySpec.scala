@@ -122,11 +122,14 @@ class DedupSimilaritySpec extends SparkSpec {
     "on BOTH adaptive paths") {
     import spark.implicits._
     // components: {1,2,3,4} (a chain — transitivity across non-adjacent
-    // pairs), {10,11,12} (a triangle), {20,21}
+    // pairs), {10,11,12} (a triangle), {20,21}, plus two self-pair
+    // degenerates: isolated 30 (must self-label, not vanish) and a
+    // redundant (1,1) inside a real component
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
-      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+      (10L, 12L), (20L, 21L), (30L, 30L), (1L, 1L)).toDF("id_a", "id_b")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L)
     // cap 0 forces the distributed label-propagation path; the default
     // takes driver union-find
     for (cap <- Seq(0, 1 << 20)) {
@@ -226,6 +229,18 @@ class DedupSimilaritySpec extends SparkSpec {
     // constant vector → all-zero codes, no NaN
     val const = new GenericArrayData(Array.fill(4)(2.5f.asInstanceOf[Any]))
     assert(VecKernels.quantize8(const).forall(_ === 0))
+    // qparams8 returns the EXACT scalars the codes were built with —
+    // float arithmetic, not a double recomputation
+    val qp = VecKernels.qparams8(arr)
+    assert(qp.getFloat(0) === mn && qp.getFloat(1) === step)
+    val qpc = VecKernels.qparams8(const)
+    assert(qpc.getFloat(0) === 2.5f && qpc.getFloat(1) === 0f)
+    // and the column-side expression agrees with the kernel call
+    import spark.implicits._
+    val row = Seq(Tuple1(v)).toDF("embedding")
+      .select(graft.functions.VecOps.qparams8(spark, col("embedding")))
+      .head().getSeq[Float](0)
+    assert(row === Seq(mn, step))
   }
 
   test("SQ8 top-k achieves high recall vs brute force") {
