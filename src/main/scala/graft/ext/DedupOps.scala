@@ -281,6 +281,57 @@ object DedupOps {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.digest = b.digest)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- D8b: incremental dedup against a LANDED digest index --------------
+  /** The production form of [[incrementalDedup]]: the corpus digest set is
+    * not recomputed per batch but landed ONCE as a bucketed table (32-byte
+    * digests only — the "precomputed digest index" the d8 scaladoc
+    * promises), so every subsequent batch anti-joins against it with NO
+    * shuffle on the index side: the index reads bucket-aligned from disk
+    * and only the (small) batch digests move. At 100 TB that's the
+    * difference between re-shuffling yesterday's corpus per crawl and
+    * shuffling just today's delta. A runtime plan guard enforces the
+    * claim — sort-merge join present, zero Exchange in the index subtree
+    * — so the CORRECTNESS row cannot pass with a shuffling plan. Result
+    * is identical to [[incrementalDedup]] (same oracle SQL).
+    */
+  private val digestIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def d8bIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tbl = digestIndex.getOrElseUpdate(d, {
+      val name = s"graft_d8_digests_${(d.hashCode & Int.MaxValue).toHexString}"
+      graft.relational.Bucketed.writeBucketed(
+        docs.filter(col("doc_id") % 10 < 6)
+          .select(sha2(col("text"), 256).as("digest")).distinct(),
+        name, "digest")
+      name
+    })
+    val index = s.table(tbl)
+    val out = docs.filter(col("doc_id") % 10 >= 4)
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      // merge hint: at test scale the tiny index would broadcast, which
+      // proves nothing about the landed layout (same discipline as j6)
+      .join(index.hint("merge"), Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("n_in_batch"))
+      .orderBy(col("doc_id"))
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val smj = root.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    require(smj.isDefined,
+      "digest-index anti-join did not plan as sort-merge — layout proof is vacuous")
+    require(smj.get.right.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "digest index side planned a shuffle — landing not used")
+    out
+  }
+
   // ---- D9: train/eval decontamination ------------------------------------
   /** Flag training documents sharing enough discriminative shingles with
     * an eval document. The score is CONTAINMENT — |common| / |eval doc's
@@ -569,6 +620,7 @@ object DedupOps {
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),
     "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),
+    "d8b_incremental_indexed" -> Q(d8bIncrementalIndexed, Some(d8Sql)),
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
   )
 }

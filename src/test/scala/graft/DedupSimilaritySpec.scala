@@ -291,6 +291,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out((2L, 1L)) === 1.0)
   }
 
+  test("d8b: landed digest index reproduces d8 exactly (plan guard inside " +
+      "the query proves the index side reads shuffle-free)") {
+    def run(q: String) = SparkEntry.queries(q)(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = run("d8_incremental_dedup")
+    // collect() executes the embedded require()s: SMJ present, zero
+    // Exchange below the index subtree
+    val indexed = run("d8b_incremental_indexed")
+    assert(indexed === plain)
+    assert(indexed.nonEmpty)
+  }
+
   test("greedy packing: bins respect capacity, oversized docs sit alone") {
     import graft.ext.Curation
     val docs = Seq(
