@@ -120,6 +120,111 @@ object DedupOps {
     minhashPairs(Tables.documents(s, d))
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- D2b: engine-portable MinHash (oracle-checked twin of d2) ----------
+  /** MinHash banding whose every step is engine-portable: one md5 per
+    * shingle, permutation j = the 4-hex-char slice `substr(md5(sh),
+    * 4j+1, 4)`, and the permutation's min-hash is the LEXICOGRAPHIC min
+    * of those hex strings — the same portable-rank trick as m3/c2's md5
+    * ordering. DuckDB computes identical md5 hex, so the full
+    * shingle → sketch → band → bucket → verified-pair pipeline
+    * hash-checks against a plain-SQL oracle — the hard cross-engine gate
+    * the xxhash64 kernel path (d2) cannot have (its fixtures pin
+    * drift, not external truth).
+    *
+    * d2 stays the production path: map-only codegen kernel, 32-bit
+    * hashes. d2b is the verification twin and the portable fallback;
+    * its 16-bit permutations admit ~|shingles|/2^16 min collisions,
+    * which bias est_jaccard up imperceptibly and identically in both
+    * engines.
+    *
+    * Scale: the shingle explode feeds a per-doc min aggregation whose
+    * partial combines map-side (a doc's shingles never leave its input
+    * partition), so the first exchange carries ONE 8×4-hex row per doc;
+    * the second is d2's (band, bucket) shuffle with the same maxBucket
+    * degenerate-bucket cap. Bucket identity is the concatenated band
+    * slice itself (string equality), not an engine hash — a hash()
+    * bucket collision could otherwise synthesize a candidate pair the
+    * oracle provably lacks.
+    */
+  def minhashPortablePairs(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), w)).as("sh"))
+    val minCols = (0 until numHashes).map(j =>
+      min(substring(md5(col("sh")), 4 * j + 1, 4)).as(s"m$j"))
+    val sig = sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("|",
+          slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+    val agree = (0 until numHashes).map { k =>
+      when(col("a.sig").getItem(k) === col("b.sig").getItem(k), 1).otherwise(0)
+    }.reduce(_ + _)
+    buckets
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (agree.cast("double") / lit(numHashes)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .distinct()
+  }
+
+  private def d2bMinhashPortable(s: SparkSession, d: String): DataFrame =
+    minhashPortablePairs(Tables.documents(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Oracle replicating [[minhashPortablePairs]] exactly: same shingling
+    * CTE as d4/d9, md5-slice permutations, lexicographic mins,
+    * '|'-concatenated band buckets, 2..maxBucket bucket cap, and the same
+    * small-int/8.0 division → bit-exact est_jaccard both sides.
+    */
+  private val d2bSql = {
+    val mins = (0 until 8).map(j =>
+      s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS m$j").mkString(",\n       |    ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bucket, " +
+        (0 until 8).map(j => s"m$j").mkString(", ") + " FROM sig")
+      .mkString("\n       |  UNION ALL ")
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t, unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
+       |  FROM toks),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS sh
+       |  FROM idx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM shd GROUP BY doc_id),
+       |banded AS (
+       |  $bandRows),
+       |ok AS (
+       |  SELECT band, bucket FROM banded
+       |  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 1000)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
+       |FROM banded a
+       |JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |             AND a.doc_id < b.doc_id
+       |JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+       |WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- D3: SimHash -------------------------------------------------------
   /** 64-bit SimHash over token xxhash64s, as pure SQL expressions: for each
     * bit, sum(+1/-1 by bit set) over tokens, bit := sum > 0. Per-row
@@ -616,6 +721,7 @@ object DedupOps {
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, None),
+    "d2b_minhash_portable" -> Q(d2bMinhashPortable, Some(d2bSql)),
     "d3_simhash"        -> Q(d3Simhash, None),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),

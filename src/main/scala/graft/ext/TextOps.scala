@@ -305,8 +305,90 @@ object TextOps {
       |    AS chars_removed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- T11: repetition profile (Gopher-style repetition filters) ---------
+  /** Per-document repetition signals: most-frequent-token share,
+    * most-frequent-consecutive-bigram share, longest same-token run, and
+    * distinct-token fraction — the signals Gopher-style curation uses to
+    * drop boilerplate/looping documents. The counts come from the
+    * single-pass codegen kernel (functions/TextKernels.repetitionStats;
+    * a pure-expression mode-of-array would be O(n²) interpreted); only
+    * COUNTS leave the kernel, never an argmax token, so tie-breaks can't
+    * diverge and the plain-SQL oracle reproduces every field. Map-only:
+    * at 100 TB this is one corpus scan, no shuffle.
+    */
+  private def t11Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextKernelFns.repetitionStats(s, col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.n_toks").as("n_toks"),
+        col("r.n_distinct").as("n_distinct"),
+        col("r.top_tok_n").as("top_tok_n"),
+        col("r.top_bigram_n").as("top_bigram_n"),
+        col("r.max_run").as("max_run"))
+      .withColumn("top_tok_frac",
+        col("top_tok_n").cast("double") / col("n_toks"))
+      .withColumn("top_bigram_frac",
+        when(col("n_toks") > 1,
+          col("top_bigram_n").cast("double") / (col("n_toks") - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("distinct_frac",
+        col("n_distinct").cast("double") / col("n_toks"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.1 || col("max_run") >= 3)
+      .orderBy(col("doc_id"))
+
+  /** Oracle: token positions via unnest(range), top token/bigram by
+    * group-count-max, max run by gaps-and-islands (position minus
+    * per-token row_number), same small-integer divisions → bit-exact.
+    */
+  private val t11Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM toks),
+      |tok AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+      |runs AS (
+      |  SELECT doc_id, tok,
+      |         i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+      |  FROM tok),
+      |maxrun AS (
+      |  SELECT doc_id, MAX(c) AS max_run FROM (
+      |    SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+      |    FROM runs GROUP BY doc_id, tok, grp) GROUP BY doc_id),
+      |tc AS (
+      |  SELECT doc_id, MAX(c) AS top_tok_n FROM (
+      |    SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |    FROM tok GROUP BY doc_id, tok) GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i+1] AS b,
+      |           CAST(count(*) AS BIGINT) AS c
+      |    FROM pos WHERE i < len(t) GROUP BY doc_id, b) GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+      |         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      |  FROM toks),
+      |j AS (
+      |  SELECT base.doc_id, n_toks, n_distinct, top_tok_n,
+      |         COALESCE(top_bigram_n, 0) AS top_bigram_n, max_run,
+      |         CAST(top_tok_n AS DOUBLE) / n_toks AS top_tok_frac,
+      |         CASE WHEN n_toks > 1
+      |              THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_toks - 1)
+      |              ELSE 0.0 END AS top_bigram_frac,
+      |         CAST(n_distinct AS DOUBLE) / n_toks AS distinct_frac
+      |  FROM base
+      |  JOIN tc ON tc.doc_id = base.doc_id
+      |  JOIN maxrun ON maxrun.doc_id = base.doc_id
+      |  LEFT JOIN bg ON bg.doc_id = base.doc_id)
+      |SELECT doc_id, n_toks, n_distinct, top_tok_n, top_bigram_n, max_run,
+      |       top_tok_frac, top_bigram_frac, distinct_frac,
+      |       (top_bigram_frac > 0.1 OR max_run >= 3) AS repetitive
+      |FROM j ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
+    "t11_repetition"     -> Q(t11Repetition, Some(t11Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
     "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),

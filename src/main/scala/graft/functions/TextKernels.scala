@@ -126,6 +126,44 @@ object TextKernels {
     h
   }
 
+  /** Single-pass repetition profile over the single-space token split
+    * (same tokenization as t7/t9: `split(lower(text), ' ', -1)`, empties
+    * kept). Returns (n_toks, n_distinct, top_tok_n, top_bigram_n,
+    * max_run): the most-frequent-token count, the most-frequent
+    * consecutive-bigram count, and the longest same-token run — the raw
+    * ingredients of Gopher-style repetition filters (Rae et al. 2021,
+    * "Scaling Language Models", App. A1.1), which an expression form
+    * would need an O(n²) interpreted mode-of-array to compute. Only
+    * counts are returned (no argmax token), so tie-breaks cannot matter
+    * and a plain-SQL oracle reproduces every field exactly.
+    */
+  def repetitionStats(text: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val n = toks.length
+    val tokCounts = new java.util.HashMap[String, Int]()
+    val bigramCounts = new java.util.HashMap[String, Int]()
+    var topTok = 0
+    var topBigram = 0
+    var maxRun = 0
+    var run = 0
+    var i = 0
+    while (i < n) {
+      val c = tokCounts.merge(toks(i), 1, Integer.sum)
+      if (c > topTok) topTok = c
+      if (i > 0 && toks(i) == toks(i - 1)) run += 1 else run = 1
+      if (run > maxRun) maxRun = run
+      if (i < n - 1) {
+        val b = bigramCounts.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+        if (b > topBigram) topBigram = b
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, tokCounts.size.toLong, topTok.toLong,
+        topBigram.toLong, maxRun.toLong))
+  }
+
   /** 64-bit SimHash over token xxhash64s — identical to DedupOps'
     * simhashTable aggregation (every token, empties included, hashed with
     * seed 42; bit b set iff more tokens have bit b than not). Map-only.
@@ -277,6 +315,36 @@ case class PolyFingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** struct(n_toks, n_distinct, top_tok_n, top_bigram_n, max_run) repetition
+  * profile of the token stream (codegen; one kernel call per row).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"repetition_stats expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.repetitionStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_tok_n", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false),
+    StructField("max_run", LongType, nullable = false)))
+}
+
 /** 64-bit simhash of the token stream (codegen). */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -310,6 +378,8 @@ object TextKernelFns {
       exprs => SimHashExpr(exprs(0)))
     KernelRegistry.ensure(spark, "poly_fingerprint")(
       exprs => PolyFingerprintExpr(exprs(0)))
+    KernelRegistry.ensure(spark, "repetition_stats")(
+      exprs => RepetitionStatsExpr(exprs(0)))
   }
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
@@ -339,6 +409,11 @@ object TextKernelFns {
   def polyFingerprint(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("poly_fingerprint", text)
+  }
+
+  def repetitionStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("repetition_stats", text)
   }
 
   def langId(spark: SparkSession, text: Column,

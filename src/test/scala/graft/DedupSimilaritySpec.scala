@@ -33,6 +33,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("portable minhash: planted pairs found, repartition-invariant") {
+    val pairs = DedupOps.minhashPortablePairs(planted, numHashes = 8,
+        bands = 4, minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))   // exact dup: all mins equal
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup not found in ${pairs.toSeq}")
+    assert(!pairs.contains((4L, 5L)))
+    // md5-string mins are data-determined, not partitioning-determined
+    val repart = DedupOps.minhashPortablePairs(planted.repartition(7),
+        numHashes = 8, bands = 4, minJaccard = 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === repart.toSet)
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
     val j = DedupOps.jaccardPairs(planted, 3, 0.2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

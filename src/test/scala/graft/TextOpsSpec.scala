@@ -29,6 +29,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: known values on hand-built documents") {
+    val docs = Seq(
+      (1L, "a a a b c b b b b"),     // 9 toks, 3 distinct, top b=5, run b b b b=4, top bigram "b b"=3
+      (2L, "x"),                     // single token: no bigram, run 1
+      (3L, "go go go go"),           // pure loop
+      (4L, "all words here differ")  // no repetition
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.repetitionStats(spark, col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_toks"), col("r.n_distinct"),
+        col("r.top_tok_n"), col("r.top_bigram_n"), col("r.max_run"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) === ((9L, 3L, 5L, 3L, 4L)))
+    assert(out(2L) === ((1L, 1L, 1L, 0L, 1L)))
+    assert(out(3L) === ((4L, 1L, 4L, 3L, 4L)))
+    assert(out(4L) === ((4L, 4L, 1L, 1L, 1L)))
+  }
+
   test("fingerprints are stable across partitionings") {
     val a = SparkEntry.queries("t4_fingerprint")(spark, Sf0001).collect()
     val b = SparkEntry.queries("t4_fingerprint")(spark, Sf0001).collect()
