@@ -192,6 +192,48 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: click events joined to purchase events
+    * of the same user landing within 30 minutes after the click — the
+    * attribution shape ("which purchases follow which clicks"). Both
+    * sides carry a 1-hour watermark and the join condition bounds the
+    * event-time range, so each side's buffered state is capped at
+    * watermark + interval regardless of stream length — the only
+    * stream-stream join contract that survives an unbounded feed (an
+    * unconstrained join would buffer both streams forever). Inner join:
+    * matches emit as soon as both rows have arrived; the watermark only
+    * governs state eviction.
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_user").as("user_id"),
+        col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("delta_us"))
+  }
+
+  def runIntervalJoinToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_interval_join"): DataFrame = {
+    spark.catalog.dropTempView(queryName)   // see runToCompletion
+    val q = intervalJoin(readStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   // ---- custom state: streaming sessionizer ------------------------------
 
   final case class Ev(user_id: Long, ts_us: Long)

@@ -87,8 +87,26 @@ object StreamQueries {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** E9: stream-stream interval join (click → purchase within 30 min,
+    * same user), both sides watermarked so state is bounded; over the
+    * finite stream the emitted pairs equal the batch interval join,
+    * which is the oracle.
+    */
+  private def e9StreamJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runIntervalJoinToCompletion(s, d, "graft_stream_ivjoin")
+      .orderBy(col("click_id"), col("purchase_id"))
+
+  private val e9Sql =
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e9_stream_interval_join" -> Q(e9StreamJoin, Some(e9Sql)),
     "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),
     "e7_stream_dedup"    -> Q(e7StreamDedup, Some(e7Sql)),
     "e8_stream_enriched" -> Q(e8StreamEnriched, Some(e8Sql)),

@@ -55,6 +55,31 @@ class StreamSpec extends SparkSpec {
     assert(out.toSeq === truth.toSeq)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventStream
+      .runIntervalJoinToCompletion(spark, Sf0001, "spec_ivjoin")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ev = Tables.events(spark, Sf0001)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val batch = a.join(b, col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delta_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no interval-join pairs at sf0.001 — test vacuous")
+  }
+
   test("enrichment join is broadcast (asserted on the batch plan shape)") {
     // same join code the stream runs per micro-batch, applied to the
     // batch events frame — the static dimension must ride a broadcast
