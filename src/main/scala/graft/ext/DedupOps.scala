@@ -283,6 +283,69 @@ object DedupOps {
       .distinct()
   }
 
+  // ---- D3b: engine-portable SimHash (oracle-checked twin of d3) ----------
+  /** 16-bit SimHash whose every step is engine-portable, completing the
+    * portable sketch family begun by d2b: per token, the hash is the
+    * integer value of the first 4 hex chars of md5(token); bit i of the
+    * sketch is set iff more tokens have bit i set than not — the same
+    * majority vote as [[simhash64]], shrunk to the 16 bits a plain-SQL
+    * oracle can reassemble from md5 nibbles. d3 (64-bit xxhash64 kernel,
+    * map-only) remains the production sketch; d3b is the cross-engine
+    * proof of the bit-majority algebra, hash-checked against DuckDB.
+    *
+    * Shape: token explode feeding a per-doc 16-sum aggregation whose
+    * partial completes map-side (a doc's tokens stay in its input
+    * partition) — one exchange of (doc_id, 16 ints) per doc.
+    */
+  def simhash16Portable(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val v = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+    val sums = (0 until 16).map(i =>
+      sum(when(shiftright(col("v"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i"))
+    tok.select(col("doc_id"), v.as("v"))
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash16"))
+  }
+
+  private def d3bSimhashPortable(s: SparkSession, d: String): DataFrame =
+    simhash16Portable(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Oracle reassembling the same 16-bit value from md5 nibbles
+    * (strpos-decoded hex chars) and the same ±1 majority sums.
+    */
+  private val d3bSql = {
+    val hexv = (k: Int) =>
+      s"(strpos('0123456789abcdef', substr(h4, $k, 1)) - 1)"
+    val sums = (0 until 16).map(i =>
+      s"SUM(CASE WHEN (v // ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n       |    ")
+    val bits = (0 until 16).map(i =>
+      s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok),
+       |vv AS (
+       |  SELECT doc_id,
+       |         ${hexv(1)} * 4096 + ${hexv(2)} * 256 +
+       |         ${hexv(3)} * 16 + ${hexv(4)} AS v
+       |  FROM h),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM vv GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash16
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
   // ---- D4: exact n-gram Jaccard over candidate pairs ---------------------
   // Explode distinct shingles, bucket by shingle (co-occurrence count),
   // Jaccard = |∩| / (|A| + |B| - |∩|). The shingle bucketing IS the
@@ -723,6 +786,7 @@ object DedupOps {
     "d2_minhash_pairs"  -> Q(d2Minhash, None),
     "d2b_minhash_portable" -> Q(d2bMinhashPortable, Some(d2bSql)),
     "d3_simhash"        -> Q(d3Simhash, None),
+    "d3b_simhash_portable" -> Q(d3bSimhashPortable, Some(d3bSql)),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),
     "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),

@@ -468,8 +468,52 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- X6: per-label centroids (vector aggregation) ----------------------
+  /** Elementwise mean embedding per label — the vector-aggregation shape
+    * IVF coarse-quantizer training and class-prototype similarity both
+    * need. Long format (label, dim, centroid): posexplode puts each
+    * dimension on its own row, the (label, dim) aggregation combines
+    * map-side, and the output is pure scalars a SQL oracle can check.
+    * Float values cast to double before summing (exact); the mean is
+    * rounded to 6 dp on BOTH sides because a 2000-term double sum's
+    * engine-dependent addition order can differ in the last ulp
+    * (CLAUDE.md stddev discipline).
+    *
+    * Scale: one corpus scan + one exchange of (label × dim) partial
+    * sums — 640 cells here, bounded by |labels|·dim regardless of corpus
+    * size. No driver collect; the centroid table stays distributed for
+    * downstream joins (or broadcasts — it is tiny by construction).
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v").cast("double")), 6).as("centroid"))
+
+  private def x6LabelCentroids(s: SparkSession, d: String): DataFrame =
+    labelCentroids(Tables.embeddings(s, d))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        col("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Oracle: same long-format explode via generate_series list indexing
+    * (embedding[i+1] for dim i — Spark's posexplode is 0-based), same
+    * double cast and 6-dp round.
+    */
+  private val x6Sql =
+    """WITH e AS (
+      |  SELECT label, embedding,
+      |         unnest(range(0, len(embedding))) AS dim
+      |  FROM embeddings)
+      |SELECT label, CAST(dim AS BIGINT) AS dim,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(AVG(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)), 6)
+      |         AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
+    "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2LshTopK, None),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4IvfTopK, None),

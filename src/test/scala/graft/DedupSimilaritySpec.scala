@@ -48,6 +48,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSet === repart.toSet)
   }
 
+  test("portable simhash16: dups equal, near-dups close, repartition-invariant") {
+    def table(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.simhash16Portable(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = table(planted)
+    assert(h(1L) === h(2L))                       // identical text, identical sketch
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)),
+      s"near-dup ${ham(h(1L), h(3L))} not closer than unrelated ${ham(h(1L), h(4L))}")
+    assert(h === table(planted.repartition(5)))   // data-determined, not partitioning
+    assert(h.values.forall(v => v >= 0L && v < 65536L))
+  }
+
+  test("label centroids equal hand-computed elementwise means") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0)) === ((2L, 2.0)))
+    assert(out((0, 1)) === ((2L, 4.0)))
+    assert(out((1, 0)) === ((1L, 10.0)))
+    assert(out((1, 1)) === ((1L, 0.0)))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
     val j = DedupOps.jaccardPairs(planted, 3, 0.2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
