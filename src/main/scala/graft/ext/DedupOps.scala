@@ -137,27 +137,44 @@ object DedupOps {
     * which bias est_jaccard up imperceptibly and identically in both
     * engines.
     *
-    * Scale: the shingle explode feeds a per-doc min aggregation whose
-    * partial combines map-side (a doc's shingles never leave its input
-    * partition), so the first exchange carries ONE 8×4-hex row per doc;
-    * the second is d2's (band, bucket) shuffle with the same maxBucket
+    * Scale: signatures are MAP-ONLY (one md5-minhash kernel call per
+    * document — functions.TextKernels.md5MinhashSig — no shingle
+    * explode, no per-doc aggregation shuffle), so the only exchange is
+    * d2's (band, bucket) shuffle with the same maxBucket
     * degenerate-bucket cap. Bucket identity is the concatenated band
     * slice itself (string equality), not an engine hash — a hash()
     * bucket collision could otherwise synthesize a candidate pair the
     * oracle provably lacks.
     */
-  def minhashPortablePairs(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
-      bands: Int = 4, minJaccard: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
+  /** The explode + min(substring(md5)) expression form of the d2b
+    * signature — the readable statement of the algebra, kept for the
+    * kernel parity spec; the registered query rides the map-only kernel.
+    */
+  private[graft] def md5SigExpressionForm(docs: DataFrame,
+      w: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(shingles(col("text"), w)).as("sh"))
     val minCols = (0 until numHashes).map(j =>
       min(substring(md5(col("sh")), 4 * j + 1, 4)).as(s"m$j"))
-    val sig = sh.groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  def minhashPortablePairs(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, minJaccard: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // Signatures via the map-only kernel (one md5-minhash call per doc —
+    // no shingle explode, no per-doc aggregation shuffle; 3.9 s → the
+    // cost of one corpus scan at sf0.1). Values are identical to
+    // [[md5SigExpressionForm]] (spec-asserted): portability lives in the
+    // md5-slice VALUES the oracle recomputes, not in the plan shape.
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.md5MinhashSig(
+        docs.sparkSession, col("text"), w, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("|",

@@ -70,6 +70,47 @@ object EventOps {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // ---- E2b: native session_window (the declarative sessionizer) ---------
+  /** The same 30-min-gap sessionization expressed through Spark's native
+    * `session_window` (one hash-agg with window merging — usable batch AND
+    * streaming) instead of e2's two window passes. Boundary semantics
+    * match e2 exactly: an event landing at precisely start + gap still
+    * MERGES (spec-pinned — adjacent windows coalesce; only diff > gap
+    * splits), so the oracle is e2's gaps-and-islands with the same
+    * strict-> split, emitting session_window's `max(ts) + gap` end.
+    *
+    * Scale: one shuffle on user_id, merge inside the aggregate — no
+    * two-pass window, no rank state; the streaming form shares the
+    * operator (state = open windows within the watermark).
+    */
+  private def e2bSessionWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  private val e2bSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, EPOCH_US(MIN(ts)) AS start_us,
+      |  EPOCH_US(MAX(ts)) + 1800000000 AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   // ---- E3: per-user daily activity pivot-style rollup --------------------
   private def e3DailyUser(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -116,6 +157,7 @@ object EventOps {
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
     "e5_pivot"           -> Q(e5Pivot, Some(e5Sql)),
     "e2_sessionization"  -> Q(e2Sessions, Some(e2Sql)),
+    "e2b_session_window" -> Q(e2bSessionWindow, Some(e2bSql)),
     "e3_daily_rollup"    -> Q(e3DailyUser, Some(e3Sql)),
   )
 }

@@ -107,6 +107,57 @@ object TextKernels {
     if (empty) null else new GenericArrayData(sig)
   }
 
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex of a digest — same text Spark's md5() expression emits. */
+  private def toHex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = HexChars((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Engine-portable minhash signature (d2b): per distinct w-shingle, the
+    * lowercase md5 hex; permutation j's hash is the 4-hex-char slice at
+    * [4j, 4j+4) and the signature entry is the LEXICOGRAPHIC min of those
+    * slices — bit-identical values to the explode + min(substring(md5))
+    * expression form (spec-asserted), computed map-only in one pass: no
+    * shingle explode, no per-doc aggregation shuffle. Portability lives
+    * in the VALUES (standard md5 both engines agree on), not in the plan
+    * shape. Null for shingle-less docs, like minhashSig.
+    */
+  def md5MinhashSig(text: UTF8String, w: Int, numHashes: Int): ArrayData = {
+    require(numHashes >= 1 && numHashes <= 8,
+      s"md5 yields 32 hex chars = 8 four-char permutation slices, got $numHashes")
+    val set = shingleSet(text, w)
+    if (set.isEmpty) return null
+    val sig = new Array[String](numHashes)
+    val md = md5Digest.get()
+    val it = set.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val hex = toHex(md.digest(
+        it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      var j = 0
+      while (j < numHashes) {
+        val s = hex.substring(4 * j, 4 * j + 4)
+        if (sig(j) == null || s.compareTo(sig(j)) < 0) sig(j) = s
+        j += 1
+      }
+    }
+    new GenericArrayData(sig.map(UTF8String.fromString(_)): Array[AnyRef])
+  }
+
   /** Polynomial rolling fingerprint over unicode codepoints:
     * h := (h·31 + codepoint) mod (2³¹−1), h₀ = 0. Deliberately
     * engine-neutral — any engine that can fold over codepoints computes
@@ -232,6 +283,32 @@ case class MinHashSigExpr(child: Expression, w: Int, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
        |${ev.value} = graft.functions.TextKernels.minhashSig($c, $w, $numHashes);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<string> engine-portable md5 minhash signature (null for
+  * shingle-less docs — matches the explode form, where such docs produce
+  * no row).
+  */
+case class Md5MinHashSigExpr(child: Expression, w: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_minhash_sig expects string, got ${child.dataType.simpleString}")
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.md5MinhashSig(t.asInstanceOf[UTF8String], w, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.TextKernels.md5MinhashSig($c, $w, $numHashes);
        |${ev.isNull} = ${ev.value} == null;
      """.stripMargin)
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -380,6 +457,8 @@ object TextKernelFns {
       exprs => PolyFingerprintExpr(exprs(0)))
     KernelRegistry.ensure(spark, "repetition_stats")(
       exprs => RepetitionStatsExpr(exprs(0)))
+    KernelRegistry.ensure(spark, "md5_minhash_sig")(
+      exprs => Md5MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
   }
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
@@ -414,6 +493,14 @@ object TextKernelFns {
   def repetitionStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("repetition_stats", text)
+  }
+
+  def md5MinhashSig(spark: SparkSession, text: Column, w: Int,
+      numHashes: Int): Column = {
+    register(spark)
+    call_function("md5_minhash_sig", text,
+      org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(numHashes))
   }
 
   def langId(spark: SparkSession, text: Column,

@@ -71,8 +71,51 @@ object JsonAndSinks {
     """SELECT lang, COUNT(*) AS n FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- S9: ORC source/sink round-trip ------------------------------------
+  // One ORC landing per source dir (TrieMap memo, same lifecycle as
+  // sinkDirs) so Verify/Bench reps measure the steady-state read, not the
+  // landing write — the j6/d8b amortized-landing discipline.
+  private val orcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** S9: the second columnar format. Orders land once as ORC; the read
+    * path must push the filter into the ORC reader (same PushedFilters
+    * machinery as parquet — asserted in SinksSpec) and the filtered
+    * aggregate must be result-transparent vs the parquet source, which is
+    * exactly what the oracle checks. At 100 TB, format choice is a
+    * per-table layout decision; the engine reads both without the query
+    * changing.
+    */
+  private def s9OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = orcDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc_sink")
+      Tables.orders(s, d).write.mode("overwrite").orc(dir.toString)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      dir
+    })
+    s.read.orc(out.toString)
+      .filter(col("o_totalprice") > 50000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val s9Sql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${graft.util.Det.sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders WHERE o_totalprice > 50000.0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s6_json_extract"     -> Q(s6JsonExtract, Some(s6Sql)),
     "s7_partitioned_sink" -> Q(s7PartitionedSink, Some(s7Sql)),
+    "s9_orc_roundtrip"    -> Q(s9OrcRoundtrip, Some(s9Sql)),
   )
 }

@@ -225,12 +225,23 @@ object EventStream {
   def runIntervalJoinToCompletion(spark: SparkSession, dir: String,
       queryName: String = "stream_interval_join"): DataFrame = {
     spark.catalog.dropTempView(queryName)   // see runToCompletion
-    val q = intervalJoin(readStream(spark, dir))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // A stream-stream join maintains FOUR state stores per shuffle
+    // partition (two per side); their open/commit bookkeeping — not the
+    // data — dominated this query at 32 partitions (8.1 s at sf0.1 for a
+    // ~20k-row finite stream). The state partition count is fixed at
+    // query start from spark.sql.shuffle.partitions, so scope a smaller
+    // value to this run and restore after. On a real unbounded feed this
+    // knob is sized to state VOLUME (watermark·rate), not fixed overhead.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = intervalJoin(readStream(spark, dir))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 

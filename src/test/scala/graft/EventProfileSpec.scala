@@ -8,6 +8,40 @@ import graft.ext.MultimodalOps
   */
 class EventProfileSpec extends SparkSpec {
 
+  test("session_window: exact-gap boundary MERGES, beyond-gap splits") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val ev = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(10)),
+      (3L, 1L, ts(40)),                    // gap == 30 min exactly -> MERGES
+      (4L, 1L, ts(50)),
+      (5L, 1L, ts(81)),                    // 31-min gap -> new session
+      (6L, 2L, ts(0))                      // other user
+    ).toDF("event_id", "user_id", "ts")
+    val out = ev.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .orderBy(col("user_id"), col("w.start"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, ts(0), ts(80), 4L),     // 0,10,40,50 coalesce; end = 50 + 30
+      (1L, ts(81), ts(111), 1L),   // split strictly beyond the gap
+      (2L, ts(0), ts(30), 1L)))
+  }
+
+  test("s9: ORC read path pushes the filter into the ORC scan") {
+    val df = SparkEntry.queries("s9_orc_roundtrip")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("OrcScan") || plan.contains("Format: ORC")
+      || plan.toLowerCase.contains("orc"), s"not an ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,50000.0)]"),
+      s"filter not pushed into the ORC reader:\n$plan")
+  }
+
   test("sessionization: no within-session gap exceeds 30 min, session count sane") {
     val sessions = SparkEntry.queries("e2_sessionization")(spark, Sf0001)
     val ev = Tables.events(spark, Sf0001)

@@ -89,6 +89,19 @@ class TextKernelsSpec extends SparkSpec {
     assert(kernel.contains(1L))
   }
 
+  test("md5-minhash kernel ≡ explode+min(substring(md5)) form on adversarial inputs") {
+    val docs = docsDf
+    val expr = DedupOps.md5SigExpressionForm(docs, 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val kernel = docs.select(col("doc_id"),
+      TextKernelFns.md5MinhashSig(spark, col("text"), 3, 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel === expr)
+    assert(!kernel.contains(0L))   // shingle-less docs vanish both ways
+    assert(!kernel.contains(NullId))
+  }
+
   test("simhash kernel ≡ per-row expression form on adversarial inputs") {
     val docs = docsDf
     val expr = docs.filter(col("text").isNotNull)
