@@ -111,6 +111,79 @@ object Sampling {
       .drop("_salt", "_rn1")
   }
 
+  /** Exact stratified sampling: per stratum, keep exactly
+    * floor(frac(stratum) · |stratum|) rows chosen by the portable md5
+    * rank — the "40% web, 25% code, 10% forums" training-mix op with
+    * EXACT per-stratum counts, where Spark's `sampleBy` gives only
+    * expected fractions, varies per run, and can't be oracle-checked.
+    * Membership is a pure function of (stratum, key, seed): any engine
+    * reproduces it.
+    *
+    * Scale: same two-level window as [[quotaSample]], with the
+    * per-stratum quota joined in (strata counts are a broadcast —
+    * |strata| rows) so the (group, salt) pre-reduce bounds a dominant
+    * stratum to preSplit·quota rows before the final per-stratum rank.
+    * Same conservativeness argument: a row in the global per-stratum
+    * top-quota ranks ≤ quota inside its salt slice too.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCols: Seq[String],
+      fracExpr: Column, seed: Long = 42L, preSplit: Int = 32): DataFrame = {
+    val rank = rankMd5(keyCols, seed)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_str"))
+    val withQuota = df
+      .join(broadcast(counts), groupCol)
+      .withColumn("_quota", floor(fracExpr * col("_n_str")))
+    val salt = pmod(xxhash64((keyCols.map(col) :+ lit(seed)): _*),
+      lit(preSplit.toLong))
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy((rank +: keyCols.map(col)): _*)
+    val reduced =
+      if (preSplit <= 1) withQuota
+      else withQuota.withColumn("_salt", salt)
+        .withColumn("_rn1", row_number().over(w1))
+        .filter(col("_rn1") <= col("_quota"))
+        .drop("_salt", "_rn1")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((rank +: keyCols.map(col)): _*)
+    reduced.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_quota"))
+      .drop("_n_str", "_quota", "_rn")
+  }
+
+  /** M4: the training-mix fractions — half of the first five sources, a
+    * quarter of the next five, a tenth of the rest.
+    */
+  private val HighStrata = (0 to 4).map(i => s"src$i")
+  private val MidStrata = (5 to 9).map(i => s"src$i")
+
+  private def m4Stratified(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d), "source", Seq("doc_id"),
+      when(col("source").isin(HighStrata: _*), 0.5)
+        .when(col("source").isin(MidStrata: _*), 0.25)
+        .otherwise(0.1))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  private val m4Sql = {
+    val high = HighStrata.map(s => s"'$s'").mkString(", ")
+    val mid = MidStrata.map(s => s"'$s'").mkString(", ")
+    s"""WITH n AS (SELECT source, COUNT(*) AS n_str FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN source IN ($high) THEN 0.5
+       |         WHEN source IN ($mid) THEN 0.25
+       |         ELSE 0.1 END AS frac,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')), doc_id
+       |    ) AS rn
+       |  FROM documents)
+       |SELECT source, doc_id FROM r JOIN n USING (source)
+       |-- CAST to DOUBLE: DuckDB's bare 0.1 literal is DECIMAL; Spark
+       |-- multiplies doubles — both sides must take the same IEEE floor
+       |WHERE rn <= FLOOR(CAST(frac AS DOUBLE) * n_str)
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** C2: at most 10 docs per source, md5-ranked → DuckDB-reproducible. */
   private def c2QuotaSample(s: SparkSession, d: String): DataFrame =
     quotaSample(Tables.documents(s, d), "source", Seq("doc_id"), 10)
@@ -135,5 +208,6 @@ object Sampling {
   val qs: Seq[(String, Q)] = Seq(
     "m3_hash_sample"  -> Q(m3HashSample, Some(m3Sql)),
     "c2_quota_sample" -> Q(c2QuotaSample, Some(c2Sql)),
+    "m4_stratified"   -> Q(m4Stratified, Some(m4Sql)),
   )
 }

@@ -113,9 +113,54 @@ object JsonAndSinks {
        |FROM orders WHERE o_totalprice > 50000.0
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- S10: schema evolution across landed batches -----------------------
+  private val mergeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** S10: schema drift at the landing zone — batch 1 lands (doc_id,
+    * n_chars), batch 2 lands with a new `lang` column, and one
+    * mergeSchema read unions them (missing column → null). This is the
+    * everyday 100 TB reality (producers add fields mid-stream); the read
+    * must neither fail nor silently drop the new column. mergeSchema
+    * costs a footer read per file at planning — enable it per-read like
+    * here (or land with an explicit evolved schema), not globally.
+    * Oracle: the same union derived from the source table, nulls where
+    * batch 1 had no lang.
+    */
+  private def s10SchemaMerge(s: SparkSession, d: String): DataFrame = {
+    val out = mergeDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_schema_merge")
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      dir
+    })
+    s.read.option("mergeSchema", "true").parquet(out.toString)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  private val s10Sql =
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+      |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s6_json_extract"     -> Q(s6JsonExtract, Some(s6Sql)),
     "s7_partitioned_sink" -> Q(s7PartitionedSink, Some(s7Sql)),
     "s9_orc_roundtrip"    -> Q(s9OrcRoundtrip, Some(s9Sql)),
+    "s10_schema_merge"    -> Q(s10SchemaMerge, Some(s10Sql)),
   )
 }

@@ -97,6 +97,26 @@ class BucketingSpec extends SparkSpec {
       "quota sample changed under repartitioning")
   }
 
+  test("stratified sampling: exact floor(frac*n) per stratum, pre-reduce transparent") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf0001)
+    val frac = when(col("lang") === "en", 0.5).otherwise(0.2)
+    val out = Sampling.stratifiedSample(docs, "lang", Seq("doc_id"), frac)
+      .select("doc_id", "lang").collect()
+    val trueN = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    trueN.foreach { case (l, n) =>
+      val f = if (l == "en") 0.5 else 0.2
+      assert(got.getOrElse(l, 0) === math.floor(f * n).toInt, s"stratum $l")
+    }
+    // pre-reduce never changes membership; partitioning never changes it
+    val single = Sampling.stratifiedSample(docs.repartition(13), "lang",
+        Seq("doc_id"), frac, preSplit = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet === single)
+  }
+
   test("bucketed landing re-lands when the source parquet is rewritten") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tmp = Files.createTempDirectory("graft_j6_stale")
