@@ -63,14 +63,16 @@ object GenFixtures {
           SparkEntry.queries(q)(spark, dir)
         }
     }
-    // mm1: real-decode features over synthesized media (MultimodalSpec)
-    write("mm1_sf0.01") {
-      MultimodalOps.extractFeatures(spark,
-          MultimodalOps.synthesizeMedia(
-            Tables.documents(spark, "/root/testdata/sf0.01")))
-        .select(col("doc_id"), col("media_type"), col("n_bytes"),
-          col("features"))
-    }
+    // mm1: real-decode features over synthesized media (MultimodalSpec),
+    // frozen at BOTH SFs like the sketch/ANN fixtures
+    for ((dir, tag) <- Seq("/root/testdata/sf0.01" -> "sf0.01",
+        "/root/testdata/sf0.1" -> "sf0.1"))
+      write(s"mm1_$tag") {
+        MultimodalOps.extractFeatures(spark,
+            MultimodalOps.synthesizeMedia(Tables.documents(spark, dir)))
+          .select(col("doc_id"), col("media_type"), col("n_bytes"),
+            col("features"))
+      }
     spark.stop()
   }
 }

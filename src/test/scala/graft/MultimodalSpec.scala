@@ -104,15 +104,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("mm1 features match the frozen fixture at sf0.01") {
-    val got = MultimodalOps.extractFeatures(spark,
-        MultimodalOps.synthesizeMedia(Tables.documents(spark, Sf001)))
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        col("features"))
-    val want = spark.read.parquet("src/test/resources/fixtures/mm1_sf0.01")
-    assert(want.count() > 0)
-    assert(got.exceptAll(want).count() === 0 &&
-      want.exceptAll(got).count() === 0,
-      "mm1 drifted from the frozen decode fixture")
-  }
+  for ((dir, tag) <- Seq(("/root/testdata/sf0.01", "sf0.01"),
+      ("/root/testdata/sf0.1", "sf0.1")))
+    test(s"mm1 features match the frozen fixture at $tag") {
+      val got = MultimodalOps.extractFeatures(spark,
+          MultimodalOps.synthesizeMedia(Tables.documents(spark, dir)))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("features"))
+      val want = spark.read.parquet(s"src/test/resources/fixtures/mm1_$tag")
+      assert(want.count() > 0)
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0,
+        "mm1 drifted from the frozen decode fixture")
+    }
 }
