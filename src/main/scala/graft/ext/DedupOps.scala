@@ -165,6 +165,12 @@ object DedupOps {
   def minhashPortablePairs(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
       bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    // md5 yields 32 hex chars = at most 8 four-char permutation slices;
+    // a non-dividing band count would silently leave hashes unbanded
+    // (candidates lost, est_jaccard still averaged over all of them)
+    require(numHashes >= 1 && numHashes <= 8 && bands >= 1 &&
+      numHashes % bands == 0,
+      s"need 1 <= numHashes <= 8 and bands | numHashes; got $numHashes/$bands")
     val rowsPerBand = numHashes / bands
     // Signatures via the map-only kernel (one md5-minhash call per doc —
     // no shingle explode, no per-doc aggregation shuffle; 3.9 s → the

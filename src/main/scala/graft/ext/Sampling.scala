@@ -77,7 +77,8 @@ object Sampling {
   def quotaSample(df: DataFrame, groupCol: String, keyCols: Seq[String],
       quota: Int, seed: Long = 42L, preSplit: Int = 32): DataFrame = {
     val rank = rankMd5(keyCols, seed)
-    val reduced = quotaPreReduce(df, groupCol, keyCols, quota, seed, preSplit)
+    val reduced =
+      quotaPreReduce(df, groupCol, keyCols, lit(quota), seed, preSplit)
     val w = Window.partitionBy(col(groupCol))
       .orderBy((rank +: keyCols.map(col)): _*)
     reduced.withColumn("_rn", row_number().over(w))
@@ -89,12 +90,14 @@ object Sampling {
     md5(concat_ws("|",
       (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*))
 
-  /** Level-1 skew pre-reduce for [[quotaSample]] (visible for the skew
-    * spec): top-`quota` within every (group, salt) slice. Conservative by
-    * construction — a superset of the final per-group top-quota.
+  /** Level-1 skew pre-reduce for [[quotaSample]] and [[stratifiedSample]]
+    * (visible for the skew spec): top-`quota` within every (group, salt)
+    * slice, where quota may be a per-row column (the stratified case
+    * joins it in before calling). Conservative by construction — a
+    * superset of the final per-group top-quota.
     */
   private[graft] def quotaPreReduce(df: DataFrame, groupCol: String,
-      keyCols: Seq[String], quota: Int, seed: Long,
+      keyCols: Seq[String], quota: Column, seed: Long,
       preSplit: Int): DataFrame = {
     if (preSplit <= 1) return df
     val rank = rankMd5(keyCols, seed)
@@ -133,16 +136,8 @@ object Sampling {
     val withQuota = df
       .join(broadcast(counts), groupCol)
       .withColumn("_quota", floor(fracExpr * col("_n_str")))
-    val salt = pmod(xxhash64((keyCols.map(col) :+ lit(seed)): _*),
-      lit(preSplit.toLong))
-    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
-      .orderBy((rank +: keyCols.map(col)): _*)
-    val reduced =
-      if (preSplit <= 1) withQuota
-      else withQuota.withColumn("_salt", salt)
-        .withColumn("_rn1", row_number().over(w1))
-        .filter(col("_rn1") <= col("_quota"))
-        .drop("_salt", "_rn1")
+    val reduced = quotaPreReduce(withQuota, groupCol, keyCols,
+      col("_quota"), seed, preSplit)
     val w = Window.partitionBy(col(groupCol))
       .orderBy((rank +: keyCols.map(col)): _*)
     reduced.withColumn("_rn", row_number().over(w))

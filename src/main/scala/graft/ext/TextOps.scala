@@ -318,6 +318,10 @@ object TextOps {
     */
   private def t11Repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // null-text docs are excluded on BOTH sides (the oracle's inner
+      // joins drop token-less docs): without this, a null text would
+      // emit a null-stats row here and no row there
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         graft.functions.TextKernelFns.repetitionStats(s, col("text")).as("r"))
       .select(col("doc_id"),
@@ -344,7 +348,8 @@ object TextOps {
     */
   private val t11Sql =
     """WITH toks AS (
-      |  SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents),
+      |  SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
       |pos AS (
       |  SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM toks),
       |tok AS (SELECT doc_id, i, t[i] AS tok FROM pos),
@@ -383,7 +388,8 @@ object TextOps {
       |  LEFT JOIN bg ON bg.doc_id = base.doc_id)
       |SELECT doc_id, n_toks, n_distinct, top_tok_n, top_bigram_n, max_run,
       |       top_tok_frac, top_bigram_frac, distinct_frac,
-      |       (top_bigram_frac > 0.1 OR max_run >= 3) AS repetitive
+      |       (top_bigram_frac > CAST(0.1 AS DOUBLE) OR max_run >= 3)
+      |         AS repetitive
       |FROM j ORDER BY doc_id""".stripMargin
 
   val qs: Seq[(String, Q)] = Seq(

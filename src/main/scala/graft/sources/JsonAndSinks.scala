@@ -34,15 +34,14 @@ object JsonAndSinks {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  // One sink directory per source dir, deleted on JVM exit — repeated s7
-  // calls in one session (Verify + Bench + suites share sessions) must not
-  // leak a /tmp dir per call. Same pattern as streaming.EventStream.
-  private val sinkDirs =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
-
-  private def sinkDir(src: String): java.nio.file.Path =
-    sinkDirs.getOrElseUpdate(src, {
-      val out = java.nio.file.Files.createTempDirectory("graft_partitioned_sink")
+  // One landing directory per memo key, deleted on JVM exit — repeated
+  // calls in one session (Verify + Bench + suites share sessions) must
+  // not leak a /tmp dir per call. Same pattern as streaming.EventStream.
+  private def tempLandingDir(
+      memo: scala.collection.concurrent.TrieMap[String, java.nio.file.Path],
+      key: String, prefix: String): java.nio.file.Path =
+    memo.getOrElseUpdate(key, {
+      val out = java.nio.file.Files.createTempDirectory(prefix)
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(out)
@@ -52,6 +51,21 @@ object JsonAndSinks {
       }
       out
     })
+
+  // The s9/s10 memo keys include the SOURCE file's mtime (same staleness
+  // guard as relational.Bucketed): a rewritten source parquet re-lands
+  // instead of serving a stale landing for the rest of the JVM. s7
+  // rewrites on every call, so its key is just the dir.
+  private def mtimeKey(src: String, table: String): String = {
+    val f = new java.io.File(s"$src/$table.parquet")
+    s"$src|$table|${f.lastModified()}"
+  }
+
+  private val sinkDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def sinkDir(src: String): java.nio.file.Path =
+    tempLandingDir(sinkDirs, src, "graft_partitioned_sink")
 
   /** S7: partitioned parquet sink round-trip — write documents partitioned
     * by lang, read back through the partitioned layout, count per
@@ -72,33 +86,27 @@ object JsonAndSinks {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- S9: ORC source/sink round-trip ------------------------------------
-  // One ORC landing per source dir (TrieMap memo, same lifecycle as
-  // sinkDirs) so Verify/Bench reps measure the steady-state read, not the
-  // landing write — the j6/d8b amortized-landing discipline.
+  // One ORC landing per (source dir, source mtime) so Verify/Bench reps
+  // measure the steady-state read, not the landing write — the j6/d8b
+  // amortized-landing discipline, staleness-guarded like Bucketed.
   private val orcDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   /** S9: the second columnar format. Orders land once as ORC; the read
     * path must push the filter into the ORC reader (same PushedFilters
-    * machinery as parquet — asserted in SinksSpec) and the filtered
-    * aggregate must be result-transparent vs the parquet source, which is
-    * exactly what the oracle checks. At 100 TB, format choice is a
-    * per-table layout decision; the engine reads both without the query
-    * changing.
+    * machinery as parquet — plan-asserted in EventProfileSpec's s9 test)
+    * and the filtered aggregate must be result-transparent vs the parquet
+    * source, which is exactly what the oracle checks. At 100 TB, format
+    * choice is a per-table layout decision; the engine reads both without
+    * the query changing.
     */
   private def s9OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = orcDirs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_orc_sink")
-      Tables.orders(s, d).write.mode("overwrite").orc(dir.toString)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.iterator().asScala.toSeq.reverseIterator
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+    val out = {
+      val dir = tempLandingDir(orcDirs, mtimeKey(d, "orders"), "graft_orc_sink")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+        Tables.orders(s, d).write.mode("overwrite").orc(dir.toString)
       dir
-    })
+    }
     s.read.orc(out.toString)
       .filter(col("o_totalprice") > 50000.0)
       .groupBy(col("o_orderpriority"))
@@ -128,24 +136,20 @@ object JsonAndSinks {
     * batch 1 had no lang.
     */
   private def s10SchemaMerge(s: SparkSession, d: String): DataFrame = {
-    val out = mergeDirs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_schema_merge")
-      val docs = Tables.documents(s, d)
-      docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$dir/batch=1")
-      docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("n_chars"), col("lang"))
-        .write.mode("overwrite").parquet(s"$dir/batch=2")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.iterator().asScala.toSeq.reverseIterator
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
+    val out = {
+      val dir = tempLandingDir(mergeDirs, mtimeKey(d, "documents"),
+        "graft_schema_merge")
+      if (!java.nio.file.Files.exists(dir.resolve("batch=2"))) {
+        val docs = Tables.documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$dir/batch=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$dir/batch=2")
       }
       dir
-    })
+    }
     s.read.option("mergeSchema", "true").parquet(out.toString)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))

@@ -148,8 +148,8 @@ class BucketingSpec extends SparkSpec {
       (1L to 20L).map(i => ("small", 100000L + i))).toDF("grp", "id")
     val quota = 7
     val preSplit = 32
-    val reduced = Sampling.quotaPreReduce(skewed, "grp", Seq("id"), quota,
-      seed = 42L, preSplit = preSplit)
+    val reduced = Sampling.quotaPreReduce(skewed, "grp", Seq("id"),
+      lit(quota), seed = 42L, preSplit = preSplit)
     val perGroup = reduced.groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // the dominant group shrinks to ≤ preSplit·quota rows BEFORE the final
