@@ -290,8 +290,54 @@ object Curation {
       |SELECT source, doc_id, bin_id FROM pack
       |ORDER BY source, doc_id""".stripMargin
 
+  // ---- C5: deterministic sharding (the training-shuffle landing) ---------
+  /** Assign every document a shard in [0, numShards) from the md5 of its
+    * key and seed — the final "shuffle the corpus into N training
+    * shards" step of a data pipeline. MAP-ONLY and layout-independent:
+    * shard identity is a pure function of (key, seed), so re-runs,
+    * repartitioned inputs, and other engines place every row in the same
+    * shard (membership is the oracle, not just shard sizes). Writing the
+    * shards is then `df.write.partitionBy("shard")` — the s7 sink shape.
+    *
+    * The shard index is the first two md5 hex chars mod numShards —
+    * portable arithmetic both engines compute identically (numShards is
+    * capped at 256 = 2 hex chars; enough output shards come from
+    * partitionBy on (shard, file split) at any scale).
+    */
+  def shardAssign(df: DataFrame, keyCols: Seq[String], numShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numShards >= 1 && numShards <= 256,
+      s"numShards must be in [1, 256], got $numShards")
+    val key = concat_ws("|",
+      (keyCols.map(c => col(c).cast("string")) :+ lit(seed.toString)): _*)
+    df.withColumn("shard",
+      (conv(substring(md5(key), 1, 2), 16, 10).cast("long")
+        % numShards).cast("int"))
+  }
+
+  private def c5Sharding(s: SparkSession, d: String): DataFrame =
+    shardAssign(graft.Tables.documents(s, d), Seq("doc_id"), 10)
+      .select(col("doc_id"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the same two-hex-char value reassembled from strpos-decoded
+    * nibbles (DuckDB has no hex→int conv), mod the same shard count.
+    */
+  private val c5Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+      |                1, 2) AS h2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(((strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16 +
+      |        (strpos('0123456789abcdef', substr(h2, 2, 1)) - 1)) % 10
+      |    AS INT) AS shard
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
+    "c5_sharding" -> Q(c5Sharding, Some(c5Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
     "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),
     "c3_chunking" -> Q(c3Chunk, Some(c3Sql)),

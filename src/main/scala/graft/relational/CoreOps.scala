@@ -359,6 +359,18 @@ object CoreOps {
     s.sql(q1Sql)
   }
 
+  /** SQL2: the snowflake join (j2's Q5 shape) through the same raw-SQL
+    * surface — the exact DuckDB oracle text, joins and decimal revenue
+    * arithmetic included, parsed and planned by Spark unchanged.
+    * Catalyst still broadcasts the dims (no hints in the text — size
+    * estimation does it), which is the point: ANSI text in, the same
+    * plan quality as the DataFrame form out.
+    */
+  private def sql2TpchQ5(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(j2Sql)
+  }
+
   // ---- M1/M2: seeded split + Bernoulli sample (no SQL oracle: RNG) -------
   // stroke_predict.py:152 randomSplit(seed=42); smote_sampling.py:53 sample.
   private def m1Split(s: SparkSession, d: String): DataFrame = {
@@ -377,6 +389,7 @@ object CoreOps {
   val qs: Seq[(String, Q)] = Seq(
     "q1_pricing_summary" -> Q(q1Pricing, Some(q1Sql)),
     "sql1_tpch_q1"       -> Q(sql1TpchQ1, Some(q1Sql)),
+    "sql2_tpch_q5"       -> Q(sql2TpchQ5, Some(j2Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

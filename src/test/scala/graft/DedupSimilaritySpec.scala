@@ -75,6 +75,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out((1, 1)) === ((1L, 0.0)))
   }
 
+  test("sharding: bounded, layout-independent, and reasonably balanced") {
+    val docs = Tables.documents(spark, Sf0001)
+    val a = graft.ext.Curation.shardAssign(docs, Seq("doc_id"), 10)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.values.forall(s => s >= 0 && s < 10))
+    val b = graft.ext.Curation.shardAssign(docs.repartition(9), Seq("doc_id"), 10)
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b, "shard assignment depends on layout")
+    // md5 uniformity: no shard should be pathologically over/under-filled
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    val expect = a.size / 10.0
+    sizes.values.foreach(n => assert(n > expect * 0.5 && n < expect * 1.5,
+      s"shard sizes skewed: ${sizes.toMap}"))
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
     val j = DedupOps.jaccardPairs(planted, 3, 0.2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
