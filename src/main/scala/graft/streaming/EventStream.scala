@@ -98,20 +98,41 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Run a streaming frame to completion into a memory sink. Two shared
+    * disciplines live here: (1) callers reuse FIXED query names and the
+    * previous run's memory table is dropped first — a long-lived session
+    * must not accumulate one driver-side result copy per invocation;
+    * (2) spark.sql.shuffle.partitions is scoped down for the run —
+    * stateful operators open/commit one state store (several, for
+    * stream-stream joins) per shuffle partition, and that bookkeeping,
+    * not data, dominates finite test-scale streams (e9: 8.1 s at 32
+    * partitions → 3.0 s at 8, identical results). The partition count is
+    * fixed at query start, so the scoped value binds even though `build`
+    * is evaluated lazily. On a real unbounded feed this knob is sized to
+    * state volume (watermark·rate), not fixed overhead.
+    */
+  private def runScoped(spark: SparkSession, queryName: String,
+      mode: String)(build: => DataFrame): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = build.writeStream.outputMode(mode)
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
+  }
+
   /** Run the dedup stream over the duplicate-delivery landing dir; the
     * result must equal the events table exactly — each event once.
     */
   def runDedupToCompletion(spark: SparkSession, dir: String,
-      queryName: String = "stream_dedup"): DataFrame = {
-    spark.catalog.dropTempView(queryName)   // see runToCompletion
-    val q = dedupStream(readStreamDuplicated(spark, dir))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "stream_dedup"): DataFrame =
+    runScoped(spark, queryName, "append")(
+      dedupStream(readStreamDuplicated(spark, dir)))
 
   /** Tumbling 1-hour window with a 1-hour watermark: count + sum(value)
     * per (window, event_type). State is bounded by the watermark — late
@@ -131,19 +152,9 @@ object EventStream {
     * because the sink is a full snapshot of windowed aggregates.
     */
   def runToCompletion(spark: SparkSession, dir: String,
-      queryName: String = "stream_tumbling"): DataFrame = {
-    // a long-lived shared session must not accumulate one memory-sink
-    // table (a full driver-side result copy) per invocation — callers
-    // reuse fixed names and the previous run's table is dropped here
-    spark.catalog.dropTempView(queryName)
-    val q = tumblingAgg(readStream(spark, dir))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "stream_tumbling"): DataFrame =
+    runScoped(spark, queryName, "complete")(
+      tumblingAgg(readStream(spark, dir)))
 
   /** Run the stateful sessionizer to completion over the static directory
     * (append-mode memory sink). Emits CLOSED sessions only: over a finite
@@ -151,16 +162,9 @@ object EventStream {
     * arrives to close it) — the oracle-able contract.
     */
   def runSessionsToCompletion(spark: SparkSession, dir: String,
-      queryName: String = "stream_sessions"): DataFrame = {
-    spark.catalog.dropTempView(queryName)   // see runToCompletion
-    val q = sessionizeStream(readStream(spark, dir))
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      queryName: String = "stream_sessions"): DataFrame =
+    runScoped(spark, queryName, "append")(
+      sessionizeStream(readStream(spark, dir)).toDF())
 
   /** Stream-static enrichment: the event stream joined to a broadcast
     * dimension snapshot (user → market segment), then aggregated. The
@@ -181,15 +185,9 @@ object EventStream {
 
   def runEnrichedToCompletion(spark: SparkSession, dir: String,
       queryName: String = "stream_enriched"): DataFrame = {
-    spark.catalog.dropTempView(queryName)   // see runToCompletion
     val customer = spark.read.parquet(s"$dir/customer.parquet")
-    val q = enrichedSegmentAgg(readStream(spark, dir), customer)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    runScoped(spark, queryName, "complete")(
+      enrichedSegmentAgg(readStream(spark, dir), customer))
   }
 
   /** Stream-stream interval join: click events joined to purchase events
@@ -223,27 +221,9 @@ object EventStream {
   }
 
   def runIntervalJoinToCompletion(spark: SparkSession, dir: String,
-      queryName: String = "stream_interval_join"): DataFrame = {
-    spark.catalog.dropTempView(queryName)   // see runToCompletion
-    // A stream-stream join maintains FOUR state stores per shuffle
-    // partition (two per side); their open/commit bookkeeping — not the
-    // data — dominated this query at 32 partitions (8.1 s at sf0.1 for a
-    // ~20k-row finite stream). The state partition count is fixed at
-    // query start from spark.sql.shuffle.partitions, so scope a smaller
-    // value to this run and restore after. On a real unbounded feed this
-    // knob is sized to state VOLUME (watermark·rate), not fixed overhead.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = intervalJoin(readStream(spark, dir))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(queryName)
-  }
+      queryName: String = "stream_interval_join"): DataFrame =
+    runScoped(spark, queryName, "append")(
+      intervalJoin(readStream(spark, dir)))
 
   // ---- custom state: streaming sessionizer ------------------------------
 
