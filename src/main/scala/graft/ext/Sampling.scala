@@ -179,6 +179,149 @@ object Sampling {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Temperature-scaled source mixing — the standard multi-source
+    * training-mix op: sample a `budget`-row mix whose per-source share is
+    * proportional to n_i^α with α = 1/2, flattening the source
+    * distribution so a dominant crawl domain contributes relatively less
+    * and small curated sources relatively more.
+    *
+    * Engineered for engine-portable determinism: the α = 1/2 weights are
+    * INTEGER square roots (floor∘sqrt — IEEE sqrt is correctly rounded,
+    * and √n for non-square n is irrational, so the floor can never sit on
+    * a rounding boundary for n < 2^40), and the budget is apportioned by
+    * the largest-remainder method in pure integer arithmetic:
+    * base_i = ⌊B·w_i / W⌋, with the B − Σ base_i leftover units going to
+    * the largest remainders (ties by source name). No floating-point sum
+    * ever feeds a floor, so Spark and DuckDB compute byte-identical
+    * targets; membership within a source is the same portable md5 rank
+    * as [[quotaSample]]. A source smaller than its target contributes all
+    * it has (the mix comes up short rather than silently up-sampling).
+    *
+    * Scale: the apportionment runs entirely on the |sources|-row count
+    * frame — its global windows are a single-task pass over one row per
+    * source; the corpus side is one count pass plus one select pass
+    * through the same skew-safe two-level window as [[stratifiedSample]],
+    * with the targets broadcast onto it.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCols: Seq[String],
+      budget: Long, seed: Long = 42L, preSplit: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(budget <= (1L << 31),
+      "budget above 2^31 would push B*w_i past double-exact range")
+    val rank = rankMd5(keyCols, seed)
+    // The apportionment lives entirely on the |groups|-row count frame;
+    // global windows over it are the same accepted tiny-frame cost as the
+    // remainder rank below (and avoid the self-join lineage ambiguity an
+    // agg+crossJoin of the same frame would create).
+    val wGlob = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy(lit(0))
+      .orderBy(col("_rem").desc, col(groupCol))
+    // Integer-exact throughout: B·w_i, W, and rem stay in long arithmetic
+    // (pmod of longs); the quotient is computed as the EXACT division
+    // (B·w_i − rem) / W — an integer-valued ratio of doubles < 2^53 is
+    // correctly rounded to that integer, so no floor can sit on a
+    // rounding boundary (unlike floor(B·w_i / W), which can flip an ulp).
+    val bw = lit(budget) * col("_w")
+    val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
+      .withColumn("_wtot", sum(col("_w")).over(wGlob))
+      .withColumn("_rem", pmod(bw, col("_wtot")))
+      .withColumn("_base",
+        ((bw - col("_rem")).cast("double") / col("_wtot")).cast("long"))
+      .withColumn("_extra", lit(budget) - sum(col("_base")).over(wGlob))
+      .withColumn("_rr", row_number().over(wRank))
+      .withColumn("_target",
+        least(col("_n"),
+          col("_base") + when(col("_rr") <= col("_extra"), 1L).otherwise(0L)))
+      .select(col(groupCol), col("_target"))
+    val withQuota = df.join(broadcast(targets), groupCol)
+    val reduced = quotaPreReduce(withQuota, groupCol, keyCols,
+      col("_target"), seed, preSplit)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((rank +: keyCols.map(col)): _*)
+    reduced.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_target"))
+      .drop("_target", "_rn")
+  }
+
+  /** M5: a 230-doc temperature-flattened mix of the corpus. */
+  private def m5TemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(Tables.documents(s, d), "source", Seq("doc_id"), 230)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  // SUM casts: DuckDB SUM(BIGINT) returns HUGEINT. `//`/`%` replicate
+  // Spark's `div`/`%` exactly on positive BIGINTs.
+  private val m5Sql =
+    """WITH n AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_i,
+      |         CAST(FLOOR(SQRT(CAST(n_i AS DOUBLE))) AS BIGINT) AS w_i
+      |  FROM n),
+      |t0 AS (SELECT CAST(SUM(w_i) AS BIGINT) AS W FROM w),
+      |a AS (
+      |  SELECT source, n_i, w_i,
+      |         (230 * w_i) // W AS base_i, (230 * w_i) % W AS rem_i
+      |  FROM w, t0),
+      |x AS (SELECT CAST(230 - SUM(base_i) AS BIGINT) AS extra FROM a),
+      |e AS (
+      |  SELECT a.*, row_number() OVER (ORDER BY rem_i DESC, source) AS rr
+      |  FROM a),
+      |t AS (
+      |  SELECT source,
+      |         least(n_i, base_i + CASE WHEN rr <= (SELECT extra FROM x)
+      |                                  THEN 1 ELSE 0 END) AS target
+      |  FROM e),
+      |r AS (
+      |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+      |    ORDER BY md5(concat_ws('|', CAST(doc_id AS VARCHAR), '42')),
+      |             doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM r JOIN t USING (source)
+      |WHERE rn <= target ORDER BY source, doc_id""".stripMargin
+
+  /** Leakage-safe group split: every row of a group lands in the SAME
+    * split, chosen by the first two md5 hex chars of (group, seed) against
+    * a threshold of ⌊trainPct·256/100⌋ — so near-duplicate documents from
+    * one domain can never straddle the train/heldout boundary (the
+    * group-level analogue of d9's decontamination). Map-only: split
+    * identity is a pure function of the group value, no shuffle, no
+    * group-size skew exposure at any scale. The train share is quantized
+    * to 1/256 (e.g. 80% → 204/256 ≈ 79.7%) — the same portable two-hex-
+    * char arithmetic as c5's sharding, which DuckDB recomputes exactly.
+    */
+  def groupSplit(df: DataFrame, groupCol: String, trainPct: Int,
+      seed: Long = 42L): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0, 100)")
+    val thr = trainPct * 256 / 100
+    val v = conv(substring(
+      md5(concat_ws("|", col(groupCol).cast("string"), lit(seed.toString))),
+      1, 2), 16, 10).cast("long")
+    df.withColumn("split",
+      when(v < thr, lit("train")).otherwise(lit("heldout")))
+  }
+
+  /** M6: 80/20 leakage-safe split of the corpus by source. */
+  private def m6GroupSplit(s: SparkSession, d: String): DataFrame =
+    groupSplit(Tables.documents(s, d), "source", 80)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  // DuckDB has no hex→int conv; decode the two nibbles via strpos like c5.
+  private val m6Sql =
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |         substr(md5(concat_ws('|', source, '42')), 1, 2) AS h2
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN (strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16 +
+      |            (strpos('0123456789abcdef', substr(h2, 2, 1)) - 1) < 204
+      |       THEN 'train' ELSE 'heldout' END AS split
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** C2: at most 10 docs per source, md5-ranked → DuckDB-reproducible. */
   private def c2QuotaSample(s: SparkSession, d: String): DataFrame =
     quotaSample(Tables.documents(s, d), "source", Seq("doc_id"), 10)
@@ -204,5 +347,7 @@ object Sampling {
     "m3_hash_sample"  -> Q(m3HashSample, Some(m3Sql)),
     "c2_quota_sample" -> Q(c2QuotaSample, Some(c2Sql)),
     "m4_stratified"   -> Q(m4Stratified, Some(m4Sql)),
+    "m5_temperature_mix" -> Q(m5TemperatureMix, Some(m5Sql)),
+    "m6_group_split"  -> Q(m6GroupSplit, Some(m6Sql)),
   )
 }

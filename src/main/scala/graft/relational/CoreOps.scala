@@ -371,6 +371,43 @@ object CoreOps {
     s.sql(j2Sql)
   }
 
+  /** SQL3: the shipping-priority shape (TPC-H Q3) — a 3-way
+    * fact-to-fact-to-dim join with filters on all three tables, a grouped
+    * decimal revenue aggregate, and a top-10 by revenue. One ANSI text
+    * runs unchanged on Spark and DuckDB: dates flow out as
+    * `substr(CAST(ts AS VARCHAR(30)), 1, 10)` (both engines render
+    * timestamps ISO, so the first 10 chars are the date — no
+    * engine-specific formatting function; Spark needs the explicit
+    * VARCHAR length, DuckDB ignores it), revenue is the
+    * [[graft.util.Det]] decimal-exact
+    * sum, and the ORDER BY is totalized by l_orderkey so the LIMIT
+    * boundary can't be tie-ambiguous.
+    *
+    * Scale: Catalyst broadcasts the filtered customer side under the
+    * join, pushes all three predicates into the parquet scans, and the
+    * top-10 is TakeOrderedAndProject — per-partition heaps + a 10-row
+    * merge, never a global sort of the grouped revenue.
+    */
+  private def sql3TpchQ3(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q3Sql)
+  }
+
+  private val q3Sql =
+    s"""SELECT l_orderkey,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
+       |  substr(CAST(o_orderdate AS VARCHAR(30)), 1, 10) AS o_orderdate,
+       |  o_orderpriority
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1996-06-30'
+       |  AND l_shipdate > TIMESTAMP '1996-06-30'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderdate, l_orderkey
+       |LIMIT 10""".stripMargin
+
   // ---- M1/M2: seeded split + Bernoulli sample (no SQL oracle: RNG) -------
   // stroke_predict.py:152 randomSplit(seed=42); smote_sampling.py:53 sample.
   private def m1Split(s: SparkSession, d: String): DataFrame = {
@@ -390,6 +427,7 @@ object CoreOps {
     "q1_pricing_summary" -> Q(q1Pricing, Some(q1Sql)),
     "sql1_tpch_q1"       -> Q(sql1TpchQ1, Some(q1Sql)),
     "sql2_tpch_q5"       -> Q(sql2TpchQ5, Some(j2Sql)),
+    "sql3_tpch_q3"       -> Q(sql3TpchQ3, Some(q3Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

@@ -139,6 +139,71 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix: flattens a skewed source mix to an exact budget") {
+    import spark.implicits._
+    // isqrt weights: big=60, mid=20, small=10 → W=90. budget=100 →
+    // bases 66/22/11 (Σ=99), remainders 60/20/10 → the 1 leftover unit
+    // goes to big: targets 67/22/11.
+    val corpus = ((1L to 3600L).map(i => ("big", i)) ++
+      (1L to 400L).map(i => ("mid", 10000L + i)) ++
+      (1L to 100L).map(i => ("small", 20000L + i))).toDF("src", "id")
+    val out = Sampling.temperatureMix(corpus, "src", Seq("id"), 100)
+      .select("src", "id").collect()
+    val got = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(got === Map("big" -> 67, "mid" -> 22, "small" -> 11), got)
+    // flattening: the dominant source's mix share drops below its corpus
+    // share; the small source's share rises above its corpus share
+    assert(67.0 / 100 < 3600.0 / 4100 && 11.0 / 100 > 100.0 / 4100)
+    // membership is layout-independent
+    val b = Sampling.temperatureMix(corpus.repartition(13), "src",
+        Seq("id"), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(1)).toSet === b,
+      "temperature mix changed under repartitioning")
+  }
+
+  test("temperature mix: an exhausted source contributes all it has, " +
+      "never up-samples") {
+    import spark.implicits._
+    val corpus = ((1L to 3600L).map(i => ("big", i)) ++
+      (1L to 100L).map(i => ("small", 20000L + i))).toDF("src", "id")
+    // isqrt weights 60/10, W=70; budget 2000 → small's raw target
+    // 2000·10/70 = 285 > 100 → capped at all 100 rows; the mix comes up
+    // short of the budget rather than duplicating rows
+    val got = Sampling.temperatureMix(corpus, "src", Seq("id"), 2000)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("small") === 100L, got)
+    assert(got.values.sum < 2000L, got)
+  }
+
+  test("group split: groups are atomic and the split is layout-independent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    val out = Sampling.groupSplit(docs, "source", 80)
+      .select("source", "split").collect()
+    val perGroup = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).distinct).toMap
+    assert(perGroup.values.forall(_.length == 1),
+      "a source straddles the train/heldout boundary: " + perGroup)
+    // a wide synthetic group set exercises both sides of the threshold
+    // deterministically (split is a pure function of the group value)
+    val many = (1 to 400).map(g => (s"g$g", g.toLong)).toDF("grp", "id")
+    val splits = Sampling.groupSplit(many, "grp", 80)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet === Set("train", "heldout"), splits)
+    // ~80% quantized to 204/256 — allow generous tolerance on 400 groups
+    assert(splits("train") > 280 && splits("train") < 360, splits)
+    val again = Sampling.groupSplit(many.repartition(7), "grp", 80)
+      .filter(col("split") === "train")
+      .select("grp").collect().map(_.getString(0)).toSet
+    val first = Sampling.groupSplit(many, "grp", 80)
+      .filter(col("split") === "train")
+      .select("grp").collect().map(_.getString(0)).toSet
+    assert(again === first)
+  }
+
   test("quota sampling: skew pre-reduce bounds the final window's input " +
       "and never changes the result") {
     import spark.implicits._
