@@ -23,6 +23,7 @@ object Registry {
       relational.RangeJoin.qs ++
       relational.Bucketed.qs ++
       sources.JsonAndSinks.qs ++
+      sources.SortedLanding.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       ext.TextOps.qs ++

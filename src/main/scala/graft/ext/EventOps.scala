@@ -25,6 +25,36 @@ object EventOps {
        |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // ---- E10: sliding (hopping) windows ------------------------------------
+  /** Overlapping 10-minute windows advancing every 5 minutes — the hopping
+    * aggregate behind smoothed rate dashboards and overlap-tolerant rollups
+    * (tumbling = the slide==width special case; e1 covers that). Spark's
+    * `window(ts, width, slide)` replicates each event into width/slide = 2
+    * windows and hash-aggregates — one shuffle of (window, type) partials,
+    * no self-join. Both engines align window starts to the epoch, so the
+    * oracle reproduces the exact window set: each event belongs to windows
+    * starting at time_bucket(5 min, ts) − j·5 min for j ∈ {0, 1} (the
+    * half-open [start, start+10′) check is automatically satisfied).
+    */
+  private def e10Sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private val e10Sql =
+    s"""WITH j AS (SELECT unnest(range(0, 2)) AS j),
+       |w AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts)
+       |           - j * (INTERVAL '5 minutes') AS ws,
+       |         event_type, value
+       |  FROM events, j)
+       |SELECT ws, ws + INTERVAL '10 minutes' AS we, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
   // ---- E2: sessionization (30-min inactivity gap) ------------------------
   // Classic gaps-and-islands: lag ts per user, new-session flag when gap >
   // 30 min, running sum of flags = session id. Two window passes over the
@@ -155,6 +185,7 @@ object EventOps {
 
   val qs: Seq[(String, Q)] = Seq(
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
+    "e10_sliding_window" -> Q(e10Sliding, Some(e10Sql)),
     "e5_pivot"           -> Q(e5Pivot, Some(e5Sql)),
     "e2_sessionization"  -> Q(e2Sessions, Some(e2Sql)),
     "e2b_session_window" -> Q(e2bSessionWindow, Some(e2bSql)),
