@@ -322,6 +322,76 @@ object Sampling {
       |       THEN 'train' ELSE 'heldout' END AS split
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Systematic WEIGHTED sampling: select ~`n` rows with probability
+    * proportional to a non-negative integer weight (doc length, token
+    * count, a quality score) — the importance-sampling op behind
+    * token-budget-proportional corpus subsets, where uniform sampling
+    * (m3) over-represents short documents. A row is selected iff its
+    * weight interval [cum−w, cum) on the cumulative-weight axis crosses
+    * one of the n equally-spaced boundaries k·W/n — in integer form,
+    * iff ⌊cum·n/W⌋ > ⌊(cum−w)·n/W⌋. All arithmetic is exact long
+    * (the floors come from the pmod-subtraction identity, never a
+    * floating-point floor), so any engine reproduces the membership;
+    * zero-weight rows are never selected (their interval is empty).
+    *
+    * Scale: the cumulative sum is a distributed two-level prefix sum —
+    * a deterministic bucket (key div `bucketSize`) localizes the
+    * per-row prefix window; bucket totals (|rows|/bucketSize of them)
+    * get their exclusive prefix on a single-task window and broadcast
+    * back. No global single-task sort ever sees row-level data. Bounds:
+    * ANSI mode THROWS (loudly, never silently wrong) if cum·n overflows
+    * long — shard first when W·n approaches 2^63.
+    */
+  def systematicWeighted(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int, bucketSize: Long = 1024L): DataFrame = {
+    require(n > 0 && bucketSize > 0, "need n > 0 and bucketSize > 0")
+    val key = col(keyCol)
+    val wgt = col(weightCol).cast("long")
+    val bkt = ((key - pmod(key, lit(bucketSize))).cast("double") / bucketSize)
+      .cast("long")
+    val wLocal = Window.partitionBy(col("_bkt")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBkts = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = df.withColumn("_bkt", bkt)
+      .withColumn("_cuml", sum(wgt).over(wLocal))
+    // exclusive prefix + grand total over the tiny bucket-totals frame
+    val offsets = local.groupBy(col("_bkt")).agg(sum(wgt).as("_bw"))
+      .withColumn("_off", sum(col("_bw")).over(wBkts) - col("_bw"))
+      .withColumn("_tot", sum(col("_bw")).over(
+        Window.partitionBy(lit(0)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_bkt"), col("_off"), col("_tot"))
+    // ⌊x·n/W⌋ via the pmod-subtraction identity: (x·n − x·n mod W)/W is an
+    // integer-valued ratio of exact longs — correctly rounded, no floor
+    def fdiv(x: Column, W: Column): Column =
+      ((x * n - pmod(x * n, W)).cast("double") / W).cast("long")
+    local.join(broadcast(offsets), "_bkt")
+      .withColumn("_cum", col("_off") + col("_cuml"))
+      .filter(fdiv(col("_cum"), col("_tot")) >
+        fdiv(col("_cum") - wgt, col("_tot")))
+      .drop("_bkt", "_cuml", "_off", "_tot", "_cum")
+  }
+
+  /** M7: ~50 docs sampled proportionally to their length. */
+  private def m7WeightedSample(s: SparkSession, d: String): DataFrame =
+    systematicWeighted(Tables.documents(s, d), "doc_id", "n_chars", 50)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // DuckDB window SUM(BIGINT) yields HUGEINT — the `//` floors match
+  // Spark's exact-long identity on positives.
+  private val m7Sql =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents),
+      |t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS W FROM documents)
+      |SELECT doc_id, n_chars FROM c, t
+      |WHERE (cum * 50) // W > ((cum - n_chars) * 50) // W
+      |ORDER BY doc_id""".stripMargin
+
   /** C2: at most 10 docs per source, md5-ranked → DuckDB-reproducible. */
   private def c2QuotaSample(s: SparkSession, d: String): DataFrame =
     quotaSample(Tables.documents(s, d), "source", Seq("doc_id"), 10)
@@ -349,5 +419,6 @@ object Sampling {
     "m4_stratified"   -> Q(m4Stratified, Some(m4Sql)),
     "m5_temperature_mix" -> Q(m5TemperatureMix, Some(m5Sql)),
     "m6_group_split"  -> Q(m6GroupSplit, Some(m6Sql)),
+    "m7_weighted_sample" -> Q(m7WeightedSample, Some(m7Sql)),
   )
 }

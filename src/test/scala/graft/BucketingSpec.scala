@@ -177,6 +177,28 @@ class BucketingSpec extends SparkSpec {
     assert(got.values.sum < 2000L, got)
   }
 
+  test("weighted systematic sampling: exact n, weight-proportional, " +
+      "layout- and bucket-invariant") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf0001)
+    // max(n_chars)=558 < W/n=15315 → no row spans two boundaries → exactly n
+    val sel = Sampling.systematicWeighted(docs, "doc_id", "n_chars", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.size === 10, sel)
+    // membership survives any partitioning and any bucket granularity
+    val sel2 = Sampling.systematicWeighted(docs.repartition(13), "doc_id",
+        "n_chars", 10, bucketSize = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel2 === sel, "weighted sample changed under layout/bucket size")
+    // a row holding most of the mass is always selected (its interval
+    // spans ≥ 1 boundary); zero-weight rows never are (empty interval)
+    val f = ((1L to 100L).map(i => (i, if (i == 37L) 100000L else 10L)) :+
+      ((101L, 0L))).toDF("id", "w")
+    val got = Sampling.systematicWeighted(f, "id", "w", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(37L) && !got.contains(101L), got)
+  }
+
   test("group split: groups are atomic and the split is layout-independent") {
     import spark.implicits._
     val docs = Tables.documents(spark, Sf0001)
