@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -216,17 +215,23 @@ object Curation {
     * (same typed-API tool as the e6 sessionizer).
     *
     * Skew safety, in two layers:
-    *  1. Rank-block pre-split: a deterministic `row_number` per source
-    *     assigns each doc a block = (rn−1) div `blockSize`; packing runs
-    *     per (source, block), so one dominant source (half the corpus in
-    *     one domain — the realistic crawl shape) splits across
-    *     ⌈group/blockSize⌉ tasks instead of landing whole in one. Blocks
-    *     pack independently into DISJOINT bin-id ranges (block·blockSize
-    *     + local bin — at most one bin per doc, so ranges can't
-    *     collide); only the block-boundary bins may under-fill, the
-    *     standard distributed-packing tradeoff. With one block per
-    *     group the ids and fills are exactly the sequential greedy
-    *     fold's — which is what the DuckDB oracle checks.
+    *  1. Key-range pre-split: block = doc_id div `blockSize` — a pure
+    *     MAP-SIDE label (no window, no rank: a row_number pre-split
+    *     would itself funnel the dominant source through one ranking
+    *     task before any block existed — the very skew it claims to
+    *     fix). Packing runs per (source, block); each task sees at most
+    *     `blockSize` docs (distinct non-negative doc ids in one range —
+    *     sparse ids just make blocks smaller, never bigger), so one
+    *     dominant source (half the corpus in one domain — the realistic
+    *     crawl shape) splits across its doc_id ranges instead of landing
+    *     whole in one task. Blocks pack independently into DISJOINT
+    *     bin-id ranges (block·blockSize + local bin — at most one bin
+    *     per doc, so ranges can't collide); only the block-boundary
+    *     bins may under-fill, the standard distributed-packing
+    *     tradeoff. With blockSize above the max doc_id there is one
+    *     block per source and the ids and fills are exactly the
+    *     sequential greedy fold's — which is what the DuckDB oracle
+    *     checks.
     *  2. Streaming fold: `flatMapSortedGroups` hands each task a
     *     doc_id-SORTED iterator (Spark's spillable sort, not an in-task
     *     buffer), and the fold itself carries O(1) state — no
@@ -238,13 +243,10 @@ object Curation {
     require(blockSize > 0, "blockSize must be positive")
     val s = docs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    // floor over a double is exact here: rn ≤ 2^31 and blockSize ≤ 2^20
-    // stay far inside double's 2^53 integer range
     docs.select(col("source"), col("doc_id"), col("n_tok"))
-      .withColumn("block",
-        floor((row_number().over(w) - 1).cast("double") / blockSize)
-          .cast("long"))
+      // integral `div`: exact at any doc_id magnitude (truncation ==
+      // floor for the non-negative ids this op requires)
+      .withColumn("block", expr(s"doc_id div $blockSize"))
       .as[DocTokB]
       .groupByKey(r => (r.source, r.block))
       .flatMapSortedGroups(col("doc_id")) {

@@ -488,17 +488,27 @@ object DedupOps {
   private val digestIndex =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def d8bIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val tbl = digestIndex.getOrElseUpdate(d, {
-      val name = s"graft_d8_digests_${(d.hashCode & Int.MaxValue).toHexString}"
+  /** Memo key includes the source mtime (util.Landing) — without it a
+    * regenerated source dir would anti-join today's batches against
+    * yesterday's landed digests for the rest of the JVM (the staleness
+    * class Bucketed/s9/s10/s11 already guard; spec-pinned here too).
+    */
+  private[graft] def digestIndexName(s: SparkSession, d: String): String = {
+    val key = graft.util.Landing.mtimeKey(d, "documents")
+    digestIndex.getOrElseUpdate(key, {
+      val name =
+        s"graft_d8_digests_${(key.hashCode & Int.MaxValue).toHexString}"
       graft.relational.Bucketed.writeBucketed(
-        docs.filter(col("doc_id") % 10 < 6)
+        Tables.documents(s, d).filter(col("doc_id") % 10 < 6)
           .select(sha2(col("text"), 256).as("digest")).distinct(),
         name, "digest")
       name
     })
-    val index = s.table(tbl)
+  }
+
+  private def d8bIncrementalIndexed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = s.table(digestIndexName(s, d))
     val out = docs.filter(col("doc_id") % 10 >= 4)
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))

@@ -206,8 +206,6 @@ object Sampling {
   def temperatureMix(df: DataFrame, groupCol: String, keyCols: Seq[String],
       budget: Long, seed: Long = 42L, preSplit: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
-    require(budget <= (1L << 31),
-      "budget above 2^31 would push B*w_i past double-exact range")
     val rank = rankMd5(keyCols, seed)
     // The apportionment lives entirely on the |groups|-row count frame;
     // global windows over it are the same accepted tiny-frame cost as the
@@ -217,18 +215,17 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRank = Window.partitionBy(lit(0))
       .orderBy(col("_rem").desc, col(groupCol))
-    // Integer-exact throughout: B·w_i, W, and rem stay in long arithmetic
-    // (pmod of longs); the quotient is computed as the EXACT division
-    // (B·w_i − rem) / W — an integer-valued ratio of doubles < 2^53 is
-    // correctly rounded to that integer, so no floor can sit on a
-    // rounding boundary (unlike floor(B·w_i / W), which can flip an ulp).
-    val bw = lit(budget) * col("_w")
+    // Integer-exact throughout: B·w_i, W, rem, and the quotient stay in
+    // long arithmetic end-to-end (`div` = integral division, matching
+    // DuckDB's `//` on positives at ANY magnitude — no double ever enters,
+    // so no floor can sit on a rounding boundary). The only failure mode
+    // is B·w_i overflowing long, which ANSI mode throws on loudly.
     val targets = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", floor(sqrt(col("_n").cast("double"))).cast("long"))
       .withColumn("_wtot", sum(col("_w")).over(wGlob))
-      .withColumn("_rem", pmod(bw, col("_wtot")))
-      .withColumn("_base",
-        ((bw - col("_rem")).cast("double") / col("_wtot")).cast("long"))
+      .withColumn("_bw", lit(budget) * col("_w"))
+      .withColumn("_rem", pmod(col("_bw"), col("_wtot")))
+      .withColumn("_base", expr("`_bw` div `_wtot`"))
       .withColumn("_extra", lit(budget) - sum(col("_base")).over(wGlob))
       .withColumn("_rr", row_number().over(wRank))
       .withColumn("_target",
@@ -330,9 +327,10 @@ object Sampling {
     * weight interval [cum−w, cum) on the cumulative-weight axis crosses
     * one of the n equally-spaced boundaries k·W/n — in integer form,
     * iff ⌊cum·n/W⌋ > ⌊(cum−w)·n/W⌋. All arithmetic is exact long
-    * (the floors come from the pmod-subtraction identity, never a
-    * floating-point floor), so any engine reproduces the membership;
-    * zero-weight rows are never selected (their interval is empty).
+    * (integral `div`, never a floating-point floor, so there is no
+    * magnitude zone where rounding can flip a membership), and any
+    * engine reproduces it; zero-weight rows are never selected (their
+    * interval is empty).
     *
     * Scale: the cumulative sum is a distributed two-level prefix sum —
     * a deterministic bucket (key div `bucketSize`) localizes the
@@ -362,15 +360,16 @@ object Sampling {
         Window.partitionBy(lit(0)).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("_bkt"), col("_off"), col("_tot"))
-    // ⌊x·n/W⌋ via the pmod-subtraction identity: (x·n − x·n mod W)/W is an
-    // integer-valued ratio of exact longs — correctly rounded, no floor
-    def fdiv(x: Column, W: Column): Column =
-      ((x * n - pmod(x * n, W)).cast("double") / W).cast("long")
+    // ⌊x·n/W⌋ in pure long arithmetic: `div` is integral division,
+    // matching DuckDB's `//` on non-negatives at any magnitude — no
+    // double-rounding zone. The multiply is the only overflow site and
+    // ANSI mode throws on it.
     local.join(broadcast(offsets), "_bkt")
       .withColumn("_cum", col("_off") + col("_cuml"))
-      .filter(fdiv(col("_cum"), col("_tot")) >
-        fdiv(col("_cum") - wgt, col("_tot")))
-      .drop("_bkt", "_cuml", "_off", "_tot", "_cum")
+      .withColumn("_xn", col("_cum") * n)
+      .withColumn("_xp", (col("_cum") - wgt) * n)
+      .filter(expr("`_xn` div `_tot`") > expr("`_xp` div `_tot`"))
+      .drop("_bkt", "_cuml", "_off", "_tot", "_cum", "_xn", "_xp")
   }
 
   /** M7: ~50 docs sampled proportionally to their length. */

@@ -24,19 +24,10 @@ object Bucketed {
 
   /** One temp warehouse per JVM for the external bucketed tables; deleted
     * on exit (same discipline as SparkSpec's test warehouse — round 2's
-    * temp-dir leak class).
+    * temp-dir leak class; sweep shared via util.Landing).
     */
-  private lazy val bucketDir: java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
-    dir
-  }
+  private lazy val bucketDir: java.nio.file.Path =
+    graft.util.Landing.tempDirOnce("graft_bucketed")
 
   private val NBuckets = 8
 
@@ -66,8 +57,7 @@ object Bucketed {
     scala.collection.concurrent.TrieMap.empty[(String, Long), (String, String)]
 
   private def sourceStamp(d: String): Long =
-    Seq("lineitem.parquet", "orders.parquet")
-      .map(f => new java.io.File(d, f).lastModified()).max
+    graft.util.Landing.sourceMtime(d, Seq("lineitem", "orders"))
 
   private[graft] def preparedNames(s: SparkSession, d: String): (String, String) = {
     val key = (d, sourceStamp(d))

@@ -34,32 +34,18 @@ object JsonAndSinks {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  // One landing directory per memo key, deleted on JVM exit — repeated
-  // calls in one session (Verify + Bench + suites share sessions) must
-  // not leak a /tmp dir per call. Same pattern as streaming.EventStream.
+  // Landing lifecycle (temp-dir shutdown sweep + mtime staleness keys)
+  // lives in util.Landing, shared with Bucketed/SortedLanding/d8b. The
+  // s9/s10 memo keys include the SOURCE file's mtime: a rewritten source
+  // parquet re-lands instead of serving a stale landing for the rest of
+  // the JVM. s7 rewrites on every call, so its key is just the dir.
   private def tempLandingDir(
       memo: scala.collection.concurrent.TrieMap[String, java.nio.file.Path],
       key: String, prefix: String): java.nio.file.Path =
-    memo.getOrElseUpdate(key, {
-      val out = java.nio.file.Files.createTempDirectory(prefix)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(out)
-        try walk.iterator().asScala.toSeq.reverseIterator
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-      out
-    })
+    graft.util.Landing.tempDir(memo, key, prefix)
 
-  // The s9/s10 memo keys include the SOURCE file's mtime (same staleness
-  // guard as relational.Bucketed): a rewritten source parquet re-lands
-  // instead of serving a stale landing for the rest of the JVM. s7
-  // rewrites on every call, so its key is just the dir.
-  private def mtimeKey(src: String, table: String): String = {
-    val f = new java.io.File(s"$src/$table.parquet")
-    s"$src|$table|${f.lastModified()}"
-  }
+  private def mtimeKey(src: String, table: String): String =
+    graft.util.Landing.mtimeKey(src, table)
 
   private val sinkDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]

@@ -25,17 +25,8 @@ import graft.util.Det._
   */
 object SortedLanding {
 
-  private lazy val landDir: java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_landing")
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-    }
-    dir
-  }
+  private lazy val landDir: java.nio.file.Path =
+    graft.util.Landing.tempDirOnce("graft_sorted_landing")
 
   /** Land `df` range-partitioned and sorted by `sortCol` under `path`.
     * `nRanges` controls file granularity: more ranges → finer min-max
@@ -63,10 +54,10 @@ object SortedLanding {
   // one landing per (source dir, source mtime), amortized across the
   // session exactly like Bucketed.prepared (j6)
   private val prepared =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private[graft] def landedEvents(s: SparkSession, d: String): DataFrame = {
-    val key = (d, new java.io.File(d, "events.parquet").lastModified())
+    val key = graft.util.Landing.mtimeKey(d, "events")
     val path = prepared.getOrElseUpdate(key, {
       val out = s"$landDir/events_${(key.hashCode & Int.MaxValue).toHexString}"
       writeSorted(Tables.events(s, d), out, "ts")

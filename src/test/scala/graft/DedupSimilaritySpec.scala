@@ -362,6 +362,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("d8b: digest index re-lands when the source is rewritten") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_d8b_stale")
+    try {
+      Files.copy(Paths.get(Sf0001, "documents.parquet"),
+        tmp.resolve("documents.parquet"))
+      val first = ext.DedupOps.digestIndexName(spark, tmp.toString)
+      assert(ext.DedupOps.digestIndexName(spark, tmp.toString) === first,
+        "memo missed on unchanged source")
+      val f = tmp.resolve("documents.parquet")
+      Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+        .fromMillis(f.toFile.lastModified() + 5000))
+      assert(ext.DedupOps.digestIndexName(spark, tmp.toString) !== first,
+        "stale digest index served after source rewrite")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   test("greedy packing: bins respect capacity, oversized docs sit alone") {
     import graft.ext.Curation
     val docs = Seq(
@@ -382,7 +405,7 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(ns.sum <= 512L || ns.length === 1, ns.toSeq))
   }
 
-  test("greedy packing: skewed group splits into rank blocks, all packed") {
+  test("greedy packing: skewed group splits into key-range blocks, all packed") {
     import graft.ext.Curation
     // one dominant source (100 docs) vs a tiny one — the crawl-skew shape
     val docs = ((1L to 100L).map(i => ("big", i, 60L)) ++
@@ -390,18 +413,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = Curation.packBins(docs, capacity = 512L, blockSize = 16L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.length === 101)
-    // block path engaged: 100 docs / blockSize 16 → 7 blocks, so some bin
-    // ids land beyond the first block's disjoint range [0, 16)
+    // block path engaged: doc_ids 1..100 / blockSize 16 → 7 key-range
+    // blocks, so some bin ids land beyond the first block's range [0, 16)
     val bigBins = out.filter(_._1 == "big").map(_._3)
     assert(bigBins.exists(_ >= 16L), s"block offsets missing: ${bigBins.toSeq}")
     // capacity invariant holds across every block
     val byBin = out.filter(_._1 == "big").groupBy(_._3)
     byBin.values.foreach(ds => assert(ds.map(_ => 60L).sum <= 512L))
     // within each block, packing is the greedy fold: 8 docs of 60 fit a
-    // 512 bin, so a 16-doc block packs as two full bins
+    // 512 bin, so a full 16-doc block packs as two full bins
     assert(byBin.values.map(_.length).toSeq.sorted.reverse.head === 8)
-    // single-block groups keep sequential ids from 0
-    assert(out.filter(_._1 == "small").map(_._3).toSeq === Seq(0L))
+    // the block label is doc_id-derived (map-side, never a rank): the
+    // single doc with id 200 sits alone in block 200 div 16 = 12, bin 192
+    assert(out.filter(_._1 == "small").map(_._3).toSeq === Seq(192L))
   }
 
   test("greedy packing: one block ≡ sequential fold (block-size invariance)") {
@@ -411,9 +435,10 @@ class DedupSimilaritySpec extends SparkSpec {
         expr("CAST(n_chars / 5 AS LONG)").as("n_tok"))
     val oneBlock = Curation.packBins(docs, 512L)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
-    // any blockSize ≥ the largest group ⇒ identical assignment, bin ids
-    // included (sf0.001 has 500 docs total, so 500 covers every source)
-    val blocked = Curation.packBins(docs, 512L, blockSize = 500L)
+    // any blockSize > the largest doc_id ⇒ one key-range block per
+    // source ⇒ identical assignment, bin ids included (sf0.001 doc_ids
+    // stay below 1000)
+    val blocked = Curation.packBins(docs, 512L, blockSize = 1000L)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(oneBlock === blocked)
   }
