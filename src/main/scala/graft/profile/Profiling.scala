@@ -241,8 +241,49 @@ object Profiling {
       |       TRUE AS parts_within_bound
       |FROM lineitem""".stripMargin
 
+  // ---- A10: sketch quantiles with an exact-bounded gate -------------------
+  /** approx_percentile (GK/KLL-family sketch: bounded memory, mergeable
+    * partials — the only quantile that works at 100 TB, where the exact
+    * form needs a full sort per group) gated a7-style: the row carries
+    * the EXACT percentile_disc values (t5-proven engine-neutral — actual
+    * data values, no interpolation ulp) as the compared payload, plus
+    * within-bound flags on the sketch estimates. The oracle recomputes
+    * the exact values and expects TRUE flags, so a sketch drifting past
+    * 1% of the exact value fails the row. (The exact aggregate exists
+    * here because it IS the oracle contract; production callers use the
+    * sketch alone.)
+    */
+  private def a10ApproxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 10000
+    def exact(q: Double) = expr(
+      s"percentile_disc($q) WITHIN GROUP (ORDER BY l_extendedprice)")
+    def bound(ap: Column, ex: Column) =
+      abs(ap - ex) / ex <= 0.01
+    Tables.lineitem(s, d)
+      .agg(exact(0.25).as("_e25"), exact(0.5).as("_e50"),
+        exact(0.75).as("_e75"),
+        expr(s"approx_percentile(l_extendedprice, " +
+          s"array(0.25D, 0.5D, 0.75D), $acc)").as("_ap"))
+      .select(col("_e25").as("p25"), col("_e50").as("p50"),
+        col("_e75").as("p75"),
+        bound(element_at(col("_ap"), 1), col("_e25")).as("p25_within_bound"),
+        bound(element_at(col("_ap"), 2), col("_e50")).as("p50_within_bound"),
+        bound(element_at(col("_ap"), 3), col("_e75")).as("p75_within_bound"))
+  }
+
+  private val a10Sql =
+    """SELECT
+      |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+      |  PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+      |  PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+      |  TRUE AS p25_within_bound,
+      |  TRUE AS p50_within_bound,
+      |  TRUE AS p75_within_bound
+      |FROM lineitem""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "a3_describe"        -> Q(a3Describe, Some(a3Sql)),
+    "a10_approx_quantiles" -> Q(a10ApproxQuantiles, Some(a10Sql)),
     "a3b_describe_all"   -> Q(a3bDescribeAll, Some(a3bSql)),
     "a4_null_profile"    -> Q(a4NullProfile, Some(a4Sql)),
     "a1_category_freq"   -> Q(a1CategoryFreq, Some(a1fSql)),
