@@ -137,6 +137,59 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** All-pairs kNN JOIN: every vector's top-k neighbours across the whole
+    * table — the contrastive-pair / hard-negative mining op, where x2's
+    * query side is a handful of probes this is N probes = N rows. The
+    * crucial difference from [[lshTopK]]: neither side need fit a
+    * broadcast. Both sides of the candidate join are the same bucketed
+    * projection joined on (table, bucket) — a co-partitionABLE
+    * self-equi-join that scales with cluster bisection bandwidth, never
+    * with driver memory (at toy scale Catalyst may still elect a
+    * size-based broadcast; that is its prerogative, not a requirement).
+    * Candidate volume is Σ bucket² per table instead of N² — size bits
+    * ≈ log2(N / target-bucket-width) as N grows; the default (2 bits ×
+    * 4 tables) is the x2-measured ~0.8-recall shape at fixture scale. A
+    * dense region's hot bucket is the skew risk, so buckets wider than
+    * `maxBucket` are dropped from the candidate join entirely (documented
+    * recall tradeoff, same cap discipline as d2's banding — route a
+    * dropped bucket's members through [[bruteForceTopK]] against a
+    * centroid-pruned slice when they matter). Per-query top-k is a
+    * (q_id)-partitioned window — high-cardinality, near-uniform.
+    */
+  def knnJoin(df: DataFrame, k: Int, bits: Int = 2, dim: Int = 64,
+      tables: Int = 4, maxBucket: Long = 100000L): DataFrame = {
+    val s = df.sparkSession
+    def buckets(prefix: String): DataFrame =
+      withNorm(s, df, prefix).select(
+        col(s"${prefix}_id"), col(s"${prefix}_emb"), col(s"${prefix}_norm"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSig(s, col(s"${prefix}_emb"), dim, bits,
+            seedBase = 1 + t)): _*))
+          .as(Seq("table", "bucket")))
+    val q = buckets("q")
+    val c = buckets("c")
+    val okBuckets = q.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucket)
+      .select(col("table"), col("bucket"))
+    val scored = q.join(broadcast(okBuckets), Seq("table", "bucket"))
+      .join(c, Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
+        col("q_norm"), col("c_norm"))
+      .dropDuplicates("q_id", "c_id")
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def x7KnnJoin(s: SparkSession, d: String): DataFrame =
+    knnJoin(Tables.embeddings(s, d), k = 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold — EXACT, via
     * metric-pruned blocking (no corpus-wide crossJoin/broadcast):
     *
@@ -515,6 +568,7 @@ object SimilarityOps {
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
     "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2LshTopK, None),
+    "x7_knn_join"          -> Q(x7KnnJoin, None),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4IvfTopK, None),
     "x5_cosine_topk_sq8"   -> Q(x5Sq8TopK, None),

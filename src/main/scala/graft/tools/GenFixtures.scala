@@ -58,7 +58,7 @@ object GenFixtures {
       }
       // ANN registered queries: frozen top-k as data (AnnFixtureSpec)
       for (q <- Seq("x2_cosine_topk_lsh", "x4_cosine_topk_ivf",
-          "x5_cosine_topk_sq8"))
+          "x5_cosine_topk_sq8", "x7_knn_join"))
         write(s"${q.split('_').head}_topk_$tag") {
           SparkEntry.queries(q)(spark, dir)
         }

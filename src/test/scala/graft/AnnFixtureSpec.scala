@@ -29,7 +29,8 @@ class AnnFixtureSpec extends SparkSpec {
   }
 
   for ((q, short) <- Seq("x2_cosine_topk_lsh" -> "x2",
-      "x4_cosine_topk_ivf" -> "x4", "x5_cosine_topk_sq8" -> "x5");
+      "x4_cosine_topk_ivf" -> "x4", "x5_cosine_topk_sq8" -> "x5",
+      "x7_knn_join" -> "x7");
       (dir, tag) <- Seq(Sf001 -> "sf0.01", Sf01 -> "sf0.1")) {
     test(s"$short top-k matches the frozen fixture at $tag") {
       assertSame(SparkEntry.queries(q)(spark, dir),

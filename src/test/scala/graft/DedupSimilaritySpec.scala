@@ -443,6 +443,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(oneBlock === blocked)
   }
 
+  test("kNN join: near-total coverage, recall floor, bucket cap honored") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val got = SimilarityOps.knnJoin(emb, 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every vector is a query; only one isolated in BOTH tables' buckets
+    // can go unanswered — allow a small tail
+    val n = emb.count()
+    assert(got.map(_._1).size.toLong >= n - 10,
+      s"only ${got.map(_._1).size} of $n vectors got neighbours")
+    val brute = SimilarityOps.bruteForceTopK(emb, emb, 3)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall > 0.6, s"kNN-join recall $recall too low for 2-bit/4-table shape")
+    // maxBucket drops hot buckets from the candidate join: with a cap
+    // below every bucket's width, no pairs at all can emerge
+    assert(SimilarityOps.knnJoin(emb, 3, maxBucket = 1L).count() === 0L)
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
