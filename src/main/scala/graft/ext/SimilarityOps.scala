@@ -159,28 +159,44 @@ object SimilarityOps {
   def knnJoin(df: DataFrame, k: Int, bits: Int = 2, dim: Int = 64,
       tables: Int = 4, maxBucket: Long = 100000L): DataFrame = {
     val s = df.sparkSession
-    def buckets(prefix: String): DataFrame =
-      withNorm(s, df, prefix).select(
-        col(s"${prefix}_id"), col(s"${prefix}_emb"), col(s"${prefix}_norm"),
+    // Candidate generation emits BARE ID PAIRS — the embeddings never
+    // ride the cross-table candidate duplication (a 64-float vector per
+    // side per candidate made the dedup exchange ~20x the bytes and
+    // dominated the all-pairs runtime; lshTopK can afford vectors in its
+    // candidates because its broadcast query side keeps them tiny).
+    def ids(prefix: String): DataFrame =
+      df.select(col("vec_id").as(s"${prefix}_id"),
         posexplode(array((0 until tables).map(t =>
-          hyperplaneSig(s, col(s"${prefix}_emb"), dim, bits,
+          hyperplaneSig(s, col("embedding"), dim, bits,
             seedBase = 1 + t)): _*))
           .as(Seq("table", "bucket")))
-    val q = buckets("q")
-    val c = buckets("c")
+    val q = ids("q")
+    val c = ids("c")
     val okBuckets = q.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucket)
       .select(col("table"), col("bucket"))
-    val scored = q.join(broadcast(okBuckets), Seq("table", "bucket"))
+    val pairs = q.join(broadcast(okBuckets), Seq("table", "bucket"))
       .join(c, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), col("q_emb"), col("c_emb"),
-        col("q_norm"), col("c_norm"))
+      .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
+    // scoring joins each side's vector + norm back by id — two hash
+    // joins of 16-byte pairs against the N-row vector table. The final
+    // max() aggregate is a no-op on the already-unique pairs; it exists
+    // so the top-k window sits above an Aggregate (x2's proven plan
+    // topology) — a Window directly above this join made Spark 4.1's
+    // ExceptAll rewrite (used by the fixture spec) lose the sim
+    // attribute during column pruning (INTERNAL_ERROR_ATTRIBUTE_NOT_
+    // FOUND), and it costs one exchange of 24-byte rows.
+    val scored = pairs
+      .join(withNorm(s, df, "q"), "q_id")
+      .join(withNorm(s, df, "c"), "c_id")
       .select(col("q_id"), col("c_id"),
         (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
           (col("q_norm") * col("c_norm"))).as("sim"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
