@@ -156,6 +156,27 @@ object EventStream {
     runScoped(spark, queryName, "complete")(
       tumblingAgg(readStream(spark, dir)))
 
+  /** Sliding (hopping) 10-min/5-min window under streaming — e10's batch
+    * expression verbatim with a watermark: each event joins width/slide
+    * = 2 windows, state is (open windows × groups) bounded by the
+    * watermark horizon exactly like the tumbling case, just 2× the
+    * window keys. Batch/stream equivalence shares e10's oracle.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def runSlidingToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_sliding"): DataFrame =
+    runScoped(spark, queryName, "complete")(
+      slidingAgg(readStream(spark, dir)))
+
   /** Run the stateful sessionizer to completion over the static directory
     * (append-mode memory sink). Emits CLOSED sessions only: over a finite
     * stream that is every session except each user's last (nothing ever

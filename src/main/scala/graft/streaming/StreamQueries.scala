@@ -24,6 +24,25 @@ object StreamQueries {
        |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** E11: the sliding-window aggregate (e10's expression) under
+    * Structured Streaming — batch/stream equivalence through the shared
+    * epoch-aligned time_bucket oracle, like e4 shares e1's.
+    */
+  private def e11StreamSliding(s: SparkSession, d: String): DataFrame =
+    EventStream.runSlidingToCompletion(s, d, "graft_stream_sliding")
+      .orderBy(col("ws"), col("event_type"))
+
+  private val e11Sql =
+    s"""WITH j AS (SELECT unnest(range(0, 2)) AS j),
+       |w AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts)
+       |           - j * (INTERVAL '5 minutes') AS ws,
+       |         event_type, value
+       |  FROM events, j)
+       |SELECT ws, ws + INTERVAL '10 minutes' AS we, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+
   /** E6: the stateful sessionizer (flatMapGroupsWithState) run to
     * completion. Closed sessions over a finite stream = the batch
     * gaps-and-islands sessions MINUS each user's last session (it never
@@ -106,6 +125,7 @@ object StreamQueries {
 
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e11_stream_sliding" -> Q(e11StreamSliding, Some(e11Sql)),
     "e9_stream_interval_join" -> Q(e9StreamJoin, Some(e9Sql)),
     "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),
     "e7_stream_dedup"    -> Q(e7StreamDedup, Some(e7Sql)),

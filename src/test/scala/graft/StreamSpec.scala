@@ -22,6 +22,22 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding agg equals batch sliding agg") {
+    val streamed = EventStream
+      .runSlidingToCompletion(spark, Sf0001, "spec_stream_sliding")
+      .orderBy("ws", "event_type").collect()
+    val batch = SparkEntry.queries("e10_sliding_window")(spark, Sf0001)
+      .collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getTimestamp(0) === b.getTimestamp(0))   // ws
+      assert(s.getTimestamp(1) === b.getTimestamp(1))   // we
+      assert(s.getString(2) === b.getString(2))
+      assert(s.getLong(3) === b.getLong(3))
+      assert(s.getDouble(4) === b.getDouble(4))   // bit-exact via Det.dsum
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer matches batch sessions (closed ones)") {
     val q = EventStream.sessionizeStream(EventStream.readStream(spark, Sf0001))
       .writeStream.outputMode("append").format("memory")
