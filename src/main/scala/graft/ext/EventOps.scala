@@ -20,7 +20,7 @@ object EventOps {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
-  private val e1Sql =
+  private[graft] val e1Sql =
     s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
@@ -44,7 +44,7 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
 
-  private val e10Sql =
+  private[graft] val e10Sql =
     s"""WITH j AS (SELECT unnest(range(0, 2)) AS j),
        |w AS (
        |  SELECT time_bucket(INTERVAL '5 minutes', ts)

@@ -164,14 +164,19 @@ object SimilarityOps {
     // side per candidate made the dedup exchange ~20x the bytes and
     // dominated the all-pairs runtime; lshTopK can afford vectors in its
     // candidates because its broadcast query side keeps them tiny).
-    def ids(prefix: String): DataFrame =
-      df.select(col("vec_id").as(s"${prefix}_id"),
-        posexplode(array((0 until tables).map(t =>
-          hyperplaneSig(s, col("embedding"), dim, bits,
-            seedBase = 1 + t)): _*))
-          .as(Seq("table", "bucket")))
-    val q = ids("q")
-    val c = ids("c")
+    // The signature projection is computed ONCE (localCheckpoint(eager)
+    // — the repo's scoped-persist replacement) and feeds all three
+    // consumers (q side, c side, bucket-width agg); without it the plan
+    // re-scanned the embeddings and re-ran bits×tables codegen dots
+    // three times. ~17 bytes/row × tables, freed by ContextCleaner.
+    val bucketed = df.select(col("vec_id").as("q_id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSig(s, col("embedding"), dim, bits,
+          seedBase = 1 + t)): _*))
+        .as(Seq("table", "bucket")))
+      .localCheckpoint(true)
+    val q = bucketed
+    val c = bucketed.withColumnRenamed("q_id", "c_id")
     val okBuckets = q.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucket)
@@ -182,16 +187,20 @@ object SimilarityOps {
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")
     // scoring joins each side's vector + norm back by id — two hash
-    // joins of 16-byte pairs against the N-row vector table. The final
-    // max() aggregate is a no-op on the already-unique pairs; it exists
-    // so the top-k window sits above an Aggregate (x2's proven plan
+    // joins of 16-byte pairs against the N-row vector table. Zero-norm
+    // vectors are DROPPED from both sides (the cosinePairsBrute guard:
+    // their sim is NaN, and NaN sorts above every double in the
+    // descending rank — one zero vector would otherwise crown itself
+    // rank-1 neighbour of every co-bucketed query). The final max()
+    // aggregate is a no-op on the already-unique pairs; it exists so
+    // the top-k window sits above an Aggregate (x2's proven plan
     // topology) — a Window directly above this join made Spark 4.1's
     // ExceptAll rewrite (used by the fixture spec) lose the sim
     // attribute during column pruning (INTERNAL_ERROR_ATTRIBUTE_NOT_
     // FOUND), and it costs one exchange of 24-byte rows.
     val scored = pairs
-      .join(withNorm(s, df, "q"), "q_id")
-      .join(withNorm(s, df, "c"), "c_id")
+      .join(withNorm(s, df, "q").filter(col("q_norm") > 0), "q_id")
+      .join(withNorm(s, df, "c").filter(col("c_norm") > 0), "c_id")
       .select(col("q_id"), col("c_id"),
         (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
           (col("q_norm") * col("c_norm"))).as("sim"))

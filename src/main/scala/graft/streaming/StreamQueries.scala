@@ -19,10 +19,8 @@ object StreamQueries {
     EventStream.runToCompletion(s, d, "graft_stream_tumbling")
       .orderBy(col("hour"), col("event_type"))
 
-  private val e4Sql =
-    s"""SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-       |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
-       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  // shared with batch e1 by reference (same discipline as e11/e10)
+  private val e4Sql = graft.ext.EventOps.e1Sql
 
   /** E11: the sliding-window aggregate (e10's expression) under
     * Structured Streaming — batch/stream equivalence through the shared
@@ -32,16 +30,10 @@ object StreamQueries {
     EventStream.runSlidingToCompletion(s, d, "graft_stream_sliding")
       .orderBy(col("ws"), col("event_type"))
 
-  private val e11Sql =
-    s"""WITH j AS (SELECT unnest(range(0, 2)) AS j),
-       |w AS (
-       |  SELECT time_bucket(INTERVAL '5 minutes', ts)
-       |           - j * (INTERVAL '5 minutes') AS ws,
-       |         event_type, value
-       |  FROM events, j)
-       |SELECT ws, ws + INTERVAL '10 minutes' AS we, event_type,
-       |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
-       |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin
+  // ONE definition: referencing EventOps' text (not copying it) is what
+  // makes "shares e10's oracle" true — a future oracle fix can't drift
+  // the stream gate from the batch gate.
+  private val e11Sql = graft.ext.EventOps.e10Sql
 
   /** E6: the stateful sessionizer (flatMapGroupsWithState) run to
     * completion. Closed sessions over a finite stream = the batch

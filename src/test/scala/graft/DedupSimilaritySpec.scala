@@ -461,6 +461,17 @@ class DedupSimilaritySpec extends SparkSpec {
     // maxBucket drops hot buckets from the candidate join: with a cap
     // below every bucket's width, no pairs at all can emerge
     assert(SimilarityOps.knnJoin(emb, 3, maxBucket = 1L).count() === 0L)
+    // zero-norm vectors never appear — as a query OR a neighbour (their
+    // cosine is NaN, which would sort rank-1 in the descending window)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .head().getInt(0)
+    val withZero = emb.limit(50).select("vec_id", "embedding", "label")
+      .union(Seq((999999L, Seq.fill(dim)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val z = SimilarityOps.knnJoin(withZero, 3)
+      .select("q_id", "c_id").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(!z.contains(999999L), "zero-norm vector leaked into kNN output")
   }
 
   test("LSH top-k achieves reasonable recall vs brute force") {
