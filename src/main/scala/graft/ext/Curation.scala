@@ -262,13 +262,24 @@ object Curation {
       .toDF()
   }
 
-  private def c4Packing(s: SparkSession, d: String): DataFrame =
-    packBins(
-      Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
-      capacity = 512L)
+  private def c4Packing(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    // The recursive-CTE oracle walks each source SEQUENTIALLY, so its
+    // equivalence needs one block per source — guaranteed by construction
+    // when blockSize > max(doc_id), not by hoping ids stay under the 2^20
+    // default. One column-pruned max() agg derives it (at hash-gate scale
+    // this is trivial; the production entry point is packBins itself,
+    // where callers size blockSize to their skew target, not to oracle
+    // equivalence).
+    val maxId = docs.agg(max(col("doc_id"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    packBins(docs, capacity = 512L, blockSize = maxId + 1)
       .orderBy(col("source"), col("doc_id"))
+  }
 
   /** Oracle: the same greedy fold as a recursive CTE walking each
     * source's docs in doc_id order, carrying (bin, running total).

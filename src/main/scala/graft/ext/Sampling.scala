@@ -344,9 +344,16 @@ object Sampling {
       n: Int, bucketSize: Long = 1024L): DataFrame = {
     require(n > 0 && bucketSize > 0, "need n > 0 and bucketSize > 0")
     val key = col(keyCol)
-    val wgt = col(weightCol).cast("long")
-    val bkt = ((key - pmod(key, lit(bucketSize))).cast("double") / bucketSize)
-      .cast("long")
+    // Negative weights break the monotone cumulative axis (membership
+    // would be meaningless) — fail loudly per row, codegen'd, instead of
+    // documenting a precondition nothing enforces.
+    val wgt = when(col(weightCol) < 0,
+      raise_error(concat(lit(s"systematicWeighted: negative $weightCol for "),
+        key.cast("string")))).otherwise(col(weightCol)).cast("long")
+    // key - pmod(key, b) is an exact multiple of b, so integral `div` is
+    // exact at ANY key magnitude — the double-division form rounded above
+    // 2^53 and could silently weaken the per-bucket bound.
+    val bkt = expr(s"(`$keyCol` - pmod(`$keyCol`, $bucketSize)) div $bucketSize")
     val wLocal = Window.partitionBy(col("_bkt")).orderBy(key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBkts = Window.partitionBy(lit(0)).orderBy(col("_bkt"))
@@ -368,7 +375,12 @@ object Sampling {
       .withColumn("_cum", col("_off") + col("_cuml"))
       .withColumn("_xn", col("_cum") * n)
       .withColumn("_xp", (col("_cum") - wgt) * n)
-      .filter(expr("`_xn` div `_tot`") > expr("`_xp` div `_tot`"))
+      // CaseWhen (not &&, which the optimizer may reorder) guards the
+      // integral division: an all-zero-weight frame has _tot = 0 and
+      // selects nothing, instead of throwing ANSI DIVIDE_BY_ZERO.
+      .filter(when(col("_tot") > 0,
+        expr("`_xn` div `_tot`") > expr("`_xp` div `_tot`"))
+        .otherwise(lit(false)))
       .drop("_bkt", "_cuml", "_off", "_tot", "_cum", "_xn", "_xp")
   }
 

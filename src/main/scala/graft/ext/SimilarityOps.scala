@@ -146,19 +146,46 @@ object SimilarityOps {
     * self-equi-join that scales with cluster bisection bandwidth, never
     * with driver memory (at toy scale Catalyst may still elect a
     * size-based broadcast; that is its prerogative, not a requirement).
-    * Candidate volume is Σ bucket² per table instead of N² — size bits
-    * ≈ log2(N / target-bucket-width) as N grows; the default (2 bits ×
-    * 4 tables) is the x2-measured ~0.8-recall shape at fixture scale. A
-    * dense region's hot bucket is the skew risk, so buckets wider than
-    * `maxBucket` are dropped from the candidate join entirely (documented
-    * recall tradeoff, same cap discipline as d2's banding — route a
-    * dropped bucket's members through [[bruteForceTopK]] against a
-    * centroid-pruned slice when they matter). Per-query top-k is a
+    * Candidate volume is Σ bucket² per table instead of N².
+    *
+    * `bits` AUTO-SCALES with corpus size (bits ≤ 0 ⇒ auto): bits =
+    * clamp(⌈log2(N / targetBucket)⌉, 2, 24) from one metadata-cheap
+    * count. At fixture scale (N ≤ 2·targetBucket) this resolves to the
+    * x2-measured ~0.8-recall shape (2 bits × 4 tables); at N = 10⁹ it
+    * resolves to ~20 bits ≈ 10⁶ buckets of ~10³ vectors — candidate
+    * volume stays ~N·targetBucket per table instead of collapsing every
+    * vector into 4 giant buckets (docs/SCALING.md worked example).
+    *
+    * A dense region's hot bucket is the residual skew risk. Buckets wider
+    * than `maxBucket` are no longer dropped (the round-5 scale cliff:
+    * at N ≫ maxBucket·2^bits EVERY bucket was over the cap and the
+    * operator silently returned zero rows); they are REFINED — members
+    * get δ = ⌈log2(maxWidth/maxBucket)⌉ extra hyperplane sign bits
+    * (computed only for hot-bucket members, one kernel call each), which
+    * splits dense-but-distinct regions geometrically (finer buckets =
+    * nearer candidates). A refined bucket that is STILL over the cap can
+    * only be a mass of (near-)identical vectors no hyperplane separates;
+    * those are salted into ⌈width/maxBucket⌉ hash slices — for identical
+    * vectors any same-slice neighbour is an optimal neighbour (sim 1), so
+    * the degradation is bounded and documented, never an empty answer.
+    * Both extra passes touch ONLY hot-bucket members; the hot-bucket list
+    * itself is ≤ N/maxBucket rows (broadcastable by construction: 10⁴
+    * rows at N = 10⁹, maxBucket = 10⁵). Per-query top-k is a
     * (q_id)-partitioned window — high-cardinality, near-uniform.
     */
-  def knnJoin(df: DataFrame, k: Int, bits: Int = 2, dim: Int = 64,
-      tables: Int = 4, maxBucket: Long = 100000L): DataFrame = {
+  def knnJoin(df: DataFrame, k: Int, bits: Int = 0, dim: Int = 64,
+      tables: Int = 4, maxBucket: Long = 100000L,
+      targetBucket: Long = 1250L): DataFrame = {
     val s = df.sparkSession
+    require(k > 0 && tables > 0 && maxBucket > 0 && targetBucket > 0,
+      "knnJoin: k, tables, maxBucket, targetBucket must be positive")
+    val useBits =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, df.count())
+        math.min(24, math.max(2, math.ceil(
+          math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
+      }
     // Candidate generation emits BARE ID PAIRS — the embeddings never
     // ride the cross-table candidate duplication (a 64-float vector per
     // side per candidate made the dedup exchange ~20x the bytes and
@@ -169,20 +196,59 @@ object SimilarityOps {
     // consumers (q side, c side, bucket-width agg); without it the plan
     // re-scanned the embeddings and re-ran bits×tables codegen dots
     // three times. ~17 bytes/row × tables, freed by ContextCleaner.
-    val bucketed = df.select(col("vec_id").as("q_id"),
+    val sig0 = df.select(col("vec_id").as("q_id"),
       posexplode(array((0 until tables).map(t =>
-        hyperplaneSig(s, col("embedding"), dim, bits,
+        hyperplaneSig(s, col("embedding"), dim, useBits,
           seedBase = 1 + t)): _*))
         .as(Seq("table", "bucket")))
       .localCheckpoint(true)
+    val widths = sig0.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("_bn"))
+    val maxW = widths.agg(max(col("_bn"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val bucketed: DataFrame =
+      if (maxW <= maxBucket)
+        // no hot buckets — the common shape once bits are sized to N
+        sig0.select(col("q_id"), col("table"),
+          col("bucket").cast("long").as("bucketL"), lit(0).as("salt"))
+      else {
+        val delta = math.min(12, math.max(1, math.ceil(
+          math.log(maxW.toDouble / maxBucket) / math.log(2.0)).toInt))
+        val hot = widths.filter(col("_bn") > maxBucket)
+          .select(col("table"), col("bucket"))
+        // hot members re-fetch their vector by id (sig0 deliberately
+        // carries no embeddings) and extend the signature by delta sign
+        // bits; the 1<<40 marker keeps refined ids disjoint from cold
+        // buckets (bucket < 2^24, delta <= 12 => shifted < 2^36)
+        val hotMembers = sig0.join(broadcast(hot), Seq("table", "bucket"))
+          .join(df.select(col("vec_id").as("q_id"), col("embedding")), "q_id")
+          .select(col("q_id"), col("table"),
+            (shiftleft(col("bucket").cast("long"), delta) +
+              hyperplaneSig(s, col("embedding"), dim, delta,
+                seedBase = 101 + tables).cast("long") +
+              lit(1L << 40)).as("bucketL"))
+        val cold = sig0.join(broadcast(hot), Seq("table", "bucket"), "left_anti")
+          .select(col("q_id"), col("table"),
+            col("bucket").cast("long").as("bucketL"))
+        val refined = cold.union(hotMembers).localCheckpoint(true)
+        // salt backstop: a refined bucket still over the cap is
+        // hyperplane-inseparable (near-identical vectors) — slice it
+        val still = refined.groupBy(col("table"), col("bucketL"))
+          .agg(count(lit(1)).as("_b2")).filter(col("_b2") > maxBucket)
+        refined.join(broadcast(still), Seq("table", "bucketL"), "left")
+          .withColumn("salt",
+            when(col("_b2").isNotNull,
+              pmod(xxhash64(col("q_id")),
+                expr(s"(`_b2` + ${maxBucket - 1}) div $maxBucket"))
+                .cast("int"))
+              .otherwise(lit(0)))
+          .select(col("q_id"), col("table"), col("bucketL"), col("salt"))
+      }
     val q = bucketed
     val c = bucketed.withColumnRenamed("q_id", "c_id")
-    val okBuckets = q.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn") <= maxBucket)
-      .select(col("table"), col("bucket"))
-    val pairs = q.join(broadcast(okBuckets), Seq("table", "bucket"))
-      .join(c, Seq("table", "bucket"))
+    val pairs = q.join(c, Seq("table", "bucketL", "salt"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"))
       .dropDuplicates("q_id", "c_id")

@@ -40,7 +40,17 @@ object SortedLanding {
     * differential assert reads 10000 vs 10000 under INT96).
     */
   def writeSorted(df: DataFrame, path: String, sortCol: String,
-      nRanges: Int = 8): Unit = {
+      nRanges: Int = 8): Unit = writeLock.synchronized {
+    // The session-wide conf toggle is serialized: writeSorted is the ONLY
+    // writer of this key, so the lock removes the one real race —
+    // concurrent landings clobbering each other's set/restore and landing
+    // INT96 files with no min-max stats. (No per-write DataFrameWriter
+    // option exists for outputTimestampType in Spark 4.1 — ParquetOptions
+    // carries only compression/mergeSchema/rebase.) An UNRELATED write on
+    // another thread that observes the temporary value lands
+    // TIMESTAMP_MICROS instead of INT96 — semantically identical
+    // timestamps with strictly better statistics, not a correctness
+    // hazard.
     val conf = df.sparkSession.conf
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = conf.get(key)
@@ -50,6 +60,8 @@ object SortedLanding {
       .write.mode("overwrite").parquet(path)
     finally conf.set(key, prev)
   }
+
+  private val writeLock = new Object
 
   // one landing per (source dir, source mtime), amortized across the
   // session exactly like Bucketed.prepared (j6)

@@ -458,9 +458,6 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & got).size.toDouble / brute.size
     assert(recall > 0.6, s"kNN-join recall $recall too low for 2-bit/4-table shape")
-    // maxBucket drops hot buckets from the candidate join: with a cap
-    // below every bucket's width, no pairs at all can emerge
-    assert(SimilarityOps.knnJoin(emb, 3, maxBucket = 1L).count() === 0L)
     // zero-norm vectors never appear — as a query OR a neighbour (their
     // cosine is NaN, which would sort rank-1 in the descending window)
     val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
@@ -472,6 +469,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("q_id", "c_id").collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
     assert(!z.contains(999999L), "zero-norm vector leaked into kNN output")
+  }
+
+  test("kNN join: hot buckets are refined, not dropped") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val n = emb.count()
+    // a cap far below every bucket's width: the round-5 code dropped all
+    // buckets and silently returned ZERO rows here (the 100 TB cliff —
+    // at N >> maxBucket*2^bits every bucket is over the cap); the
+    // refinement fallback must still answer nearly every query
+    val got = SimilarityOps.knnJoin(emb, 3, maxBucket = 20L)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty, "refinement fallback returned no candidates")
+    val covered = got.map(_._1).toSet.size
+    assert(covered >= n - 25,
+      s"only $covered of $n vectors got neighbours under refinement")
+  }
+
+  test("kNN join: hyperplane-inseparable duplicates fall to the salt backstop") {
+    // 60 copies of ONE vector: refinement planes cannot split identical
+    // sign bits, so the still-hot refined bucket must be hash-salted into
+    // ceil(60/10)=6 slices — every copy still gets same-slice neighbours,
+    // and for identical vectors any neighbour is optimal (sim ~ 1)
+    val base = Array.tabulate(8)(i => (i + 1).toFloat).toSeq
+    val df = (0L until 60L).map(i => (i, base, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnJoin(df, 2, dim = 8, maxBucket = 10L).collect()
+    assert(out.nonEmpty, "salt backstop produced no pairs for identical vectors")
+    val qs = out.map(_.getLong(0)).toSet
+    assert(qs.size >= 55, s"only ${qs.size} of 60 duplicates got neighbours")
+    out.foreach(r => assert(r.getDouble(r.fieldIndex("sim")) > 0.999))
+  }
+
+  test("kNN join: auto bits resolve to the explicit 2-bit fixture shape") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val auto = SimilarityOps.knnJoin(emb, 3) // bits <= 0 => derived from N
+    val manual = SimilarityOps.knnJoin(emb, 3, bits = 2)
+    assert(auto.exceptAll(manual).count() === 0L)
+    assert(manual.exceptAll(auto).count() === 0L)
   }
 
   test("LSH top-k achieves reasonable recall vs brute force") {
