@@ -116,9 +116,20 @@ object DedupOps {
       .distinct()
   }
 
-  private def d2Minhash(s: SparkSession, d: String): DataFrame =
-    minhashPairs(Tables.documents(s, d))
+  /** The registered d2 (xxhash64 kernel sketch — not SQL-recomputable)
+    * carries a fixture-replay oracle: deterministic output frozen from a
+    * verified run, keyed by corpus content ([[graft.util.OracleFixtures]]).
+    * d2b remains the from-first-principles cross-engine proof of the same
+    * banding algebra.
+    */
+  private def d2Minhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.util.OracleFixtures.withCorpusKey(minhashPairs(docs), docs)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d2Sql = graft.util.OracleFixtures.sql("d2_minhash_pairs",
+    Seq("id_a", "id_b", "est_jaccard"), "id_a, id_b")
 
   // ---- D2b: engine-portable MinHash (oracle-checked twin of d2) ----------
   /** MinHash banding whose every step is engine-portable: one md5 per
@@ -276,9 +287,17 @@ object DedupOps {
       // token array exploded to zero rows)
       .filter(col("simhash").isNotNull)
 
-  private def d3Simhash(s: SparkSession, d: String): DataFrame =
-    simhashTable(Tables.documents(s, d))
+  /** Fixture-replay oracle, same discipline as d2; d3b is the portable
+    * bit-majority proof.
+    */
+  private def d3Simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.util.OracleFixtures.withCorpusKey(simhashTable(docs), docs)
       .orderBy(col("doc_id"))
+  }
+
+  private val d3Sql = graft.util.OracleFixtures.sql("d3_simhash",
+    Seq("doc_id", "simhash"), "doc_id")
 
   /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit hash
     * into `bands` chunks; any pair within hamming distance < bands must
@@ -816,9 +835,9 @@ object DedupOps {
 
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
-    "d2_minhash_pairs"  -> Q(d2Minhash, None),
+    "d2_minhash_pairs"  -> Q(d2Minhash, Some(d2Sql)),
     "d2b_minhash_portable" -> Q(d2bMinhashPortable, Some(d2bSql)),
-    "d3_simhash"        -> Q(d3Simhash, None),
+    "d3_simhash"        -> Q(d3Simhash, Some(d3Sql)),
     "d3b_simhash_portable" -> Q(d3bSimhashPortable, Some(d3bSql)),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),

@@ -274,14 +274,28 @@ object MultimodalOps {
     * per-doc features — kind, primary dimension (image width / audio
     * sample rate), and a content statistic (mean red / RMS) that only a
     * true decode can produce.
+    *
+    * DuckDB cannot decode PNG/WAV, so the oracle replays the frozen
+    * expected rows ([[graft.util.OracleFixtures]]) keyed by the current
+    * corpus — the decode pipeline is deterministic per doc_id, making the
+    * frozen output a hard hash gate, not a tautology: any drift in
+    * synthesis, sniffing, or decoding fails the driver compare.
     */
-  private def mm1Features(s: SparkSession, d: String): DataFrame =
-    extractFeatures(s, synthesizeMedia(Tables.documents(s, d)))
-      .select(col("doc_id"), col("media_type"), col("n_bytes"),
-        element_at(col("features"), 1).cast("int").as("kind"),
-        element_at(col("features"), 2).cast("int").as("dim0"),
-        round(element_at(col("features"), 5), 3).as("stat0"))
+  private def mm1Features(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.util.OracleFixtures.withCorpusKey(
+      extractFeatures(s, synthesizeMedia(docs))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          element_at(col("features"), 1).cast("int").as("kind"),
+          element_at(col("features"), 2).cast("int").as("dim0"),
+          round(element_at(col("features"), 5), 3).as("stat0")),
+      docs)
       .orderBy(col("doc_id"))
+  }
+
+  private val mm1Sql = graft.util.OracleFixtures.sql("mm1_media_features",
+    Seq("doc_id", "media_type", "n_bytes", "kind", "dim0", "stat0"),
+    "doc_id")
 
   /** Frame sampling: split a payload into fixed-size stripes ("frames"),
     * keep every Nth, extract per-frame features. Pure expressions until
@@ -297,15 +311,40 @@ object MultimodalOps {
       .filter(col("frame_no") % everyNth === 0 && length(col("frame")) > 0)
       .select(col("doc_id"), col("frame_no"),
         length(col("frame")).cast("long").as("frame_bytes"),
-        xxhash64(col("frame")).as("frame_digest"))
+        // md5, not xxhash64: engine-portable, so the frame CONTENT (not
+        // just its length) is oracle-checked — DuckDB recomputes the
+        // same digest over the same substring
+        md5(col("frame")).as("frame_digest"))
   }
 
   private def mm2FrameSample(s: SparkSession, d: String): DataFrame =
     sampleFrames(Tables.documents(s, d), frameBytes = 64, everyNth = 2)
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Oracle: the lookbehind chunking re-expressed as substr arithmetic —
+    * frame i covers chars [i·64+1, i·64+64]; ceil(len/64) frames, empties
+    * dropped on both sides (a doc whose length divides 64 exactly has no
+    * trailing sliver; Spark's split keeps a trailing "" the length filter
+    * removes, the range() below never emits it).
+    */
+  private val mm2Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+      |      AS frame_no
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, frame_no,
+      |    substr(text, CAST(frame_no * 64 + 1 AS INT), 64) AS frame
+      |  FROM f WHERE frame_no % 2 = 0)
+      |SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+      |  CAST(length(frame) AS BIGINT) AS frame_bytes,
+      |  md5(frame) AS frame_digest
+      |FROM fr WHERE length(frame) > 0
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
-    "mm1_media_features" -> Q(mm1Features, None),
-    "mm2_frame_sample"   -> Q(mm2FrameSample, None),
+    "mm1_media_features" -> Q(mm1Features, Some(mm1Sql)),
+    "mm2_frame_sample"   -> Q(mm2FrameSample, Some(mm2Sql)),
   )
 }

@@ -57,15 +57,40 @@ object Experiments {
   }
 
   /** S8: split-mode AUC + accuracy for all five classifiers on the
-    * unbalanced dataset (goldens ≈ 0.81/0.25/0.73/0.76/0.80 per
-    * BASELINE.md; rows-only — seeded-split row membership is
-    * partitioning-dependent, so exact equality is not the contract).
+    * unbalanced dataset. Driver gate: metrics rounded 4 dp vs frozen
+    * goldens (the seeded experiments are deterministic in this
+    * environment) plus a per-classifier in-band flag stating the
+    * BASELINE.md quality contract independently of the exact pin — a
+    * wrongly regenerated golden would still trip the band.
     */
-  private def s8Matrix(s: SparkSession, d: String): DataFrame =
+  private def s8Matrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val bands = Seq(("dt", 0.70, 0.86), ("lr", 0.78, 0.86),
+      ("nb", 0.15, 0.35), ("rf", 0.78, 0.88), ("svc", 0.55, 0.75))
+      .toDF("classifier", "_lo", "_hi")
     matrix(s, Classifiers.Names, Seq(StrokePipeline.RawCsv), Seq(false))
+      .join(broadcast(bands), "classifier")
+      .select(col("classifier"), col("dataset"), col("mode"),
+        round(col("auc"), 4).as("auc_r4"),
+        round(col("accuracy"), 4).as("acc_r4"),
+        (col("auc") >= col("_lo") && col("auc") <= col("_hi"))
+          .as("auc_in_band"))
       .orderBy("classifier")
+  }
+
+  private val s8Sql =
+    """SELECT * FROM (VALUES
+      |  ('dt',  'unbalanced', 'split70_30', CAST(0.7835 AS DOUBLE),
+      |   CAST(0.9497 AS DOUBLE), TRUE),
+      |  ('lr',  'unbalanced', 'split70_30', 0.8217, 0.9524, TRUE),
+      |  ('nb',  'unbalanced', 'split70_30', 0.2354, 0.7905, TRUE),
+      |  ('rf',  'unbalanced', 'split70_30', 0.8217, 0.9524, TRUE),
+      |  ('svc', 'unbalanced', 'split70_30', 0.6521, 0.9524, TRUE))
+      |AS t(classifier, dataset, mode, auc_r4, acc_r4, auc_in_band)
+      |ORDER BY classifier""".stripMargin
 
   val qs: Seq[(String, Q)] = Seq(
-    "s8_experiment_matrix" -> Q(s8Matrix, None),
+    "s8_experiment_matrix" -> Q(s8Matrix, Some(s8Sql)),
   )
 }

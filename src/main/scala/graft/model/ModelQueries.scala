@@ -15,23 +15,54 @@ object ModelQueries {
 
   /** ML10+ML14: RandomForest 70/30 on the unbalanced stroke data →
     * sklearn-style classification report (distributed confusion agg).
+    *
+    * Driver gate: the whole report, metrics rounded 4 dp, against frozen
+    * golden literals in the oracle — the seeded split + seeded RF on the
+    * fixed stroke CSV is deterministic in this environment (PARITY.md),
+    * so the pin is hard; an intentional semantic change regenerates the
+    * literals from a verified run.
     */
   private def s4RfReport(s: SparkSession, d: String): DataFrame = {
     val prepared = StrokePipeline.prepare(s, StrokePipeline.RawCsv)
     val res = Classifiers.trainEval("rf", prepared)
     ClassificationReport.report(s, res.predictions, "stroke", "prediction")
+      .select(col("label"), round(col("precision"), 4).as("precision"),
+        round(col("recall"), 4).as("recall"), round(col("f1"), 4).as("f1"),
+        col("support"))
+      .orderBy(col("label"))
   }
 
-  /** ML6/ML12: LogisticRegression 70/30 AUC (golden ≈ 0.81 unbalanced). */
+  private val s4Sql =
+    """SELECT * FROM (VALUES
+      |  ('0',            CAST(0.9524 AS DOUBLE), CAST(1.0 AS DOUBLE),
+      |                   CAST(0.9756 AS DOUBLE), CAST(1400 AS BIGINT)),
+      |  ('1',            1.0,    0.0,    0.0,    70),
+      |  ('accuracy',     0.9524, 0.9524, 0.9524, 1470),
+      |  ('macro avg',    0.9762, 0.5,    0.4878, 1470),
+      |  ('weighted avg', 0.9546, 0.9524, 0.9292, 1470))
+      |AS t(label, "precision", recall, f1, support)
+      |ORDER BY label""".stripMargin
+
+  /** ML6/ML12: LogisticRegression 70/30 AUC (golden ≈ 0.82 unbalanced).
+    * Gate: AUC rounded 4 dp vs the frozen golden + a wide in-band flag
+    * stating the semantic contract independently of the exact pin.
+    */
   private def s5LrAuc(s: SparkSession, d: String): DataFrame = {
     val prepared = StrokePipeline.prepare(s, StrokePipeline.RawCsv)
     val res = Classifiers.trainEval("lr", prepared)
     import s.implicits._
     Seq(("lr", "split70_30", res.auc)).toDF("classifier", "eval", "auc")
+      .select(col("classifier"), col("eval"),
+        round(col("auc"), 4).as("auc_r4"),
+        (col("auc") >= 0.78 && col("auc") <= 0.86).as("auc_in_band"))
   }
 
+  private val s5Sql =
+    """SELECT 'lr' AS classifier, 'split70_30' AS "eval",
+      |  CAST(0.8217 AS DOUBLE) AS auc_r4, TRUE AS auc_in_band""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
-    "s4_rf_report" -> Q(s4RfReport, None),
-    "s5_lr_auc"    -> Q(s5LrAuc, None),
+    "s4_rf_report" -> Q(s4RfReport, Some(s4Sql)),
+    "s5_lr_auc"    -> Q(s5LrAuc, Some(s5Sql)),
   )
 }

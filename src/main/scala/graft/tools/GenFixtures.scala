@@ -56,12 +56,15 @@ object GenFixtures {
       write(s"d3_simhash_$tag") {
         DedupOps.simhashTable(Tables.documents(spark, dir))
       }
-      // ANN registered queries: frozen top-k as data (AnnFixtureSpec)
-      for (q <- Seq("x2_cosine_topk_lsh", "x4_cosine_topk_ivf",
-          "x5_cosine_topk_sq8", "x7_knn_join"))
-        write(s"${q.split('_').head}_topk_$tag") {
-          SparkEntry.queries(q)(spark, dir)
-        }
+      // ANN raw top-k builders: frozen as data (AnnFixtureSpec). The
+      // registered queries wrap these in bounded recall gates, so the
+      // fixtures pin the builders directly.
+      for ((short, build) <- Seq(
+          "x2" -> (graft.ext.SimilarityOps.x2LshTopK _),
+          "x4" -> (graft.ext.SimilarityOps.x4IvfTopK _),
+          "x5" -> (graft.ext.SimilarityOps.x5Sq8TopK _),
+          "x7" -> (graft.ext.SimilarityOps.x7KnnJoin _)))
+        write(s"${short}_topk_$tag") { build(spark, dir) }
     }
     // mm1: real-decode features over synthesized media (MultimodalSpec),
     // frozen at BOTH SFs like the sketch/ANN fixtures
@@ -72,6 +75,16 @@ object GenFixtures {
             MultimodalOps.synthesizeMedia(Tables.documents(spark, dir)))
           .select(col("doc_id"), col("media_type"), col("n_bytes"),
             col("features"))
+      }
+    // Fixture-replay ORACLE tables (graft.util.OracleFixtures): the
+    // registered query output — corpus_key column included — frozen at
+    // both SFs into one directory the DuckDB oracle reads back with
+    // read_parquet and filters by the current corpus key.
+    for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features"))
+      write(s"oracle/$name") {
+        Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+          .map(SparkEntry.queries(name)(spark, _))
+          .reduce(_ unionByName _)
       }
     spark.stop()
   }

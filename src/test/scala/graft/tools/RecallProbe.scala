@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.ext.SimilarityOps._
+
+/** Measurement harness for the ANN bounded-gate floors: prints per-query
+  * recall vs in-engine brute force for x2/x4/x5 and aggregate recall for
+  * x7, at sf0.01 and sf0.1. Run when (re)setting the recall floors the
+  * registered gate queries assert — the floors must sit below every value
+  * printed here at BOTH SFs (the pipelines are deterministic, so any
+  * floor under the measured minimum is a hard, non-flaky gate).
+  *
+  * Usage: `Test/runMain graft.tools.RecallProbe`
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSpec.session
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.embeddings(s, dir).cache()
+      val q5 = emb.filter(col("vec_id") < 5)
+      val exact = bruteForceTopK(emb, q5, 10).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((nm, df) <- Seq(
+          "x2" -> lshTopK(emb, q5, 10, bits = 4),
+          "x4" -> ivfTopK(emb, q5, 10),
+          "x5" -> sq8TopK(emb, q5, 10))) {
+        val ap = df.select("q_id", "c_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val per = (0L until 5L).map(q =>
+          (exact.filter(_._1 == q) & ap).size / 10.0)
+        println(s"[recall] $dir $nm per-query: ${per.mkString(", ")}")
+      }
+      val exall = bruteForceTopK(emb, emb, 3).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val kj = knnJoin(emb, 3).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] $dir x7 aggregate: ${(exall & kj).size.toDouble / exall.size}%.4f")
+      emb.unpersist()
+    }
+  }
+}
