@@ -393,6 +393,66 @@ object CoreOps {
     s.sql(q3Sql)
   }
 
+  /** SQL4: TPC-H Q18 (large-volume customers) — top-k over a
+    * HAVING-filtered aggregate feeding a semi-join back into a 3-way
+    * join + re-aggregation. One ANSI text, both engines: the IN
+    * subquery plans as a LeftSemi hash join on l_orderkey (the HAVING
+    * aggregate completes map-side before its exchange), quantities are
+    * integral doubles so their sums are IEEE-exact in any order (cast
+    * BIGINT on output), and the top-100 is totalized by o_orderkey.
+    * Threshold 250 sits at the quantity-sum p99 of the testdata, the
+    * Q18 selectivity shape.
+    *
+    * Scale: the semi-join's build side is the HAVING survivors (~1% of
+    * orders); Catalyst broadcasts it under the fact scan when small and
+    * falls back to a shuffled semi-join beyond — no plan rewrite needed
+    * at 100 TB. The final LIMIT rides TakeOrderedAndProject.
+    */
+  private def sql4TpchQ18(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q18Sql)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  substr(CAST(o_orderdate AS VARCHAR(30)), 1, 10) AS o_orderdate,
+      |  o_totalprice, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** SQL5: TPC-H Q20's nested-semi-join shape (potential part
+    * promotion), adapted to the testdata schema (no partsupp table —
+    * the inner correlate runs on lineitem): suppliers of '%bolt%' parts
+    * who moved > 100 units since 1996, restricted to a nation group.
+    * Two nested IN subqueries plan as stacked LeftSemi joins — the
+    * part-name filter prunes lineitem FIRST (broadcast semi on
+    * p_partkey), then the per-supplier aggregate gates the outer semi
+    * on s_suppkey; the supplier×nation dim join broadcasts. Quantity
+    * sums are integral-double exact as in SQL4.
+    */
+  private def sql5TpchQ20(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q20Sql)
+  }
+
+  private val q20Sql =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (
+      |    SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+      |  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+      |ORDER BY s_name, s_suppkey""".stripMargin
+
   private val q3Sql =
     s"""SELECT l_orderkey,
        |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
@@ -463,6 +523,8 @@ object CoreOps {
     "sql1_tpch_q1"       -> Q(sql1TpchQ1, Some(q1Sql)),
     "sql2_tpch_q5"       -> Q(sql2TpchQ5, Some(j2Sql)),
     "sql3_tpch_q3"       -> Q(sql3TpchQ3, Some(q3Sql)),
+    "sql4_tpch_q18"      -> Q(sql4TpchQ18, Some(q18Sql)),
+    "sql5_tpch_q20"      -> Q(sql5TpchQ20, Some(q20Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
