@@ -591,16 +591,14 @@ object SimilarityOps {
     * those cells. The scale path when the LSH bucket distribution is too
     * coarse: cells ≈ sqrt(n), probe cost ≈ nProbe/cells of the corpus.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
-    val s = corpus.sparkSession
-    // Coarse quantizer from the same driver-side spherical Lloyd fit as
-    // cosinePairsExact (bounded hash-ordered sample, normalized on the
-    // driver) — no MLlib KMeans, which caches the full corpus, costs a
-    // dozen scheduler rounds, and assigns through a non-codegen UDF.
-    // Direction cells suit the cosine metric, and argmax-dot assignment
-    // is scale-invariant, so raw embeddings need no normalize pass.
-    val sampleUnit = corpus
+  /** Coarse-quantizer training sample: bounded hash-ordered TakeOrdered
+    * pass, unit-normalized on the driver, zero-norm rows dropped — no
+    * MLlib KMeans, which caches the full corpus, costs a dozen scheduler
+    * rounds, and assigns through a non-codegen UDF. Shared by the IVF,
+    * IVF-SQ, and exact-blocking paths.
+    */
+  private def unitSample(corpus: DataFrame, fitSample: Int): Array[Array[Float]] =
+    corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(fitSample)
       .select(col("embedding")).collect()
       .flatMap { r =>
@@ -610,6 +608,13 @@ object SimilarityOps {
         val n = math.sqrt(n2)
         if (n == 0.0) None else Some(p.map(x => (x / n).toFloat))
       }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
+    val s = corpus.sparkSession
+    // Direction cells suit the cosine metric, and argmax-dot assignment
+    // is scale-invariant, so raw embeddings need no normalize pass.
+    val sampleUnit = unitSample(corpus, fitSample)
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
       math.min(nCells, sampleUnit.length), 5)
@@ -716,6 +721,92 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---- X8: IVF-SQ composed index -----------------------------------------
+  /** The standard billion-vector layout: IVF coarse cells bound WHICH
+    * rows are scored (probe nProbe/nCells of the corpus) and SQ8 codes
+    * bound HOW MUCH is read per row (4× less scan I/O than float32),
+    * with an exact float rerank of the top k·expand survivors. x4 and
+    * x5 exist as the independently-tested halves; this is their
+    * composition — at 10⁹ vectors the probed fraction × quantized
+    * bytes is what makes the scan affordable, and the rerank touches
+    * only candidate rows by id.
+    *
+    * Plan shape: one corpus scan computes (cell, codes, qparams, norm)
+    * — all codegen kernels; probes broadcast; the approximate score is
+    * the same reconstructed dot as [[sq8TopK]]; the rerank joins the
+    * tiny candidate list back onto the float corpus by id (broadcast),
+    * so the corpus never shuffles in either phase.
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, expand: Int = 4,
+      fitSample: Int = 4096): DataFrame = {
+    val s = corpus.sparkSession
+    val sampleUnit = unitSample(corpus, fitSample)
+    if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
+    val cents = sphericalLloyd(sampleUnit,
+      math.min(nCells, sampleUnit.length), 5)
+    val qp = VecOps.qparams8(s, col("embedding"))
+    val assigned = corpus.select(col("vec_id").as("c_id"),
+      VecOps.fnorm(s, col("embedding")).as("c_norm"),
+      element_at(qp, 1).cast("double").as("vmin"),
+      element_at(qp, 2).cast("double").as("step"),
+      VecOps.quantize8(s, col("embedding")).as("qb"),
+      VecOps.centroidArgmax(s, col("embedding"), cents)
+        .getField("cell").as("cell"))
+      .filter(col("c_norm") > 0)
+    import s.implicits._
+    val centDf = cents.toIndexedSeq.map(_.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      VecOps.fnorm(s, col("embedding")).as("q_norm"),
+      aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double")).as("q_sum"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("q_sum"),
+        col("cell"),
+        (-VecOps.fdot(s, col("q_emb"), col("centroid"))).as("cdist"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("q_sum"),
+        col("cell"))
+    val approx = assigned.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        ((col("vmin") * col("q_sum") +
+          col("step") * VecOps.qdot8(s, col("qb"), col("q_emb"))) /
+          (col("c_norm") * col("q_norm"))).as("approx_sim"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_sim").desc, col("c_id"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * expand)
+      .select(col("q_id"), col("c_id"))
+    val exact = corpus.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"),
+        VecOps.fnorm(s, col("embedding")).as("c_norm"))
+      .join(broadcast(cands), "c_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_norm"))),
+        "q_id")
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private[graft] def x8IvfSq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def x8Gate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, 0.25)((emb, q5) => ivfSq8TopK(emb, q5, 10))
+
   // ---- X6: per-label centroids (vector aggregation) ----------------------
   /** Elementwise mean embedding per label — the vector-aggregation shape
     * IVF coarse-quantizer training and class-prototype similarity both
@@ -767,5 +858,6 @@ object SimilarityOps {
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
+    "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),
   )
 }

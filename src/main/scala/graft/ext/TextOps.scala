@@ -392,7 +392,102 @@ object TextOps {
       |         AS repetitive
       |FROM j ORDER BY doc_id""".stripMargin
 
+  // ---- T12: bigram-LM quality score (the perplexity-filtering shape) ----
+  /** Corpus-trained statistical LM filter — the classic pretraining
+    * quality signal (CCNet/Gopher-style perplexity filtering), with the
+    * model trained on the corpus itself. Per document, the mean
+    * stupid-backoff bigram probability over positions i ≥ 1:
+    *
+    *   p(wᵢ | wᵢ₋₁) = c(wᵢ₋₁ wᵢ) / c(wᵢ₋₁)   when the bigram was seen,
+    *                  0.4 · c(wᵢ) / N          otherwise (backoff).
+    *
+    * The score is a mean PROBABILITY, deliberately not a log-perplexity:
+    * IEEE requires division to be correctly rounded but NOT log(), whose
+    * last ulp may differ between the JVM and DuckDB's libm — with
+    * divisions only, every arithmetic step is bit-identical
+    * cross-engine. The per-doc sum folds in CANONICAL position order
+    * (sort_array → aggregate fold ≡ DuckDB list(p ORDER BY pos) →
+    * list_reduce, both seeded at the first element since 0.0 + p₁ ≡ p₁),
+    * so the float sum has one defined order on both engines; the 6-dp
+    * round is belt-and-braces, not the parity mechanism.
+    *
+    * Scale: counting is two map-side-combined aggregations; the unigram
+    * model is vocabulary-sized (hash join or broadcast), the bigram
+    * lookup is a hash join on (w1, w2). In production the model is
+    * trained once and LANDED, then reused across scoring runs (the d8
+    * landing discipline); nothing collects to the driver. The per-doc
+    * fold is an interpreted HOF over ≤ tokens-per-doc elements —
+    * bounded, and off the hot counting path. Docs with < 2 tokens have
+    * no bigrams and drop out on both engines.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val arr = docs.select(col("doc_id"),
+      split(lower(col("text")), "\\s+").as("t"))
+    val toks = arr.select(explode(col("t")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val nTok = toks.agg(count(lit(1)).cast("double").as("_n"))
+    val bigr = arr
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val p = bigr
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("tok").as("w1"), col("c1").as("_c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c1").as("_c2")), Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"), col("pos"),
+        when(col("cb").isNotNull, col("cb").cast("double") / col("_c1"))
+          .otherwise(lit(0.4) * col("_c2").cast("double") / col("_n"))
+          .as("p"))
+    p.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_bigrams"),
+        round(aggregate(col("ps"), lit(0.0),
+          (acc, x) => acc + x.getField("p")) / size(col("ps")), 6)
+          .as("lm_score"))
+  }
+
+  private def t12LmScore(s: SparkSession, d: String): DataFrame =
+    lmScore(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  private val t12Sql =
+    """WITH arr AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents),
+      |toks AS (SELECT unnest(t) AS tok FROM arr),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      |        FROM toks GROUP BY tok),
+      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM toks),
+      |idx AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM arr),
+      |bigr AS (
+      |  SELECT doc_id, i AS pos,
+      |    t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+      |  FROM idx),
+      |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      |       FROM bigr GROUP BY 1, 2),
+      |p AS (
+      |  SELECT b.doc_id, b.pos,
+      |    CASE WHEN bi.cb IS NOT NULL
+      |         THEN CAST(bi.cb AS DOUBLE) / u1.c1
+      |         ELSE CAST(0.4 AS DOUBLE) * CAST(u2.c1 AS DOUBLE) / nt.nn
+      |    END AS p
+      |  FROM bigr b
+      |  LEFT JOIN bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+      |  JOIN uni u1 ON u1.tok = b.w1
+      |  JOIN uni u2 ON u2.tok = b.w2
+      |  CROSS JOIN nt)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(list_reduce(list(p ORDER BY pos), (a, b) -> a + b)
+      |        / count(*), 6) AS lm_score
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
+    "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t11_repetition"     -> Q(t11Repetition, Some(t11Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),

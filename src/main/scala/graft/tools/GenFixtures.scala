@@ -63,7 +63,8 @@ object GenFixtures {
           "x2" -> (graft.ext.SimilarityOps.x2LshTopK _),
           "x4" -> (graft.ext.SimilarityOps.x4IvfTopK _),
           "x5" -> (graft.ext.SimilarityOps.x5Sq8TopK _),
-          "x7" -> (graft.ext.SimilarityOps.x7KnnJoin _)))
+          "x7" -> (graft.ext.SimilarityOps.x7KnnJoin _),
+          "x8" -> (graft.ext.SimilarityOps.x8IvfSq8TopK _)))
         write(s"${short}_topk_$tag") { build(spark, dir) }
     }
     // mm1: real-decode features over synthesized media (MultimodalSpec),

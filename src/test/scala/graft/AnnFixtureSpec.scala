@@ -35,7 +35,8 @@ class AnnFixtureSpec extends SparkSpec {
     "x2" -> (ext.SimilarityOps.x2LshTopK _),
     "x4" -> (ext.SimilarityOps.x4IvfTopK _),
     "x5" -> (ext.SimilarityOps.x5Sq8TopK _),
-    "x7" -> (ext.SimilarityOps.x7KnnJoin _))
+    "x7" -> (ext.SimilarityOps.x7KnnJoin _),
+    "x8" -> (ext.SimilarityOps.x8IvfSq8TopK _))
 
   for ((short, build) <- builders;
       (dir, tag) <- Seq(Sf001 -> "sf0.01", Sf01 -> "sf0.1")) {

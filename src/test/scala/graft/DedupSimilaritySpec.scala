@@ -510,6 +510,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(manual.exceptAll(auto).count() === 0L)
   }
 
+  test("IVF-SQ composed top-k: quantized in-cell scoring + exact rerank " +
+      "reaches IVF-level recall") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityOps.ivfSq8TopK(emb, queries, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    // SQ8's in-cell ranking is near-exact (x5 measures 1.0), so the
+    // composition's recall is bounded by the IVF probe policy alone —
+    // it must not fall below the x4 shape's floor
+    assert(recall > 0.3, s"IVF-SQ recall $recall below the IVF floor")
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, Sf0001).cache()
     val queries = emb.filter(col("vec_id") < 10)
