@@ -453,6 +453,62 @@ object CoreOps {
       |  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
       |ORDER BY s_name, s_suppkey""".stripMargin
 
+  /** SQL6: TPC-H Q13's customer-distribution shape — a LEFT OUTER join
+    * with a filter INSIDE the ON clause (the planner must keep unmatched
+    * customers, so the predicate cannot be pushed below the join as a
+    * WHERE), a per-customer count over the null-padded side, then a
+    * second aggregation over the counts. count(o_orderkey) counts
+    * non-null matches, so order-less customers land in the c_count = 0
+    * bucket — the classic distribution query.
+    *
+    * Scale: customer⋈orders shuffles on custkey (near-uniform); the
+    * second aggregate's key space is tiny (distinct order counts), its
+    * partial completes map-side.
+    */
+  private def sql6TpchQ13(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q13Sql)
+  }
+
+  private val q13Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** SQL7: TPC-H Q22's shape (global sales opportunity) adapted to the
+    * schema (no c_phone — the country code derives from c_nationkey):
+    * an uncorrelated scalar aggregate subquery gates the threshold, a
+    * NOT EXISTS anti-semi-join drops customers with orders, and the
+    * survivors aggregate by code. The threshold average runs in exact
+    * decimal (util.Det discipline) — a plain avg(double) is
+    * partition-order dependent and a boundary customer could flip
+    * membership between engines.
+    */
+  private def sql7TpchQ22(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q22Sql)
+  }
+
+  private val q22Sql =
+    s"""SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
+       |  CAST(count(*) AS BIGINT) AS numcust,
+       |  ${graft.util.Det.sqlDsum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (
+       |    SELECT CAST(0.9 AS DOUBLE) *
+       |      CAST(avg(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+       |    FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |GROUP BY 1
+       |ORDER BY cntrycode""".stripMargin
+
   private val q3Sql =
     s"""SELECT l_orderkey,
        |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
@@ -525,6 +581,8 @@ object CoreOps {
     "sql3_tpch_q3"       -> Q(sql3TpchQ3, Some(q3Sql)),
     "sql4_tpch_q18"      -> Q(sql4TpchQ18, Some(q18Sql)),
     "sql5_tpch_q20"      -> Q(sql5TpchQ20, Some(q20Sql)),
+    "sql6_tpch_q13"      -> Q(sql6TpchQ13, Some(q13Sql)),
+    "sql7_tpch_q22"      -> Q(sql7TpchQ22, Some(q22Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
