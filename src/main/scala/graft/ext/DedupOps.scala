@@ -833,6 +833,63 @@ object DedupOps {
        |SELECT id_a, id_b, jaccard FROM dup_pairs
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D10: edit-distance near-dup verification --------------------------
+  /** Length-blocked Levenshtein near-dup pairs — the exact-verification
+    * complement to the sketch family (d2 MinHash, d3 SimHash): edit
+    * distance is the ground-truth metric fuzzy dedup ultimately cares
+    * about, but it is O(len²) per pair, so it can only ever run on a
+    * blocked candidate set, never all pairs.
+    *
+    * Blocking is LOSSLESS for the |Δn_chars| ≤ 4 gate: each doc lands in
+    * length buckets ⌊n/8⌋ and ⌊n/8⌋+1, and any pair within 4 chars of
+    * each other differs by at most one bucket, so it always shares one.
+    * The distance itself runs on the 64-char prefix — bounded work per
+    * pair regardless of document length (the full-text distance at 100 TB
+    * would be quadratic in doc length; a prefix gate is how production
+    * fuzzy-dedup bounds it, with the sketch families covering the rest of
+    * the document).
+    *
+    * Scale: candidate pairs dedup as BARE ID PAIRS before the prefixes
+    * join back (the x7 lesson — never let payload ride a dedup shuffle);
+    * the length-bucket join keys are near-uniform by construction.
+    * Both engines compute the identical integer DP, so the pairs
+    * hash-gate exactly.
+    */
+  def editDistPairs(docs: DataFrame, maxDist: Int = 5, lenGate: Int = 4,
+      prefixLen: Int = 64): DataFrame = {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    val blocked = base.select(col("doc_id"), col("n_chars"),
+      explode(array(floor(col("n_chars") / 8),
+        floor(col("n_chars") / 8) + 1)).as("blk"))
+    val cand = blocked.as("a").join(blocked.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= lenGate)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("pfx").as("_pa")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("pfx").as("_pb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("_pa"), col("_pb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private def d10EditDist(s: SparkSession, d: String): DataFrame =
+    editDistPairs(Tables.documents(s, d))
+
+  private val d10Sql =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars, substr(text, 1, 64) AS pfx FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+      |FROM base a JOIN base b
+      |  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 4
+      |WHERE levenshtein(a.pfx, b.pfx) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, Some(d2Sql)),
@@ -844,5 +901,6 @@ object DedupOps {
     "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),
     "d8b_incremental_indexed" -> Q(d8bIncrementalIndexed, Some(d8Sql)),
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
+    "d10_editdist_neardup" -> Q(d10EditDist, Some(d10Sql)),
   )
 }

@@ -183,6 +183,94 @@ object EventOps {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  // ---- E13: weekly retention cohorts -------------------------------------
+  /** The classic cohort-retention matrix: users grouped by first-active
+    * week, activity counted per subsequent week offset. The (user, week)
+    * pairs are DISTINCT'd first, so the cohort self-join moves one row
+    * per active user-week, not one per event — at 100 TB of events this
+    * is the difference between joining billions and joining the event
+    * log. Both passes shuffle on user_id (the min-week aggregate reuses
+    * the distinct's partitioning in practice), and the final matrix is
+    * weeks × offsets — tiny, its aggregate collapses map-side.
+    *
+    * Week offsets are exact: date_trunc('week') anchors Mondays in both
+    * engines (session is UTC), so consecutive week starts differ by
+    * exactly 604800 s and the offset division is lossless.
+    */
+  private def e13Cohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort_week"))) / 604800)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val e13Sql =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT f.cohort_week,
+      |  CAST((CAST(epoch(ev.wk) AS BIGINT)
+      |        - CAST(epoch(f.cohort_week) AS BIGINT)) / 604800 AS INTEGER)
+      |    AS week_offset,
+      |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS active_users
+      |FROM ev JOIN f USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ---- E14: ordered conversion funnel ------------------------------------
+  /** Strict-order funnel view → click → purchase: a user converts at
+    * stage k only with an event AFTER their previous-stage timestamp
+    * (first view, then first click after that view, then first purchase
+    * after that click). Unconditional per-user min/max aggregates can't
+    * express "first click after the first view", so each stage is a
+    * filtered min-aggregate joined to the previous stage — the standard
+    * declarative funnel.
+    *
+    * Scale: each stage shuffles on user_id with the min partial
+    * completing map-side, and the survivor set shrinks monotonically
+    * stage over stage; the event_type filters reach the scans. A
+    * single-pass alternative (per-user sorted fold via flatMapGroups,
+    * the e6 machinery) trades the extra scans for one shuffle of all
+    * events — worth it only when stages ≫ 3 or the event log is the
+    * dominant cost.
+    */
+  private def e14Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
+  }
+
+  private val e14Sql =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
     "e10_sliding_window" -> Q(e10Sliding, Some(e10Sql)),
@@ -190,5 +278,7 @@ object EventOps {
     "e2_sessionization"  -> Q(e2Sessions, Some(e2Sql)),
     "e2b_session_window" -> Q(e2bSessionWindow, Some(e2bSql)),
     "e3_daily_rollup"    -> Q(e3DailyUser, Some(e3Sql)),
+    "e13_retention_cohorts" -> Q(e13Cohorts, Some(e13Sql)),
+    "e14_funnel"         -> Q(e14Funnel, Some(e14Sql)),
   )
 }

@@ -486,8 +486,55 @@ object TextOps {
       |        / count(*), 6) AS lm_score
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- T13: corpus vocabulary profile (Heaps/Zipf shape) ------------------
+  /** Corpus-level vocabulary statistics per source — the "is this crawl
+    * slice natural language?" screen: token count, type (distinct-token)
+    * count, hapax legomena count, and the type-token / hapax ratios.
+    * Natural text follows Heaps' law (types ~ tokens^β, β≈0.5) with
+    * ~half the vocabulary hapax; template/boilerplate slices collapse to
+    * tiny ratios and machine-generated noise pushes them toward 1.
+    *
+    * Scale: one shuffle keyed by (source, token) with map-side partial
+    * counts — the moved rows are the DISTINCT vocabulary per source
+    * (Zipf: ≪ corpus size); the per-source rollup is then tiny.
+    * Ratios are single IEEE divisions of exact integer counts, rounded
+    * to 6 dp on both engines (CLAUDE discipline for derived doubles).
+    */
+  private def t13VocabStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("c") === 1, 1)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"))
+      .orderBy(col("source"))
+
+  private val t13Sql =
+    """WITH toks AS (
+      |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+      |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |    AS type_token_ratio,
+      |  round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / count(*), 6)
+      |    AS hapax_ratio
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
+    "t13_vocab_stats"    -> Q(t13VocabStats, Some(t13Sql)),
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t11_repetition"     -> Q(t11Repetition, Some(t11Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),

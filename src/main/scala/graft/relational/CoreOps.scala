@@ -509,6 +509,66 @@ object CoreOps {
        |GROUP BY 1
        |ORDER BY cntrycode""".stripMargin
 
+  /** SQL8: TPC-H Q17's small-quantity-order shape — a scalar subquery
+    * CORRELATED on the outer part key (Q22's was uncorrelated): line
+    * items below 20% of their part's average quantity. Catalyst
+    * decorrelates it into a per-partkey aggregate joined back to
+    * lineitem, so the "subquery per row" never executes row-at-a-time.
+    *
+    * Engine parity for the threshold: l_quantity is integer-valued, so
+    * avg over BIGINT sums exactly in both engines (long here, hugeint
+    * in DuckDB) and the final divide/multiply are single correctly-
+    * rounded IEEE ops — the comparison is bit-identical, no boundary
+    * row can flip. (A double SUM would be partition-order dependent.)
+    *
+    * Scale: the decorrelated aggregate shuffles lineitem once on
+    * partkey (map-side partials), the rejoin is partkey⋈partkey, and
+    * the brand filter reaches the part scan. Output is one row per
+    * brand — final agg collapses map-side.
+    */
+  private def sql8TpchQ17(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q17Sql)
+  }
+
+  private val q17Sql =
+    s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+       |  ${graft.util.Det.sqlDsum("l_extendedprice")} AS small_revenue
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand LIKE 'Brand#1%'
+       |  AND CAST(l_quantity AS DOUBLE) < CAST(0.2 AS DOUBLE) * (
+       |    SELECT CAST(avg(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+       |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
+  /** SQL9: TPC-H Q16's parts/supplier-count shape on this schema
+    * (lineitem's (partkey, suppkey) pairs stand in for partsupp):
+    * COUNT(DISTINCT) per group with a NOT IN subquery excluding
+    * flagged suppliers. s_suppkey is non-nullable so NOT IN is a plain
+    * anti-join (no null-semantics trap), and the excluded set
+    * (negative balances) broadcasts. The distinct-aggregate expands to
+    * a two-phase plan: dedup (brand, size, suppkey) partials map-side,
+    * then count per (brand, size).
+    */
+  private def sql9TpchQ16(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q16Sql)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM part, lineitem
+      |WHERE p_partkey = l_partkey
+      |  AND p_size BETWEEN 1 AND 25
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier
+      |    WHERE s_acctbal < CAST(0.0 AS DOUBLE))
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   private val q3Sql =
     s"""SELECT l_orderkey,
        |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
@@ -583,6 +643,8 @@ object CoreOps {
     "sql5_tpch_q20"      -> Q(sql5TpchQ20, Some(q20Sql)),
     "sql6_tpch_q13"      -> Q(sql6TpchQ13, Some(q13Sql)),
     "sql7_tpch_q22"      -> Q(sql7TpchQ22, Some(q22Sql)),
+    "sql8_tpch_q17"      -> Q(sql8TpchQ17, Some(q17Sql)),
+    "sql9_tpch_q16"      -> Q(sql9TpchQ16, Some(q16Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
