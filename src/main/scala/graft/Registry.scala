@@ -22,8 +22,11 @@ object Registry {
       relational.AsOfJoin.qs ++
       relational.RangeJoin.qs ++
       relational.Bucketed.qs ++
+      relational.BloomJoin.qs ++
+      relational.Scd.qs ++
       sources.JsonAndSinks.qs ++
       sources.SortedLanding.qs ++
+      sources.ZOrderLanding.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       ext.TextOps.qs ++

@@ -849,31 +849,37 @@ object DedupOps {
     * fuzzy-dedup bounds it, with the sketch families covering the rest of
     * the document).
     *
-    * Scale: candidate pairs dedup as BARE ID PAIRS before the prefixes
-    * join back (the x7 lesson — never let payload ride a dedup shuffle);
-    * the length-bucket join keys are near-uniform by construction.
-    * Both engines compute the identical integer DP, so the pairs
-    * hash-gate exactly.
+    * Scale: the 64-char prefixes ride the block join directly — bounded
+    * payload is cheaper than the extra shuffles of a bare-ID dedup +
+    * rejoin (the x7 rule applies to multi-KB embeddings, not to a
+    * fixed 64-char column); the length-bucket join keys are near-uniform
+    * by construction, and the banded (threshold) DP bounds per-pair work
+    * at O(prefixLen·maxDist). Both engines compute the identical integer
+    * DP, so the pairs hash-gate exactly.
     */
   def editDistPairs(docs: DataFrame, maxDist: Int = 5, lenGate: Int = 4,
       prefixLen: Int = 64): DataFrame = {
-    val base = docs.select(col("doc_id"), col("n_chars"),
-      substring(col("text"), 1, prefixLen).as("pfx"))
-    val blocked = base.select(col("doc_id"), col("n_chars"),
+    val blocked = docs.select(col("doc_id"), col("n_chars"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
       explode(array(floor(col("n_chars") / 8),
         floor(col("n_chars") / 8) + 1)).as("blk"))
-    val cand = blocked.as("a").join(blocked.as("b"),
+    // The prefixes ride the block join directly: at 64 chars they are
+    // SMALLER than the shuffle a bare-ID dedup + two rejoins would move
+    // (the x7 bare-pair rule is for multi-KB embeddings, not bounded
+    // prefixes). The threshold form of levenshtein runs the banded DP —
+    // O(len·maxDist) cells instead of O(len²), and -1 past the band, so
+    // the filter keeps exactly the pairs whose TRUE distance ≤ maxDist.
+    // A pair whose lengths straddle a block boundary appears in both
+    // shared blocks; the final distinct collapses it (3 small columns).
+    blocked.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= lenGate)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .distinct()
-    cand
-      .join(base.select(col("doc_id").as("id_a"), col("pfx").as("_pa")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("pfx").as("_pb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("_pa"), col("_pb")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
       .orderBy(col("id_a"), col("id_b"))
   }
 

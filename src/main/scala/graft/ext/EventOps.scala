@@ -197,8 +197,9 @@ object EventOps {
     * engines (session is UTC), so consecutive week starts differ by
     * exactly 604800 s and the offset division is lossless.
     */
-  private def e13Cohorts(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+  /** Core of e13 over any (user_id, ts) event frame. */
+  private[graft] def cohortMatrix(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .distinct()
     val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
@@ -209,6 +210,9 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  private def e13Cohorts(s: SparkSession, d: String): DataFrame =
+    cohortMatrix(Tables.events(s, d))
 
   private val e13Sql =
     """WITH ev AS (
@@ -240,8 +244,9 @@ object EventOps {
     * events — worth it only when stages ≫ 3 or the event log is the
     * dominant cost.
     */
-  private def e14Funnel(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+  /** Core of e14 over any (user_id, event_type, ts) frame. */
+  private[graft] def funnelCounts(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
@@ -254,6 +259,9 @@ object EventOps {
       .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
       .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
   }
+
+  private def e14Funnel(s: SparkSession, d: String): DataFrame =
+    funnelCounts(Tables.events(s, d))
 
   private val e14Sql =
     """WITH v AS (

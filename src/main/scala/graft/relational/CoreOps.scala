@@ -569,6 +569,84 @@ object CoreOps {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** SQL10: TPC-H Q14's promo-revenue-share shape, per ship month — a
+    * conditional aggregate ratio (CASE inside SUM) over a fact⋈dim join.
+    * Parity: both sums accumulate in exact decimal (the CASE zero branch
+    * included), each decimal→double cast is deterministic, and the final
+    * ratio is rounded to 6 dp on the shared text — no
+    * partition-order-dependent double addition anywhere. Scale: one
+    * broadcast of part (or shuffle on partkey), month grouping collapses
+    * map-side (~tens of groups).
+    */
+  private def sql10TpchQ14(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q14Sql)
+  }
+
+  private val q14Sql =
+    s"""SELECT substr(CAST(l_shipdate AS VARCHAR(30)), 1, 7) AS ship_month,
+       |  ROUND(100.00 * CAST(SUM(
+       |      CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END
+       |        AS DECIMAL(14,2))
+       |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+       |    AS DOUBLE)
+       |    / ${sqlRevenueSum("l_extendedprice", "l_discount")}, 6)
+       |    AS promo_revenue_pct
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
+  /** SQL11: TPC-H Q19's OR-of-ANDs shape — three disjunctive brand ×
+    * size × quantity windows. The planner must (a) push the common
+    * equi-key through the OR so the join stays a hash join (not a
+    * nested-loop over the disjunction) and (b) derive the per-table
+    * residual filters from the OR's common factors. One decimal revenue
+    * row out.
+    */
+  private def sql11TpchQ19(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q19Sql)
+  }
+
+  private val q19Sql =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND (
+       |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  /** SQL12: TPC-H Q4's EXISTS shape adapted to this schema (no
+    * l_commitdate here; "late" = any line shipped >60 days after the
+    * order date). A correlated EXISTS with an inequality on the OUTER
+    * column — Catalyst plans it as a left-semi join on orderkey with the
+    * date comparison as a join-side residual, so the subquery never
+    * executes per row; DuckDB plans the same semi-join. Counts per
+    * priority collapse map-side.
+    */
+  private def sql12TpchQ4(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q4Sql)
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   private val q3Sql =
     s"""SELECT l_orderkey,
        |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
@@ -645,6 +723,9 @@ object CoreOps {
     "sql7_tpch_q22"      -> Q(sql7TpchQ22, Some(q22Sql)),
     "sql8_tpch_q17"      -> Q(sql8TpchQ17, Some(q17Sql)),
     "sql9_tpch_q16"      -> Q(sql9TpchQ16, Some(q16Sql)),
+    "sql10_tpch_q14"     -> Q(sql10TpchQ14, Some(q14Sql)),
+    "sql11_tpch_q19"     -> Q(sql11TpchQ19, Some(q19Sql)),
+    "sql12_tpch_q4"      -> Q(sql12TpchQ4, Some(q4Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

@@ -1,0 +1,76 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Slowly-changing-dimension type-2 materialization (cdc1): the
+  * warehouse-identity operator — turn a change log into a versioned
+  * dimension with [effective_from, effective_to) validity intervals and
+  * an is_current flag, the standard target of every CDC merge.
+  *
+  * The change log here is the orders table read as updates to a
+  * customer's `last_total` attribute (one update per customer per day,
+  * latest order wins deterministically via max_by on the unique order
+  * key). Version stitching is a per-key window: effective_to = the NEXT
+  * change's effective_from (half-open intervals — no gap/overlap by
+  * construction), null ⇒ current.
+  *
+  * Scale: one shuffle keyed by the dimension key. The per-day dedup is a
+  * groupBy with map-side partials (cuts the window input to one row per
+  * key-day); the lead() window is per-key sequential but keys number in
+  * the millions at warehouse scale, so partitions stay balanced — there
+  * is no global window anywhere. This is the same single-shuffle shape a
+  * MERGE INTO target table would execute; writing the result partitioned
+  * by is_current gives the classic hot-current/cold-history layout.
+  *
+  * Engine parity: max_by ≡ DuckDB arg_max on the unique tiebreak key;
+  * dates emit as ISO strings (DATE objects reach pandas differently from
+  * the two engines — CLAUDE.md discipline).
+  */
+object Scd {
+
+  /** Collapse a change log to SCD2 history rows. `tsCol` is the change
+    * timestamp (day granularity after the dedup), `tieCol` a unique
+    * column making latest-per-day deterministic, `valCol` the tracked
+    * attribute.
+    */
+  def scd2History(changes: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val daily = changes
+      .groupBy(col(keyCol), col(tsCol).cast("date").as("eff_from"))
+      .agg(max_by(col(valCol), col(tieCol)).as("attr_value"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("eff_from"))
+    daily
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      .select(col(keyCol),
+        date_format(col("eff_from"), "yyyy-MM-dd").as("effective_from"),
+        date_format(col("eff_to"), "yyyy-MM-dd").as("effective_to"),
+        col("attr_value"),
+        col("eff_to").isNull.as("is_current"))
+  }
+
+  private def cdc1Scd2(s: SparkSession, d: String): DataFrame =
+    scd2History(Tables.orders(s, d), "o_custkey", "o_orderdate",
+      "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("effective_from"))
+
+  private val cdc1Sql =
+    """WITH daily AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS eff_from,
+      |    arg_max(o_totalprice, o_orderkey) AS attr_value
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey,
+      |  strftime(eff_from, '%Y-%m-%d') AS effective_from,
+      |  strftime(lead(eff_from) OVER w, '%Y-%m-%d') AS effective_to,
+      |  attr_value,
+      |  (lead(eff_from) OVER w IS NULL) AS is_current
+      |FROM daily
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_from)
+      |ORDER BY o_custkey, effective_from""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "cdc1_scd2_history" -> Q(cdc1Scd2, Some(cdc1Sql)),
+  )
+}

@@ -40,7 +40,18 @@ object SortedLanding {
     * differential assert reads 10000 vs 10000 under INT96).
     */
   def writeSorted(df: DataFrame, path: String, sortCol: String,
-      nRanges: Int = 8): Unit = writeLock.synchronized {
+      nRanges: Int = 8): Unit =
+    writeMicros(df, path)(_.repartitionByRange(nRanges, col(sortCol))
+      .sortWithinPartitions(col(sortCol)))
+
+  /** Land `df` under `path` with `layout` applied, timestamps forced to
+    * TIMESTAMP_MICROS (INT96, the Spark 4 default, carries NO min-max
+    * statistics — data skipping would silently do nothing). Shared by the
+    * sorted (s11) and z-ordered (s12) landings so both serialize on the
+    * one session-wide conf toggle.
+    */
+  private[sources] def writeMicros(df: DataFrame, path: String)(
+      layout: DataFrame => DataFrame): Unit = writeLock.synchronized {
     // The session-wide conf toggle is serialized: writeSorted is the ONLY
     // writer of this key, so the lock removes the one real race —
     // concurrent landings clobbering each other's set/restore and landing
@@ -55,9 +66,7 @@ object SortedLanding {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = conf.get(key)
     conf.set(key, "TIMESTAMP_MICROS")
-    try df.repartitionByRange(nRanges, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
-      .write.mode("overwrite").parquet(path)
+    try layout(df).write.mode("overwrite").parquet(path)
     finally conf.set(key, prev)
   }
 
