@@ -27,8 +27,10 @@ object Registry {
       sources.JsonAndSinks.qs ++
       sources.SortedLanding.qs ++
       sources.ZOrderLanding.qs ++
+      sources.IncrementalRollup.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
+      profile.QualityAudit.qs ++
       ext.TextOps.qs ++
       ext.DedupOps.qs ++
       ext.SimilarityOps.qs ++

@@ -183,6 +183,28 @@ object EventOps {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  // ---- E15: unpivot (melt) ----------------------------------------------
+  /** Wide→long inverse of e5's pivot: `Dataset.unpivot` expands each
+    * wide row to one row per value column IN PLACE — map-only, no
+    * shuffle, no driver involvement, at any scale (the shuffle in this
+    * query is e5's upstream pivot aggregate). Registered as the
+    * round-trip: unpivot(pivot(events)) with the zero-filled cells
+    * dropped equals the plain (day, event_type) aggregate, which is the
+    * oracle — the melt must invent or lose nothing.
+    */
+  private def e15Unpivot(s: SparkSession, d: String): DataFrame =
+    e5Pivot(s, d).unpivot(
+        Array(col("day")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("day"), col("event_type"))
+
+  private val e15Sql =
+    """SELECT DATE_TRUNC('day', ts) AS day, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
   // ---- E13: weekly retention cohorts -------------------------------------
   /** The classic cohort-retention matrix: users grouped by first-active
     * week, activity counted per subsequent week offset. The (user, week)
@@ -288,5 +310,6 @@ object EventOps {
     "e3_daily_rollup"    -> Q(e3DailyUser, Some(e3Sql)),
     "e13_retention_cohorts" -> Q(e13Cohorts, Some(e13Sql)),
     "e14_funnel"         -> Q(e14Funnel, Some(e14Sql)),
+    "e15_unpivot"        -> Q(e15Unpivot, Some(e15Sql)),
   )
 }
