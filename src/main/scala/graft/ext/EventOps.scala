@@ -167,13 +167,18 @@ object EventOps {
   // explicit conditional aggregation.
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  private def e5Pivot(s: SparkSession, d: String): DataFrame =
+  /** Pivot without the presentation sort — e15's melt builds on this so
+    * it doesn't inherit (and then redo) a total order it can't use.
+    */
+  private def e5PivotCore(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
-      .orderBy(col("day"))
+
+  private def e5Pivot(s: SparkSession, d: String): DataFrame =
+    e5PivotCore(s, d).orderBy(col("day"))
 
   private val e5Sql = {
     val cols = EventTypes.map(t =>
@@ -193,7 +198,7 @@ object EventOps {
     * oracle — the melt must invent or lose nothing.
     */
   private def e15Unpivot(s: SparkSession, d: String): DataFrame =
-    e5Pivot(s, d).unpivot(
+    e5PivotCore(s, d).unpivot(
         Array(col("day")), EventTypes.map(col).toArray,
         "event_type", "n")
       .filter(col("n") > 0)

@@ -25,11 +25,14 @@ import graft.{Q, Tables}
   */
 object QualityAudit {
 
-  private def dq1Audit(s: SparkSession, d: String): DataFrame = {
-    val orders = Tables.orders(s, d)
-    val lineitem = Tables.lineitem(s, d)
-    val customer = Tables.customer(s, d)
+  private def dq1Audit(s: SparkSession, d: String): DataFrame =
+    audit(Tables.orders(s, d), Tables.lineitem(s, d), Tables.customer(s, d))
 
+  /** The audit over arbitrary frames with the TPC-H column names —
+    * exposed so specs can plant violations and assert per-check counts.
+    */
+  def audit(orders: DataFrame, lineitem: DataFrame,
+      customer: DataFrame): DataFrame = {
     val pkDup = orders.groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .agg(coalesce(sum(col("c")), lit(0L)).as("violations"))

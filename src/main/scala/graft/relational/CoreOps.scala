@@ -647,6 +647,122 @@ object CoreOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** SQL13: TPC-H Q21's shape (suppliers who kept orders waiting) —
+    * the hardest decorrelation in the suite: a fact self-joined THREE
+    * ways, one positive EXISTS (another supplier contributed to the
+    * same order) and one negative NOT EXISTS (no OTHER supplier was
+    * also late), both correlated on the outer l_orderkey AND the outer
+    * order's date. Adapted to this schema like sql12: "late" =
+    * shipped >60 days after the order date (no l_receiptdate here;
+    * reference has no commit/receipt columns either).
+    *
+    * Catalyst decorrelates both subqueries into left-semi /
+    * left-anti hash joins on l_orderkey with the date and suppkey
+    * comparisons as join residuals — the lineitem table streams
+    * through three hash joins keyed identically, so at 100 TB all
+    * three sides co-partition on one l_orderkey exchange each (AQE
+    * coalesces), and nothing re-executes per row. The top-100 is
+    * TakeOrderedAndProject; (numwait DESC, s_name) totalizes the
+    * boundary.
+    */
+  private def sql13TpchQ21(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q21Sql)
+  }
+
+  private val q21Sql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** SQL14: TPC-H Q15 (top supplier) — a named aggregate view consumed
+    * TWICE in one query: once as the join input and once under a
+    * global-MAX scalar subquery the outer equality compares against.
+    * The per-supplier revenue is kept DECIMAL(18,4) end-to-end so the
+    * MAX equality is exact arithmetic, never a double compare at the
+    * boundary (the one place Q15 can go nondeterministic); the cast to
+    * double happens on output only.
+    *
+    * Scale: the CTE is |suppliers| rows after one keyed shuffle of the
+    * date-sliced fact (filter pushed to the scan); its MAX is a
+    * one-row broadcast. Spark inlines the CTE (computes the slice
+    * twice) — acceptable because the slice is one pushed-filter scan;
+    * materialize via localCheckpoint if the window ever widens to the
+    * full fact.
+    */
+  private def sql14TpchQ15(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q15Sql)
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DECIMAL(18,4))
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** SQL15: TPC-H Q11's shape (important stock) adapted to this schema
+    * (no partsupp table): per-supplier revenue HAVING-filtered against
+    * a fraction of the GLOBAL revenue — a grouped aggregate compared
+    * to a global scalar-subquery aggregate over the same fact. The
+    * threshold is scale-relative (× 1.02 / distinct-supplier count,
+    * Q11's own 0.0001/SF trick) so the query stays selective-but-
+    * non-empty at every SF. Both compared values go through an
+    * explicit DOUBLE cast from exact decimal sums, so both engines
+    * take identical IEEE values into the comparison (CLAUDE.md decimal
+    * literal rule).
+    *
+    * Scale: two aggregations of one fact scan (Catalyst does not yet
+    * share them — at 100 TB land the grouped aggregate once and derive
+    * the global sum from it, the mv1 pattern); the scalar result
+    * broadcasts into a map-side filter over |suppliers| rows.
+    */
+  private def sql15TpchQ11(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q11Sql)
+  }
+
+  private val q11Sql =
+    """SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue FROM (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey)
+      |WHERE CAST(revenue AS DOUBLE) > (
+      |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE)
+      |    * 1.02 / COUNT(DISTINCT l_suppkey)
+      |  FROM lineitem)
+      |ORDER BY revenue DESC, l_suppkey""".stripMargin
+
   private val q3Sql =
     s"""SELECT l_orderkey,
        |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
@@ -726,6 +842,9 @@ object CoreOps {
     "sql10_tpch_q14"     -> Q(sql10TpchQ14, Some(q14Sql)),
     "sql11_tpch_q19"     -> Q(sql11TpchQ19, Some(q19Sql)),
     "sql12_tpch_q4"      -> Q(sql12TpchQ4, Some(q4Sql)),
+    "sql13_tpch_q21"     -> Q(sql13TpchQ21, Some(q21Sql)),
+    "sql14_tpch_q15"     -> Q(sql14TpchQ15, Some(q15Sql)),
+    "sql15_tpch_q11"     -> Q(sql15TpchQ11, Some(q11Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

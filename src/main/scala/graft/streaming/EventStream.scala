@@ -283,6 +283,110 @@ object EventStream {
     runScoped(spark, queryName, "append")(
       intervalJoin(readStream(spark, dir)))
 
+  // ---- e16: streaming materialized-view upsert (foreachBatch) -----------
+
+  // The events file split into 4 disjoint chunks so AvailableNow +
+  // maxFilesPerTrigger=1 drives FOUR micro-batches whose rollup keys
+  // overlap — each batch genuinely re-upserts keys earlier batches
+  // already wrote, which is the claim under test. Memoized per source
+  // like stagedDirs.
+  private val splitStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def splitStageDir(spark: SparkSession, dir: String)
+      : java.nio.file.Path =
+    splitStagedDirs.getOrElseUpdate(dir, {
+      import java.nio.file.{Files, Paths}
+      val staged = Files.createTempDirectory("graft_events_split")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      for (k <- 0 until 4) {
+        val tmpOut = Files.createTempDirectory("graft_events_chunk")
+        raw.filter(pmod(col("event_id"), lit(4)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmpOut).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, staged.resolve(f"chunk_$k%02d.parquet"))
+        val walk = Files.walk(tmpOut)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(staged)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      staged
+    })
+
+  /** The rollup the MV maintains: per (day, event_type) count + exact
+    * decimal sum. No watermark: an MV's keys must stay updatable
+    * forever (a late event must still correct its day). State is
+    * |days × types| — the MV's own size, tiny by construction; at
+    * 100 TB the same holds because rollup state scales with the GROUP
+    * cardinality, never the event volume.
+    */
+  def upsertRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("value")).as("sum_value"))
+
+  /** Run the MV-maintenance stream to completion, returning the raw
+    * upsert LOG: one row per (key, micro-batch that changed it), with
+    * the batch id. Update output mode emits only keys the batch
+    * touched, each carrying its complete new aggregate — exactly what
+    * a MERGE INTO target consumes. foreachBatch appends the delta to a
+    * parquet log (the portable stand-in for a transactional MERGE sink;
+    * the checkpoint + append are the production restart story, same as
+    * dedupToFileSink).
+    */
+  def runUpsertLogToCompletion(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val target = graft.util.Landing.tempDirOnce("graft_mv_upsert").toString
+    val ckp = graft.util.Landing.tempDirOnce("graft_mv_upsert_ckp").toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = spark.readStream.schema(RawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(splitStageDir(spark, dir).toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) =>
+        batch.withColumn("_batch", lit(id))
+          .write.mode("append").parquet(target)
+      val q = upsertRollup(src).writeStream
+        .outputMode("update")
+        .foreachBatch(mergeBatch)
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(target)
+  }
+
+  /** The maintained MV: last-writer-wins per key over the upsert log —
+    * what the MERGE target would hold after the final batch. Must equal
+    * the batch rollup over all events (the oracle): the incremental
+    * update path may invent or lose nothing.
+    */
+  def runUpsertRollupToCompletion(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val log = runUpsertLogToCompletion(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"))
+      .orderBy(col("_batch").desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+  }
+
   // ---- custom state: streaming sessionizer ------------------------------
 
   final case class Ev(user_id: Long, ts_us: Long)

@@ -115,8 +115,26 @@ object StreamQueries {
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** E16: streaming materialized-view maintenance — the streaming
+    * complement of batch mv1. The rollup is maintained incrementally
+    * across four micro-batches (update mode emits each touched key's
+    * complete new aggregate; foreachBatch appends it to the upsert log,
+    * the portable MERGE-INTO stand-in), and the MV is last-writer-wins
+    * per key over the log. The oracle is the batch rollup over all
+    * events: the incremental path may invent or lose nothing.
+    */
+  private def e16StreamUpsert(s: SparkSession, d: String): DataFrame =
+    EventStream.runUpsertRollupToCompletion(s, d)
+      .orderBy(col("day"), col("event_type"))
+
+  private val e16Sql =
+    s"""SELECT DATE_TRUNC('day', ts) AS day, event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e16_stream_upsert_mv" -> Q(e16StreamUpsert, Some(e16Sql)),
     "e11_stream_sliding" -> Q(e11StreamSliding, Some(e11Sql)),
     "e9_stream_interval_join" -> Q(e9StreamJoin, Some(e9Sql)),
     "e6_stream_sessions" -> Q(e6StreamSessions, Some(e6Sql)),

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.profile.QualityAudit
+
+/** Round-6 maintenance operators: data-quality constraint audit (dq1),
+  * incremental materialized-view rollup (mv1), unpivot/melt (e15). The
+  * oracle gates pin all three against DuckDB on the real (clean) tables;
+  * these specs pin what the gates can't show — that dq1 actually COUNTS
+  * violations when they exist, that mv1's landed base goes stale-safe on
+  * a source rewrite, and that e15's melt is exchange-free on top of the
+  * pivot it inverts.
+  */
+class MaintenanceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- dq1: constraint audit ---------------------------------------------
+
+  test("dq1: planted violations are counted per check, exactly") {
+    val orders = Seq((1L, 10L), (2L, 10L), (2L, 20L), (3L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+    val customer = Seq(10L, 20L).toDF("c_custkey")
+    val lineitem = Seq(
+      (1L, Some(10.0), 0.05, 100.0),  // clean
+      (7L, Some(5.0), 0.0, 50.0),     // orphan orderkey
+      (2L, None, 0.05, 10.0),         // qty null
+      (2L, Some(0.0), 0.05, 10.0),    // qty < 1
+      (3L, Some(51.0), 0.05, 10.0),   // qty > 50
+      (1L, Some(5.0), -0.1, 10.0),    // discount < 0
+      (1L, Some(5.0), 1.5, 10.0),     // discount > 1
+      (1L, Some(5.0), 0.05, 0.0),     // price = 0
+      (1L, Some(5.0), 0.05, -5.0))    // price < 0
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+
+    val got = QualityAudit.audit(orders, lineitem, customer)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "orders_pk_duplicates"     -> 2L, // both rows of the dup key count
+      "lineitem_fk_orphans"      -> 1L,
+      "orders_fk_orphans"        -> 1L,
+      "lineitem_quantity_range"  -> 3L,
+      "lineitem_discount_range"  -> 2L,
+      "lineitem_price_positive"  -> 2L))
+  }
+
+  test("dq1: clean frames audit to all-zero violations (load gate opens)") {
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq(10L, 20L).toDF("c_custkey")
+    val lineitem = Seq((1L, Some(10.0), 0.05, 100.0))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+    val got = QualityAudit.audit(orders, lineitem, customer)
+      .as[(String, Long)].collect()
+    assert(got.length === 6 && got.forall(_._2 === 0L))
+  }
+
+  // ---- mv1: incremental rollup -------------------------------------------
+
+  private def mv1 = Registry.all.toMap.apply("mv1_incremental_rollup").fn
+
+  test("mv1: base ⊎ delta re-aggregation equals the full recompute, " +
+      "bit-exact, and both sides of the split are non-trivial") {
+    val full = Tables.lineitem(spark, Sf0001)
+      .groupBy(substring(col("l_shipdate").cast("string"), 1, 10).as("day"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("l_extendedprice")).cast("double")
+          .as("revenue"))
+      .orderBy("day")
+      .as[(String, Long, Double)].collect()
+    val inc = mv1(spark, Sf0001).as[(String, Long, Double)].collect()
+    assert(inc.toSeq === full.toSeq)
+    // the split must exercise BOTH paths: history in the base, rows in
+    // the delta — otherwise the incremental claim is vacuous
+    val delta = Tables.lineitem(spark, Sf0001)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp")).count()
+    assert(delta > 0 && delta < 6000, s"degenerate split: delta=$delta")
+  }
+
+  test("mv1: landed base is memoized per source mtime and re-lands on " +
+      "rewrite (no stale rollup after history is rewritten)") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_mv1_stale")
+    try {
+      Tables.lineitem(spark, Sf0001)
+        .write.parquet(s"$tmp/lineitem.parquet")
+      val first = mv1(spark, tmp.toString).agg(sum("n")).as[Long].head()
+      assert(first === 6000L)
+      // rewrite HISTORY (drop half the pre-split rows) and bump mtime
+      // past filesystem granularity — the memo key must miss
+      val kept = Tables.lineitem(spark, tmp.toString)
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp") ||
+          pmod(col("l_orderkey"), lit(2)) === 0)
+        .localCheckpoint(true)
+      val dir = new java.io.File(s"$tmp/lineitem.parquet")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      kept.write.parquet(s"$tmp/lineitem.parquet")
+      dir.setLastModified(dir.lastModified() + 5000)
+      val second = mv1(spark, tmp.toString).agg(sum("n")).as[Long].head()
+      assert(second === kept.count(),
+        "stale landed base served after history rewrite")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  // ---- e16: streaming MV upsert ------------------------------------------
+
+  test("e16: the upsert log shows genuine incremental maintenance — " +
+      "multiple micro-batches re-upserting the same keys — and " +
+      "last-writer-wins equals the batch rollup") {
+    val log = streaming.EventStream
+      .runUpsertLogToCompletion(spark, Sf0001).localCheckpoint(true)
+    val nBatches = log.select(countDistinct(col("_batch"))).as[Long].head()
+    assert(nBatches === 4L, s"expected 4 micro-batches, got $nBatches")
+    // at least one key must have been written by >1 batch — otherwise
+    // nothing was ever UPDATED and the test proves only inserts
+    val multi = log.groupBy("day", "event_type")
+      .agg(countDistinct(col("_batch")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(multi > 0, "no key was upserted by more than one batch")
+    // last-writer-wins == batch rollup (also the driver's oracle gate)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"))
+      .orderBy(col("_batch").desc)
+    val mv = log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("day"), col("event_type"), col("n"))
+    val batch = Tables.events(spark, Sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(mv.collect().toSet === batch.collect().toSet)
+  }
+
+  // ---- e15: unpivot ------------------------------------------------------
+
+  test("e15: unpivot(pivot) round-trips to the plain long-form aggregate " +
+      "and the melt itself adds no exchange") {
+    val qs = Registry.all.toMap
+    val e15 = qs("e15_unpivot").fn(spark, Sf0001)
+    val plain = Tables.events(spark, Sf0001)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(e15.select("day", "event_type", "n").collect().toSet ===
+      plain.collect().toSet)
+    // unpivot is map-only: e15 (pivot + melt) must shuffle no more than
+    // e5 (the pivot alone) — same exchange count in the physical plan
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val e5 = qs("e5_pivot").fn(spark, Sf0001)
+    assert(exchanges(e15) === exchanges(e5),
+      "unpivot introduced an extra shuffle")
+  }
+}
