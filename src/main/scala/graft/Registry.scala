@@ -28,6 +28,7 @@ object Registry {
       sources.SortedLanding.qs ++
       sources.ZOrderLanding.qs ++
       sources.IncrementalRollup.qs ++
+      sources.Compaction.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

@@ -532,8 +532,46 @@ object TextOps {
       |    AS hapax_ratio
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- T14: curriculum quality buckets ------------------------------------
+  /** Quality-decile assignment over the t12 LM score — the curriculum-
+    * learning primitive: rank every document by fluency, cut into 10
+    * equal-count buckets, report each bucket's population and score
+    * range. A training scheduler consumes the bucket id (feed high
+    * deciles early / filter the bottom decile); the per-bucket stats
+    * are the audit view.
+    *
+    * ntile here is an EXACT global rank — one WindowExec partition,
+    * fine at |documents| rows of (id, score) pairs but not at 10^10.
+    * The scale path is the m7 discipline: compute decile BOUNDARIES
+    * from a rank prefix-sum (or approx_percentile with an exact-rerank
+    * band), broadcast them, and assign buckets map-side; the exact form
+    * here doubles as that path's oracle. Ties totalized by doc_id so
+    * both engines cut identically.
+    */
+  private def t14QualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_score"), col("doc_id"))
+    lmScore(Tables.documents(s, d))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("lm_score")).as("min_score"),
+        max(col("lm_score")).as("max_score"))
+      .orderBy(col("bucket"))
+  }
+
+  private val t14Sql =
+    s"""WITH scores AS ($t12Sql)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(lm_score) AS min_score, max(lm_score) AS max_score
+       |FROM (SELECT doc_id, lm_score,
+       |        NTILE(10) OVER (ORDER BY lm_score, doc_id) AS bucket
+       |      FROM scores)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
+    "t14_quality_buckets" -> Q(t14QualityBuckets, Some(t14Sql)),
     "t13_vocab_stats"    -> Q(t13VocabStats, Some(t13Sql)),
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),
     "t11_repetition"     -> Q(t11Repetition, Some(t11Sql)),

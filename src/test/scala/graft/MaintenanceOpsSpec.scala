@@ -134,6 +134,52 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(mv.collect().toSet === batch.collect().toSet)
   }
 
+  // ---- s13: compaction ---------------------------------------------------
+
+  test("s13: compact() is content-exact and sizes output by actual bytes") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_s13_spec")
+    try {
+      val src = spark.range(0, 20000)
+        .select(col("id"), (col("id") % 97).as("v"))
+      src.repartition(16).write.parquet(s"$tmp/frag")
+      sources.Compaction.compact(spark, s"$tmp/frag", s"$tmp/out",
+        targetBytes = 1L << 30) // huge target → exactly 1 file
+      val outFiles = new java.io.File(s"$tmp/out").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_"))
+      assert(outFiles.length === 1,
+        s"expected 1 compacted file, got ${outFiles.length}")
+      // nothing lost, nothing invented
+      assert(spark.read.parquet(s"$tmp/out").collect().toSet ===
+        src.collect().toSet)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  // ---- t14: curriculum quality buckets -----------------------------------
+
+  test("t14: deciles are equal-count (±1) and score ranges are ordered " +
+      "and non-overlapping") {
+    val rows = Registry.all.toMap.apply("t14_quality_buckets")
+      .fn(spark, Sf0001)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq === (1L to 10L))
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1,
+      s"ntile buckets must differ by at most 1: ${sizes.mkString(",")}")
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._3,
+        s"bucket ${lo._1} max ${lo._4} overlaps bucket ${hi._1} min ${hi._3}")
+    case _ => ()
+    }
+  }
+
   // ---- e15: unpivot ------------------------------------------------------
 
   test("e15: unpivot(pivot) round-trips to the plain long-form aggregate " +
