@@ -778,6 +778,224 @@ object CoreOps {
        |ORDER BY revenue DESC, o_orderdate, l_orderkey
        |LIMIT 10""".stripMargin
 
+  /** SQL16: TPC-H Q10 (returned-item reporting) — the lost-revenue
+    * ranking: a quarter of orders, only returned lineitems, re-keyed to
+    * the customer with their nation, top-20 by decimal-exact revenue.
+    * One ANSI text, both engines; (revenue DESC, c_custkey) totalizes
+    * the LIMIT boundary.
+    *
+    * Scale: the orderdate quarter prunes the orders scan (pushed
+    * filter), l_returnflag prunes lineitem; the customer and nation
+    * sides broadcast under Catalyst's size estimation; the final
+    * top-20 is TakeOrderedAndProject over the grouped frame — no
+    * global sort.
+    */
+  private def sql16TpchQ10(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q10Sql)
+  }
+
+  private val q10Sql =
+    s"""SELECT c_custkey, c_name,
+       |  ${sqlRevenueSum("l_extendedprice", "l_discount")} AS revenue,
+       |  c_acctbal, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+       |  AND l_returnflag = 'R'
+       |  AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** SQL17: TPC-H Q12's shape (shipping modes / priority classes),
+    * adapted to this schema (no l_shipmode/commitdate/receiptdate:
+    * l_linestatus is the mode dimension, "late" = shipped > 30 days
+    * after order date). The core shape survives intact: fact-fact join,
+    * a date-window filter, and two complementary CASE-sum pivots per
+    * group — TPC-H's canonical conditional-aggregation pattern.
+    *
+    * Scale: the shipdate year prunes lineitem at the scan; the join
+    * shuffles both facts on orderkey once; CASE-sums complete map-side
+    * (two longs per group), so the exchange carries 2 groups × 32
+    * partial rows regardless of data size.
+    */
+  private def sql17TpchQ12(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q12Sql)
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** SQL18: TPC-H Q7 (volume shipping) — bidirectional nation-group
+    * flows: supplier nation × customer nation × ship year, via a
+    * 6-table join with a symmetric OR predicate over the two nation
+    * dims. Nation GROUPS (prefix LIKE) rather than single nations keep
+    * the result non-degenerate at sf0.001's 10 suppliers. The ship
+    * year is the engine-portable substr-of-ISO-timestamp prefix (both
+    * engines render timestamps ISO — no format function).
+    *
+    * Scale: both nation dims broadcast (25 rows); the OR pair
+    * predicate is evaluated as a join residual after the broadcasts,
+    * never a cartesian; lineitem→orders→customer shuffles on their
+    * keys once each, and the group-by key space (nations² × years) is
+    * tiny so partials complete map-side.
+    */
+  private def sql18TpchQ7(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q7Sql)
+  }
+
+  private val q7Sql =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${sqlRevenueSum("volume_price", "volume_disc")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    substr(CAST(l_shipdate AS VARCHAR(30)), 1, 4) AS l_year,
+       |    l_extendedprice AS volume_price, l_discount AS volume_disc
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey
+       |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name LIKE 'NATION_1%' AND n2.n_name LIKE 'NATION_2%')
+       |      OR (n1.n_name LIKE 'NATION_2%' AND n2.n_name LIKE 'NATION_1%'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+       |) AS shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** SQL19: TPC-H Q8 (national market share) — the share of one
+    * supplier-nation group in region-restricted order volume, per
+    * year: an 8-table join producing (year, volume, supp_nation),
+    * then a conditional-sum ratio. Volumes stay DECIMAL(18,4) through
+    * both SUMs (the ELSE 0 is cast to the same decimal type so the
+    * conditional sum never widens to double mid-aggregation); the
+    * division happens once, on two exactly-agreed doubles, and is
+    * ROUNDed to 6 decimals per the CLAUDE.md derived-stat rule.
+    *
+    * Scale: region prunes nation n1 → customer (broadcast chain);
+    * p_type prunes part before its join; the ratio's group key space
+    * is |years|, so everything after the joins is map-side.
+    */
+  private def sql19TpchQ8(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q8Sql)
+  }
+
+  private val q8Sql =
+    """SELECT o_year,
+      |  ROUND(CAST(SUM(CASE WHEN supp_nation LIKE 'NATION_1%' THEN volume
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT substr(CAST(o_orderdate AS VARCHAR(30)), 1, 4) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+      |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      AS DECIMAL(18,4)) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |    AND p_type = 'PROMO'
+      |) AS all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** SQL20: TPC-H Q9's shape (product-type profit), adapted to this
+    * schema (no partsupp: supply cost ≈ half the part's retail price ×
+    * quantity — the profit margin stays a mixed-sign decimal, Q9's
+    * point). Per (nation, order-year) profit over name-LIKE-filtered
+    * parts. The whole amount expression is exact decimal arithmetic
+    * normalized to DECIMAL(18,4) BEFORE the sum — both engines add
+    * identical scaled integers in any order, then cast once to double
+    * on output.
+    *
+    * Scale: the p_name LIKE filter prunes part before its join
+    * (broadcast after pruning); supplier/nation broadcast; lineitem
+    * shuffles once on orderkey for the orders join; group key space
+    * (25 nations × 7 years) keeps aggregation map-side.
+    */
+  private def sql20TpchQ9(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q9Sql)
+  }
+
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    substr(CAST(o_orderdate AS VARCHAR(30)), 1, 4) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+      |        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      - CAST(p_retailprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(9,2))
+      |        * CAST(0.5 AS DECIMAL(3,1)) AS DECIMAL(18,4)) AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |) AS profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** SQL21: TPC-H Q2 (minimum-cost supplier), adapted to this schema
+    * (no partsupp: the supply relation is derived — per (part,
+    * supplier) MIN lineitem price, the same CTE consumed by both the
+    * outer join and the correlated scalar subquery). The correlated
+    * MIN compares DECIMAL(14,2) to DECIMAL(14,2) — an exact equality,
+    * never a double boundary; the cast to double is output-only.
+    * p_size BETWEEN widens Q2's equality filter so the testdata's
+    * 2k-part catalog keeps a non-degenerate answer set.
+    *
+    * Scale: the derived psupp is one keyed shuffle of lineitem and is
+    * |part×supplier| bounded; Spark plans the correlated MIN as an
+    * aggregated-subquery left join on ps_partkey (no per-row
+    * re-execution); region→nation→supplier broadcast-prunes both
+    * sides; top-100 rides TakeOrderedAndProject.
+    */
+  private def sql21TpchQ2(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(q2Sql)
+  }
+
+  private val q2Sql =
+    """WITH psupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS ps_supplycost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey,
+      |  CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
+      |FROM part, psupp, supplier, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM psupp ps2, supplier s2, nation n2, region r2
+      |    WHERE p_partkey = ps2.ps_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
   // ---- M1/M2: seeded split + Bernoulli sample (bounded-gate oracles) -----
   // stroke_predict.py:152 randomSplit(seed=42); smote_sampling.py:53 sample.
   // Spark's RNG is not DuckDB-reproducible, so the registered queries emit
@@ -845,6 +1063,12 @@ object CoreOps {
     "sql13_tpch_q21"     -> Q(sql13TpchQ21, Some(q21Sql)),
     "sql14_tpch_q15"     -> Q(sql14TpchQ15, Some(q15Sql)),
     "sql15_tpch_q11"     -> Q(sql15TpchQ11, Some(q11Sql)),
+    "sql16_tpch_q10"     -> Q(sql16TpchQ10, Some(q10Sql)),
+    "sql17_tpch_q12"     -> Q(sql17TpchQ12, Some(q12Sql)),
+    "sql18_tpch_q7"      -> Q(sql18TpchQ7, Some(q7Sql)),
+    "sql19_tpch_q8"      -> Q(sql19TpchQ8, Some(q8Sql)),
+    "sql20_tpch_q9"      -> Q(sql20TpchQ9, Some(q9Sql)),
+    "sql21_tpch_q2"      -> Q(sql21TpchQ2, Some(q2Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),
