@@ -306,7 +306,65 @@ object EventOps {
       |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
       |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_purchase""".stripMargin
 
+  // ---- E17: interval union (overlap merge) -------------------------------
+  /** Per-customer union of overlapping validity intervals — the
+    * time-in-state / coverage primitive (contract coverage, promo
+    * windows, SLA uptime): each order opens a 30-day interval; touching
+    * or overlapping intervals merge into islands; the answer is islands
+    * per customer and total covered days. This generalizes e2's
+    * gaps-and-islands from point events to DURATIONS: an island breaks
+    * only when the next start exceeds the running MAX of all previous
+    * ends (a later interval can swallow an earlier gap, so `lag(en)`
+    * alone is wrong — the running-max is the load-bearing difference).
+    *
+    * Merge boundary: `start > prev_end` splits, so an interval starting
+    * exactly at the previous end MERGES — the same closed boundary as
+    * session_window (EventProfileSpec pins that convention).
+    *
+    * Scale: one shuffle on o_custkey feeds both windows and both
+    * aggregations (same partitioning key end-to-end, Catalyst reuses
+    * the exchange); per-key state is a sort within the partition —
+    * no driver state, skew bounded by orders-per-customer.
+    */
+  private def e17IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.orders(s, d).select(col("o_custkey"),
+      col("o_orderdate").as("st"),
+      (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("en"))
+    val byStart = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("st"), col("en"))
+    val prev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("pe", max(col("en")).over(prev))
+      .withColumn("nf",
+        when(col("pe").isNull || col("st") > col("pe"), 1).otherwise(0))
+      .withColumn("isl", sum(col("nf")).over(cum))
+      .groupBy(col("o_custkey"), col("isl"))
+      .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(datediff(col("ien"), col("ist"))).cast("long").as("covered_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val e17Sql =
+    """WITH iv AS (
+      |  SELECT o_custkey, o_orderdate AS st,
+      |    o_orderdate + INTERVAL 30 DAY AS en FROM orders),
+      |m AS (SELECT o_custkey, st, en,
+      |  MAX(en) OVER (PARTITION BY o_custkey ORDER BY st, en
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM iv),
+      |g AS (SELECT o_custkey, st, en,
+      |  SUM(CASE WHEN pe IS NULL OR st > pe THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY o_custkey ORDER BY st, en
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+      |isles AS (SELECT o_custkey, isl, MIN(st) AS ist, MAX(en) AS ien
+      |  FROM g GROUP BY o_custkey, isl)
+      |SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(DATE_DIFF('day', ist, ien)) AS BIGINT) AS covered_days
+      |FROM isles GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
+    "e17_interval_union" -> Q(e17IntervalUnion, Some(e17Sql)),
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
     "e10_sliding_window" -> Q(e10Sliding, Some(e10Sql)),
     "e5_pivot"           -> Q(e5Pivot, Some(e5Sql)),

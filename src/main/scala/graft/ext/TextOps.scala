@@ -225,6 +225,58 @@ object TextOps {
       |WHERE LENGTH(tok) > 0
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  // ---- T15: Misra–Gries heavy hitters with a bounded gate ----------------
+  /** The sketch path t7's comment reserves, registered with a driver-
+    * checkable oracle (a7/a10 bounded-gate pattern): run the
+    * [[graft.functions.MisraGries]] k=500 summary over the full token
+    * stream, then report the EXACT top-10 tokens (t7's machinery — the
+    * engine-neutral payload DuckDB recomputes verbatim) with two flags
+    * the sketch's guarantee makes deterministic under ANY partition
+    * merge order: every top token was retained by the sketch
+    * (guaranteed whenever true share > N/k), and its estimate
+    * undercounts by at most ⌈N/k⌉ (the MG invariant — estimates never
+    * overcount and total decrements are ≤ N/k). The estimates
+    * themselves stay out of the hashed columns: they are merge-order-
+    * dependent inside the bound, the flags are not.
+    *
+    * Scale: the sketch is the 100 TB path — a k-entry map per
+    * partition, merged associatively, ~0 shuffle; the exact top-10
+    * payload is the verification harness, not the operator (at scale
+    * you'd gate on a sampled slice the same way).
+    */
+  private def t15HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 500
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tokDs = toks.as[String]
+    // the sketch output encoder is kryo (BINARY column) — fetch the ONE
+    // k-entry summary row (a bounded aggregate, the S3/ClassificationReport
+    // collect class: ≤ k entries regardless of data size) and re-lift it
+    val summary: Map[String, Long] =
+      tokDs.select(new graft.functions.MisraGries(k).toColumn).head()
+    val est = summary.toSeq.toDF("tok", "est")
+    val total = toks.agg(count(lit(1)).as("total_n"))
+    val top10 = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(10)
+    top10.join(broadcast(est), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("n"),
+        col("est").isNotNull.as("mg_found"),
+        (col("n") - coalesce(col("est"), lit(0L))).between(
+          lit(0L), expr(s"(total_n + ${k - 1}) div $k")).as("mg_within_bound"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
+  private val t15Sql =
+    """SELECT tok, n, TRUE AS mg_found, TRUE AS mg_within_bound FROM (
+      |  SELECT tok, COUNT(*) AS n FROM (
+      |    SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS tok FROM documents)
+      |  WHERE LENGTH(tok) > 0
+      |  GROUP BY tok ORDER BY n DESC, tok LIMIT 10)
+      |ORDER BY n DESC, tok""".stripMargin
+
   // ---- T8: scalar string-function battery --------------------------------
   // upper/lower/trim/substring/concat/lpad/replace/position — the scalar
   // string surface, engine-checked in one pass over customer names.
@@ -577,6 +629,7 @@ object TextOps {
     "t11_repetition"     -> Q(t11Repetition, Some(t11Sql)),
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
+    "t15_heavyhitters"   -> Q(t15HeavyHitters, Some(t15Sql)),
     "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),
     "t9_array_funcs"     -> Q(t9ArrayFuncs, Some(t9Sql)),
     "t10_redaction"      -> Q(t10Redaction, Some(t10Sql)),

@@ -97,7 +97,71 @@ object QualityAudit {
       |      FROM lineitem) AS BIGINT))
       |ORDER BY check_name""".stripMargin
 
+  // ---- DQ2: table reconciliation diff ------------------------------------
+  /** Two-table reconciliation (the data-migration / backfill audit):
+    * full-outer join today's load against yesterday's on the primary
+    * key, classify every key as added / removed / changed by
+    * column-wise comparison, and report only the differences. The
+    * "yesterday" side is derived deterministically from the same
+    * parquet by modulo rules (keys ≡ 0 mod 101 dropped, prices bumped
+    * +1.00 at keys ≡ 0 mod 97), so both engines reconstruct the
+    * identical B table — the diff itself, not the mutation, is the
+    * operator under test.
+    *
+    * Column comparison is value-equality on the typed columns, never a
+    * stringified row hash: double→string formatting is engine-specific
+    * (CLAUDE.md DATE/decimal bridge rules), while `a.price <> b.price`
+    * on identically-derived IEEE doubles is exact in both engines.
+    *
+    * Scale: one full-outer hash join co-partitioned on the PK (with
+    * j6's bucketed landing it is exchange-free); the classify/filter is
+    * map-side, so the output is |diff| rows, not |table|. At 10^11 rows
+    * this is the standard reconciliation plan — no driver state, no
+    * collect.
+    */
+  private def dq2TableDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val a = orders.select(col("o_orderkey").as("ka"),
+      col("o_totalprice").as("pa"), col("o_orderstatus").as("sa"))
+    val b = orders.filter(col("o_orderkey") % 101 =!= 0)
+      .select(col("o_orderkey").as("kb"),
+        when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")).as("pb"),
+        col("o_orderstatus").as("sb"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .withColumn("diff_type",
+        when(col("kb").isNull, lit("removed"))
+          .when(col("ka").isNull, lit("added"))
+          .when(col("pa") =!= col("pb") || col("sa") =!= col("sb"),
+            lit("changed"))
+          .otherwise(lit("same")))
+      .filter(col("diff_type") =!= "same")
+      .select(coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        col("diff_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val dq2Sql =
+    """WITH b AS (
+      |  SELECT o_orderkey AS kb,
+      |    CASE WHEN o_orderkey % 97 = 0
+      |      THEN o_totalprice + CAST(1.0 AS DOUBLE)
+      |      ELSE o_totalprice END AS pb,
+      |    o_orderstatus AS sb
+      |  FROM orders WHERE o_orderkey % 101 <> 0)
+      |SELECT COALESCE(o_orderkey, kb) AS o_orderkey, diff_type FROM (
+      |  SELECT a.o_orderkey, kb,
+      |    CASE WHEN kb IS NULL THEN 'removed'
+      |         WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN a.o_totalprice <> pb OR a.o_orderstatus <> sb
+      |           THEN 'changed'
+      |         ELSE 'same' END AS diff_type
+      |  FROM orders a FULL OUTER JOIN b ON a.o_orderkey = kb) AS d
+      |WHERE diff_type <> 'same'
+      |ORDER BY o_orderkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "dq1_constraint_audit" -> Q(dq1Audit, Some(dq1Sql)),
+    "dq2_table_diff"       -> Q(dq2TableDiff, Some(dq2Sql)),
   )
 }
