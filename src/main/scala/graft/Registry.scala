@@ -37,6 +37,7 @@ object Registry {
       ext.SimilarityOps.qs ++
       ext.EventOps.qs ++
       ext.Curation.qs ++
+      mining.MiningOps.qs ++
       pipeline.StrokeQueries.qs ++
       ext.MultimodalOps.qs ++
       balance.BalanceQueries.qs ++

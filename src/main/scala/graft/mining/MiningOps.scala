@@ -1,0 +1,372 @@
+package graft.mining
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Classic data-mining operators the reference course (Data-warehouse-
+  * data-mining) teaches alongside classification: association rules,
+  * k-means clustering, and link analysis. The reference ships only the
+  * classification half (stroke_predict.py, smote_sampling.py); these
+  * complete the curriculum as first-class, oracle-gated queries
+  * (SURVEY.md §2 "beyond the reference" mandate).
+  *
+  * Engine-portability doctrine (CLAUDE.md): every iterative numeric op
+  * here runs in EXACT integer/decimal arithmetic — scaled-integer
+  * PageRank (`div` floors identically in Spark and DuckDB on
+  * non-negatives), cross-multiplied squared distances for k-means
+  * (no division ever happens, so no rounding divergence exists), and
+  * integer support thresholds for association rules (100·cnt ≥ n, not
+  * a double fraction). Doubles appear only in final reporting columns,
+  * rounded to 6 decimals on both sides.
+  */
+object MiningOps {
+
+  // ---- FM1: association rules (frequent brand pairs) ---------------------
+  /** Market-basket association rules over order baskets: each order is a
+    * basket of the part BRANDS it touches (brand, not partkey — the
+    * ~25-value vocabulary is what makes co-occurrence statistically
+    * meaningful; raw partkeys at SF 100 are near-unique per basket).
+    *
+    * Plan shape, scale-first:
+    *  - basket build: lineitem ⋈ part is a BROADCAST join (part is a
+    *    dimension; at 100 TB the brand dictionary still fits any
+    *    executor), then distinct (order, brand) — one shuffle on the
+    *    order key, map-side partials first.
+    *  - pair counts: self-equi-join of baskets on the order key —
+    *    one shuffle of the slim (order, brand) frame per side;
+    *    `brand_a < brand_b` keeps one orientation.
+    *    Pairs per basket are bounded by C(|vocab|,2) ≤ 300 — the
+    *    quadratic term is capped by the VOCABULARY, not the basket, so
+    *    the blow-up factor is a constant at any corpus size.
+    *  - supports: the item-count frame is ≤ |vocab| rows — broadcast
+    *    back onto pairs for confidence/lift. Nothing driver-side.
+    *
+    * Support gate is exact integer arithmetic: keep pairs with
+    * 100·cnt ≥ n_baskets (support ≥ 1%). Confidence/lift are double
+    * divisions of identical longs in both engines (same IEEE result),
+    * rounded to 6.
+    */
+  def associationRules(baskets: DataFrame, idCol: String, itemCol: String,
+      minSupPct: Int = 1): DataFrame = {
+    require(minSupPct >= 1 && minSupPct <= 100, "minSupPct in [1,100]")
+    val b = baskets.select(col(idCol).as("bid"), col(itemCol).as("item"))
+      .distinct()
+    val nB = b.select(countDistinct(col("bid")).as("n_baskets"))
+    val items = b.groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
+    val pairs = b.as("l").join(b.as("r"),
+        col("l.bid") === col("r.bid") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("ia"), col("r.item").as("ib"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val frequent = pairs.crossJoin(broadcast(nB))
+      .filter(col("pair_cnt") * 100 >= col("n_baskets") * minSupPct)
+    // both rule directions from each surviving unordered pair
+    val directed = frequent.select(col("ia").as("antecedent"),
+        col("ib").as("consequent"), col("pair_cnt"), col("n_baskets"))
+      .unionByName(frequent.select(col("ib").as("antecedent"),
+        col("ia").as("consequent"), col("pair_cnt"), col("n_baskets")))
+    directed
+      .join(broadcast(items.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("item_cnt", "ante_cnt")), "antecedent")
+      .join(broadcast(items.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("item_cnt", "cons_cnt")), "consequent")
+      .select(col("antecedent"), col("consequent"), col("pair_cnt"),
+        col("ante_cnt"), col("cons_cnt"),
+        round(col("pair_cnt").cast("double") / col("ante_cnt"), 6)
+          .as("confidence"),
+        // lift as (pc/ante)·(n/cons): two IEEE divisions and a multiply —
+        // bit-identical in both engines AND no long·long overflow at any
+        // basket count (pc·n would overflow past 10^10 baskets)
+        round((col("pair_cnt").cast("double") / col("ante_cnt")) *
+          (col("n_baskets").cast("double") / col("cons_cnt")), 6)
+          .as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  private def fm1Rules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    val baskets = li.join(broadcast(pt),
+        li("l_partkey") === pt("p_partkey"))
+      .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+    associationRules(baskets, "bid", "item", minSupPct = 1)
+  }
+
+  private val fm1Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS bid, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |nb AS (SELECT COUNT(DISTINCT bid) AS n_baskets FROM b),
+      |items AS (SELECT item, COUNT(*) AS item_cnt FROM b GROUP BY item),
+      |pairs AS (
+      |  SELECT l.item AS ia, r.item AS ib, COUNT(*) AS pair_cnt
+      |  FROM b l JOIN b r ON l.bid = r.bid AND l.item < r.item
+      |  GROUP BY l.item, r.item),
+      |freq AS (
+      |  SELECT ia, ib, pair_cnt, n_baskets FROM pairs, nb
+      |  WHERE pair_cnt * 100 >= n_baskets * 1),
+      |directed AS (
+      |  SELECT ia AS antecedent, ib AS consequent, pair_cnt, n_baskets
+      |    FROM freq
+      |  UNION ALL
+      |  SELECT ib, ia, pair_cnt, n_baskets FROM freq)
+      |SELECT antecedent, consequent,
+      |  CAST(pair_cnt AS BIGINT) AS pair_cnt,
+      |  CAST(a.item_cnt AS BIGINT) AS ante_cnt,
+      |  CAST(c.item_cnt AS BIGINT) AS cons_cnt,
+      |  ROUND(CAST(pair_cnt AS DOUBLE) / a.item_cnt, 6) AS confidence,
+      |  ROUND((CAST(pair_cnt AS DOUBLE) / a.item_cnt) *
+      |    (CAST(n_baskets AS DOUBLE) / c.item_cnt), 6) AS lift
+      |FROM directed
+      |JOIN items a ON a.item = antecedent
+      |JOIN items c ON c.item = consequent
+      |ORDER BY antecedent, consequent""".stripMargin
+
+  // ---- KM1: k-means clustering (exact-arithmetic Lloyd) ------------------
+  /** Lloyd's k-means, k = 3, `iters` assignment rounds, engine-portable
+    * by construction: a centroid is carried as the exact rational
+    * (count, sum_x, sum_y) — NEVER divided — and "nearest centroid" is
+    * decided by cross-multiplied squared distances:
+    *
+    *   dist_j ≤ dist_l  ⟺  [(c_j·x−sx_j)² + (c_j·y−sy_j)²] · c_l²
+    *                       ≤ [(c_l·x−sx_l)² + (c_l·y−sy_l)²] · c_j²
+    *
+    * in DECIMAL(38,0) (HUGEINT on the DuckDB side), so both engines make
+    * the IDENTICAL assignment at every iteration — no double rounding
+    * zone exists anywhere in the loop. Ties go to the lower cluster id
+    * (the ≤ chain), and an empty cluster (null centroid after pivot) is
+    * treated as infinitely far rather than erroring.
+    *
+    * Seeds are rank-deterministic: the points at row_number positions
+    * (n·1)/6, (n·3)/6, (n·5)/6 under the total order (x, y, id) — both
+    * engines compute the same row_number, so the same seeds (the m3
+    * md5-rank doctrine, without needing a hash since the order is total).
+    *
+    * Scale: each iteration is crossJoin(broadcast(one-row pivoted
+    * centroid frame)) — a MAP-ONLY assignment — followed by one map-side-
+    * partial groupBy of k rows. k iterations = k scans, the canonical
+    * distributed Lloyd. The global row_number for seeding runs on the
+    * dimension-sized points frame only (part table; for fact-scale input
+    * swap the seed rule for an md5-rank top-k — same determinism, no
+    * single-partition window).
+    */
+  def kmeans(pts: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val ranked = pts
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("x"), col("y"), col("id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(0))))
+    val seeds = ranked
+      .filter(col("rn") === expr("(1 * n) div 6") ||
+        col("rn") === expr("(3 * n) div 6") ||
+        col("rn") === expr("(5 * n) div 6"))
+      .withColumn("cl", row_number().over(
+        Window.orderBy(col("rn"))))
+      .select(col("cl"), lit(1L).as("cnt"),
+        col("x").as("sx"), col("y").as("sy"))
+
+    def pivoted(c: DataFrame): DataFrame = c.agg(
+      max(when(col("cl") === 1, col("cnt"))).as("c1"),
+      max(when(col("cl") === 1, col("sx"))).as("sx1"),
+      max(when(col("cl") === 1, col("sy"))).as("sy1"),
+      max(when(col("cl") === 2, col("cnt"))).as("c2"),
+      max(when(col("cl") === 2, col("sx"))).as("sx2"),
+      max(when(col("cl") === 2, col("sy"))).as("sy2"),
+      max(when(col("cl") === 3, col("cnt"))).as("c3"),
+      max(when(col("cl") === 3, col("sx"))).as("sx3"),
+      max(when(col("cl") === 3, col("sy"))).as("sy3"))
+
+    // (c_j·x − s_jx)² + (c_j·y − s_jy)² in DECIMAL(38,0): the inner
+    // c·y term fits a long (counts ≤ 10^9 · cents ≤ 10^9 would not, but
+    // the squares would overflow long at SF 0.1 already) — square in
+    // decimal, ANSI throws loudly if 38 digits are ever exceeded.
+    def distD(j: Int): Column = {
+      val dx = (col(s"c$j") * col("x") - col(s"sx$j")).cast("decimal(38,0)")
+      val dy = (col(s"c$j") * col("y") - col(s"sy$j")).cast("decimal(38,0)")
+      dx * dx + dy * dy
+    }
+    def cmp(i: Int, j: Int): Column = {
+      val ci2 = (col(s"c$i") * col(s"c$i")).cast("decimal(38,0)")
+      val cj2 = (col(s"c$j") * col(s"c$j")).cast("decimal(38,0)")
+      when(col(s"c$j").isNull, lit(true))
+        .when(col(s"c$i").isNull, lit(false))
+        .otherwise(distD(i) * cj2 <= distD(j) * ci2)
+    }
+    val assignCol = when(cmp(1, 2) && cmp(1, 3), lit(1))
+      .when(cmp(2, 3), lit(2)).otherwise(lit(3))
+
+    var cent = pivoted(seeds)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = pts.crossJoin(broadcast(cent))
+        .withColumn("cl", assignCol)
+      cent = pivoted(assigned.groupBy(col("cl"))
+        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy")))
+    }
+    assigned.groupBy(col("cl"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sum_x"),
+        sum(col("y")).as("sum_y"))
+      .select(col("cl"), col("n_points"), col("sum_x"), col("sum_y"),
+        round(col("sum_x").cast("double") / col("n_points"), 6)
+          .as("mean_x"),
+        round(col("sum_y").cast("double") / col("n_points"), 6)
+          .as("mean_y"))
+      .orderBy(col("cl"))
+  }
+
+  private def km1Kmeans(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d).select(
+      col("p_partkey").as("id"), col("p_size").cast("long").as("x"),
+      round(col("p_retailprice") * 100).cast("long").as("y"))
+    kmeans(pts, iters = 3)
+  }
+
+  /** The oracle unrolls the identical iterations as a CTE chain; the SQL
+    * is generated so the per-iteration algebra is written once and
+    * cannot drift between rounds.
+    */
+  private def km1Sql: String = {
+    def dist(j: Int) =
+      s"(CAST(c$j*x - sx$j AS HUGEINT) * CAST(c$j*x - sx$j AS HUGEINT)" +
+        s" + CAST(c$j*y - sy$j AS HUGEINT) * CAST(c$j*y - sy$j AS HUGEINT))"
+    def cmp(i: Int, j: Int) =
+      s"(CASE WHEN c$j IS NULL THEN TRUE WHEN c$i IS NULL THEN FALSE " +
+        s"ELSE ${dist(i)} * CAST(c$j*c$j AS HUGEINT) <= " +
+        s"${dist(j)} * CAST(c$i*c$i AS HUGEINT) END)"
+    val assign = s"CASE WHEN ${cmp(1, 2)} AND ${cmp(1, 3)} THEN 1 " +
+      s"WHEN ${cmp(2, 3)} THEN 2 ELSE 3 END"
+    def pivot(src: String) =
+      s"""SELECT
+         |  MAX(CASE WHEN cl=1 THEN cnt END) AS c1,
+         |  MAX(CASE WHEN cl=1 THEN sx END) AS sx1,
+         |  MAX(CASE WHEN cl=1 THEN sy END) AS sy1,
+         |  MAX(CASE WHEN cl=2 THEN cnt END) AS c2,
+         |  MAX(CASE WHEN cl=2 THEN sx END) AS sx2,
+         |  MAX(CASE WHEN cl=2 THEN sy END) AS sy2,
+         |  MAX(CASE WHEN cl=3 THEN cnt END) AS c3,
+         |  MAX(CASE WHEN cl=3 THEN sx END) AS sx3,
+         |  MAX(CASE WHEN cl=3 THEN sy END) AS sy3
+         |FROM $src""".stripMargin
+    def iter(i: Int) =
+      s"""a$i AS (
+         |  SELECT id, x, y, $assign AS cl FROM pts, p${i - 1}),
+         |c$i AS (
+         |  SELECT cl, COUNT(*) AS cnt, SUM(x) AS sx, SUM(y) AS sy
+         |  FROM a$i GROUP BY cl),
+         |p$i AS (${pivot(s"c$i")})""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+       |    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+       |  FROM part),
+       |ranked AS (
+       |  SELECT id, x, y, ROW_NUMBER() OVER (ORDER BY x, y, id) AS rn,
+       |    COUNT(*) OVER () AS n FROM pts),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY rn) AS cl,
+       |    CAST(1 AS BIGINT) AS cnt, x AS sx, y AS sy
+       |  FROM ranked
+       |  WHERE rn IN ((1*n)//6, (3*n)//6, (5*n)//6)),
+       |p0 AS (${pivot("seeds")}),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT cl, CAST(n_points AS BIGINT) AS n_points,
+       |  CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
+       |  ROUND(CAST(sum_x AS DOUBLE) / n_points, 6) AS mean_x,
+       |  ROUND(CAST(sum_y AS DOUBLE) / n_points, 6) AS mean_y
+       |FROM (
+       |  SELECT cl, COUNT(*) AS n_points, SUM(x) AS sum_x,
+       |    SUM(y) AS sum_y
+       |  FROM a3 GROUP BY cl)
+       |ORDER BY cl""".stripMargin
+  }
+
+  // ---- PR1: PageRank on the part↔supplier graph --------------------------
+  /** Link analysis over the bipartite sourcing graph: nodes are parts
+    * (id·2) and suppliers (id·2+1), an undirected edge wherever a
+    * supplier ever shipped a part (distinct lineitem pairs). Ranks are
+    * SCALED INTEGERS (10^12 = total mass 1.0): every step — the 0.15
+    * teleport, the r/deg contribution, the 0.85 damping — is integer
+    * `div`, which floors identically in Spark and DuckDB on
+    * non-negatives, so after any number of iterations both engines hold
+    * the bit-identical rank vector. The flooring loses ≤1 unit of mass
+    * per node per step (≤ 10^-9 relative) — deterministic, documented,
+    * and invisible to the ranking.
+    *
+    * Scale: one iteration = ranks ⋈ edges on the source key + groupBy
+    * destination — the canonical message-passing round. Edges are
+    * hash-partitioned on src ONCE (the distinct already landed them so
+    * AQE reuses the exchange); ranks arrive pre-partitioned from the
+    * previous round's groupBy(dst) (same key, same partitioning — the
+    * shuffle each round moves only the 16-byte rank rows, never the
+    * edge list). Degrees ride the same layout. No driver state; 3
+    * iterations = 3 bounded shuffles of |V| rows.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nn = deg.agg(count(lit(1)).as("n"))
+    val tele = expr(s"(15 * ${scale}L) div (100 * n)")
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"), expr(s"${scale}L div n").as("r"))
+    for (_ <- 1 to iters) {
+      r = e.join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("r div d")).as("contrib"))
+        .crossJoin(broadcast(nn))
+        .select(col("dst").as("node"),
+          (tele + expr("(85 * contrib) div 100")).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node")).limit(20)
+  }
+
+  private def pr1PageRank(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val edges = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    pageRank(edges, iters = 3)
+  }
+
+  private val pr1Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+      |nn AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (
+      |  SELECT src AS node, 1000000000000 // n AS r FROM deg, nn),
+      |r1 AS (
+      |  SELECT e.dst AS node,
+      |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+      |      + (85 * SUM(r0.r // deg.d)) // 100 AS r
+      |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT e.dst AS node,
+      |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+      |      + (85 * SUM(r1.r // deg.d)) // 100 AS r
+      |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT e.dst AS node,
+      |    (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+      |      + (85 * SUM(r2.r // deg.d)) // 100 AS r
+      |  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      |  GROUP BY e.dst)
+      |SELECT node, CAST(r AS BIGINT) AS rank_scaled
+      |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "fm1_assoc_rules" -> Q(fm1Rules, Some(fm1Sql)),
+    "km1_kmeans"      -> Q(km1Kmeans, Some(km1Sql)),
+    "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
+  )
+}

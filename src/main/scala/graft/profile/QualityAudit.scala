@@ -160,8 +160,64 @@ object QualityAudit {
       |WHERE diff_type <> 'same'
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- DQ3: distribution drift (PSI) -------------------------------------
+  /** Population-stability-index drift check between two cohorts of the
+    * same table (the pre-deploy gate every feature pipeline runs): here
+    * the even/odd order-key halves, bucketed by fixed-width price bands.
+    * Emits per-bucket cohort counts (exact integers — the hash anchor)
+    * plus the bucket's PSI contribution (p_a − p_b)·ln(p_a / p_b).
+    *
+    * Portability: the bucket id is floor(price / width) of the identical
+    * IEEE double in both engines (CLAUDE.md integer-div parity note);
+    * proportions are divisions of identical longs (same IEEE result);
+    * only ln() is libm-dependent (≤ 1 ulp), absorbed by round-6. Buckets
+    * where either cohort is empty contribute NULL (ln undefined), never
+    * an error.
+    *
+    * Scale: ONE scan — bucket id and cohort flag are map-side, then a
+    * single groupBy(bucket) with conditional counts; the totals frame is
+    * one broadcast row. At 10^11 rows this is the a1 aggregate shape.
+    */
+  private def dq3PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 20000.0d)
+        .cast("int"))
+      .withColumn("side", pmod(col("o_orderkey"), lit(2)))
+    val grp = o.groupBy(col("bucket")).agg(
+      count(when(col("side") === 0, 1)).as("cnt_a"),
+      count(when(col("side") === 1, 1)).as("cnt_b"))
+    val tot = grp.agg(sum(col("cnt_a")).as("na"), sum(col("cnt_b")).as("nb"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("pa", col("cnt_a").cast("double") / col("na"))
+      .withColumn("pb", col("cnt_b").cast("double") / col("nb"))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        when(col("cnt_a") > 0 && col("cnt_b") > 0,
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+          .as("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
+  private val dq3Sql =
+    """WITH grp AS (
+      |  SELECT CAST(FLOOR(o_totalprice / CAST(20000.0 AS DOUBLE)) AS INT)
+      |      AS bucket,
+      |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS cnt_a,
+      |    COUNT(*) FILTER (WHERE o_orderkey % 2 = 1) AS cnt_b
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM grp)
+      |SELECT bucket, CAST(cnt_a AS BIGINT) AS cnt_a,
+      |  CAST(cnt_b AS BIGINT) AS cnt_b,
+      |  CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN
+      |    ROUND((CAST(cnt_a AS DOUBLE)/na - CAST(cnt_b AS DOUBLE)/nb)
+      |      * LN((CAST(cnt_a AS DOUBLE)/na) / (CAST(cnt_b AS DOUBLE)/nb)),
+      |      6)
+      |  END AS psi_contrib
+      |FROM grp, tot
+      |ORDER BY bucket""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "dq1_constraint_audit" -> Q(dq1Audit, Some(dq1Sql)),
     "dq2_table_diff"       -> Q(dq2TableDiff, Some(dq2Sql)),
+    "dq3_psi_drift"        -> Q(dq3PsiDrift, Some(dq3Sql)),
   )
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mining.MiningOps
+
+/** Boundary behavior of the mining family (fm1/km1/pr1) that the oracle
+  * hash gates can't isolate: known-value association rules on planted
+  * baskets, k-means recovery of well-separated clusters plus the
+  * empty-cluster guard, and PageRank's ranking axioms on hand-built
+  * graphs (star center dominates, symmetric nodes tie exactly).
+  */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- fm1 association rules --------------------------------------------
+
+  test("fm1: support/confidence/lift exact on planted baskets") {
+    // 10 baskets; {a,b} together in 4, a alone in 2 more, b alone in 1,
+    // {c,d} in 1, filler singles keep n_baskets at 10.
+    val rows = Seq(
+      1 -> "a", 1 -> "b", 2 -> "a", 2 -> "b", 3 -> "a", 3 -> "b",
+      4 -> "a", 4 -> "b", 5 -> "a", 6 -> "a", 7 -> "b",
+      8 -> "c", 8 -> "d", 9 -> "e", 10 -> "f")
+    val baskets = rows.toDF("bid", "item")
+    val out = MiningOps.associationRules(baskets, "bid", "item",
+      minSupPct = 20).collect()
+    // only {a,b} reaches 20% support (4/10); {c,d} is 10%
+    assert(out.length == 2)
+    val ab = out.find(r => r.getAs[String]("antecedent") == "a").get
+    assert(ab.getAs[Long]("pair_cnt") == 4L)
+    assert(ab.getAs[Long]("ante_cnt") == 6L)
+    assert(ab.getAs[Long]("cons_cnt") == 5L)
+    // confidence a→b = 4/6; lift = (4/6)·(10/5) = 4/3
+    assert(math.abs(ab.getAs[Double]("confidence") - 0.666667) < 1e-9)
+    assert(math.abs(ab.getAs[Double]("lift") - 1.333333) < 1e-9)
+    val ba = out.find(r => r.getAs[String]("antecedent") == "b").get
+    assert(ba.getAs[Double]("confidence") == 0.8) // 4/5
+  }
+
+  test("fm1: duplicate lines in one basket don't inflate counts") {
+    val baskets = Seq(1 -> "a", 1 -> "a", 1 -> "b", 2 -> "a", 2 -> "b")
+      .toDF("bid", "item")
+    val out = MiningOps.associationRules(baskets, "bid", "item",
+      minSupPct = 50).collect()
+    assert(out.forall(_.getAs[Long]("pair_cnt") == 2L))
+  }
+
+  // ---- km1 k-means -------------------------------------------------------
+
+  test("km1: three well-separated blobs are recovered exactly") {
+    // 3 tight blobs far apart; seeds at ranked terciles land one per blob
+    val pts = (1 to 30).map { i =>
+      val blob = (i - 1) / 10
+      (i.toLong, blob * 1000L + (i % 5).toLong, blob * 1000L + (i % 3).toLong)
+    }.toDF("id", "x", "y")
+    val out = MiningOps.kmeans(pts, iters = 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_points")).toSeq == Seq(10L, 10L, 10L))
+    // cluster means sit inside their blob's 0..1004 band
+    val means = out.map(r => r.getAs[Double]("mean_x")).sorted
+    assert(means(0) < 10 && means(1) > 990 && means(1) < 1010 &&
+      means(2) > 1990)
+  }
+
+  test("km1: identical points collapse to one cluster without erroring") {
+    // all seeds coincide → clusters 2/3 go empty and stay empty (the
+    // null-centroid guard must treat them as infinitely far, not NPE)
+    val pts = (1 to 12).map(i => (i.toLong, 7L, 9L)).toDF("id", "x", "y")
+    val out = MiningOps.kmeans(pts, iters = 2).collect()
+    assert(out.length == 1 && out.head.getAs[Int]("cl") == 1)
+    assert(out.head.getAs[Long]("n_points") == 12L)
+  }
+
+  test("km1: clusters stay non-empty on the real part table (both SFs)") {
+    for (d <- Seq(Sf0001, Sf001)) {
+      val pts = Tables.part(spark, d).select(
+        col("p_partkey").as("id"), col("p_size").cast("long").as("x"),
+        round(col("p_retailprice") * 100).cast("long").as("y"))
+      val out = MiningOps.kmeans(pts, iters = 3).collect()
+      assert(out.length == 3, s"empty cluster at $d")
+      assert(out.map(_.getAs[Long]("n_points")).sum ==
+        Tables.part(spark, d).count())
+    }
+  }
+
+  // ---- pr1 PageRank ------------------------------------------------------
+
+  test("pr1: star center outranks leaves; symmetric leaves tie exactly") {
+    val edges = (1L to 8L).map(i => (0L, i)).toDF("src", "dst")
+    val out = MiningOps.pageRank(edges, iters = 3).collect()
+    val center = out.find(_.getAs[Long]("node") == 0L).get
+      .getAs[Long]("rank_scaled")
+    val leaves = out.filter(_.getAs[Long]("node") != 0L)
+      .map(_.getAs[Long]("rank_scaled"))
+    assert(leaves.length == 8)
+    assert(center > leaves.max * 2)
+    // exact integer arithmetic ⇒ symmetric nodes tie BIT-exactly
+    assert(leaves.distinct.length == 1)
+  }
+
+  test("pr1: path-graph middle node outranks the endpoints") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = MiningOps.pageRank(edges, iters = 3).collect()
+    def rank(n: Long) = out.find(_.getAs[Long]("node") == n).get
+      .getAs[Long]("rank_scaled")
+    assert(rank(2L) > rank(1L) && rank(1L) == rank(3L))
+  }
+
+  test("pr1: total mass stays within the flooring budget") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val out = MiningOps.pageRank(edges, iters = 3).collect()
+    val total = out.map(_.getAs[Long]("rank_scaled")).sum
+    val scale = 1000000000000L
+    // each node loses < 2 units per iteration to integer flooring
+    assert(total <= scale && total > scale - 4 * 3 * 100)
+  }
+}
