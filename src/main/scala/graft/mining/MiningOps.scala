@@ -364,9 +364,114 @@ object MiningOps {
       |SELECT node, CAST(r AS BIGINT) AS rank_scaled
       |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
 
+  // ---- FM2: sequential patterns (event-type transitions) -----------------
+  /** First-order sequence mining over per-user event streams: every
+    * consecutive (prev → next) event-type transition under the total
+    * order (ts, event_id), with global support counts and shares — the
+    * Markov-transition / clickstream-pattern baseline.
+    *
+    * Scale: lag() needs ONE shuffle on user_id; per-user state is a
+    * sort bounded by events-per-user (the e2 gaps-and-islands shape).
+    * The transition vocabulary is |types|² ≤ 25 rows, so the final
+    * aggregate and the share divisor (one broadcast row) are trivial.
+    * Share is a double division of identical longs — same IEEE value in
+    * both engines — rounded to 6.
+    */
+  private def fm2Sequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("event_type").as("dst"))
+    val counts = seq.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("transitions"))
+    val tot = counts.agg(sum(col("transitions")).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"), col("transitions"),
+        round(col("transitions").cast("double") / col("total"), 6)
+          .as("share"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val fm2Sql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS src
+      |  FROM events),
+      |counts AS (
+      |  SELECT src, event_type AS dst, COUNT(*) AS transitions
+      |  FROM seq WHERE src IS NOT NULL GROUP BY src, event_type),
+      |tot AS (SELECT SUM(transitions) AS total FROM counts)
+      |SELECT src, dst, CAST(transitions AS BIGINT) AS transitions,
+      |  ROUND(CAST(transitions AS DOUBLE) / total, 6) AS share
+      |FROM counts, tot
+      |ORDER BY src, dst""".stripMargin
+
+  // ---- OD1: outlier detection (exact-arithmetic 3σ) ----------------------
+  /** Per-group 3σ outlier counts over order totals — the anomaly-
+    * detection half of the mining curriculum — with the σ comparison in
+    * EXACT integer arithmetic so no engine ever disagrees on a boundary
+    * row:  |x − μ| > 3σ  ⟺  (n·x − S)² > 9·(n·Q − S²)  where S = Σx,
+    * Q = Σx² over integer cents, all in DECIMAL(38,0)/HUGEINT. No
+    * mean, variance, or square root is ever materialized as a double.
+    *
+    * Scale: one groupBy for (n, S, Q) per group (map-side partials),
+    * the ≤|groups| stats rows broadcast back onto the scan, flags are
+    * map-side, and the final per-group count re-uses the first
+    * shuffle's key. Magnitude audit at 10^11 rows × 10^8-cent values:
+    * n·x ≈ 10^19, (n·x−S)² ≈ 10^38 — at the DECIMAL(38) edge, so shard
+    * groups (or rescale cents) past 10^10 rows per group; ANSI throws
+    * loudly rather than silently wrapping.
+    */
+  /** The exact-arithmetic 3σ rule over a (grp, x) frame with integer-
+    * valued x in a decimal column — exposed so specs can plant
+    * outliers and degenerate (constant) groups.
+    */
+  def outliers3Sigma(o: DataFrame): DataFrame = {
+    val stats = o.groupBy(col("grp")).agg(
+      count(lit(1)).cast("decimal(20,0)").as("n"),
+      sum(col("x")).as("s"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+    val dev = (col("n") * col("x") - col("s")).cast("decimal(38,0)")
+    val varN2 = (col("n") * col("q") - col("s") * col("s"))
+      .cast("decimal(38,0)")
+    o.join(broadcast(stats), "grp")
+      .withColumn("is_outlier", dev * dev > varN2 * lit(9))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"))
+      .orderBy(col("grp"))
+  }
+
+  private def od1Outliers(s: SparkSession, d: String): DataFrame =
+    outliers3Sigma(Tables.orders(s, d).select(
+      col("o_orderpriority").as("grp"),
+      round(col("o_totalprice") * 100).cast("decimal(20,0)").as("x")))
+
+  private val od1Sql =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS x
+      |  FROM orders),
+      |stats AS (
+      |  SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s,
+      |    SUM(x * x) AS q
+      |  FROM o GROUP BY grp)
+      |SELECT o.grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) FILTER (
+      |    WHERE (n*x - s)*(n*x - s) > 9*(n*q - s*s)) AS BIGINT)
+      |    AS n_outliers
+      |FROM o JOIN stats ON o.grp = stats.grp
+      |GROUP BY o.grp
+      |ORDER BY o.grp""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "fm1_assoc_rules" -> Q(fm1Rules, Some(fm1Sql)),
+    "fm2_seq_patterns" -> Q(fm2Sequences, Some(fm2Sql)),
     "km1_kmeans"      -> Q(km1Kmeans, Some(km1Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
+    "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),
   )
 }

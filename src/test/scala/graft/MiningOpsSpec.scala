@@ -106,6 +106,24 @@ class MiningOpsSpec extends SparkSpec {
     assert(rank(2L) > rank(1L) && rank(1L) == rank(3L))
   }
 
+  // ---- od1 outliers ------------------------------------------------------
+
+  test("od1: planted extreme value is the only outlier; constant group has none") {
+    // group a: 20 values at 100 ± 1 plus one at 10000 — only the spike
+    // exceeds 3σ; group b: all identical (variance 0, dev 0 → 0 > 0 is
+    // false, so NO outliers — the degenerate case must not flag rows)
+    val rows = (1 to 20).map(i => ("a", 100L + (i % 2))) ++
+      Seq(("a", 10000L)) ++ (1 to 10).map(_ => ("b", 55L))
+    val o = rows.toDF("grp", "xl")
+      .select(col("grp"), col("xl").cast("decimal(20,0)").as("x"))
+    val out = MiningOps.outliers3Sigma(o).collect()
+    val a = out.find(_.getString(0) == "a").get
+    val b = out.find(_.getString(0) == "b").get
+    assert(a.getAs[Long]("n_rows") == 21L &&
+      a.getAs[Long]("n_outliers") == 1L)
+    assert(b.getAs[Long]("n_outliers") == 0L)
+  }
+
   test("pr1: total mass stays within the flooring budget") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
       .toDF("src", "dst")
