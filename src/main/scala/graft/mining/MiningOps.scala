@@ -51,8 +51,12 @@ object MiningOps {
   def associationRules(baskets: DataFrame, idCol: String, itemCol: String,
       minSupPct: Int = 1): DataFrame = {
     require(minSupPct >= 1 && minSupPct <= 100, "minSupPct in [1,100]")
+    // materialize the deduped basket table ONCE: it feeds the total, the
+    // item supports, and both sides of the pair self-join — without this
+    // the dim-join + distinct runs four times (localCheckpoint(eager) is
+    // the scoped-persist idiom; ContextCleaner frees the blocks)
     val b = baskets.select(col(idCol).as("bid"), col(itemCol).as("item"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val nB = b.select(countDistinct(col("bid")).as("n_baskets"))
     val items = b.groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
     val pairs = b.as("l").join(b.as("r"),
@@ -151,8 +155,10 @@ object MiningOps {
     * swap the seed rule for an md5-rank top-k — same determinism, no
     * single-partition window).
     */
-  def kmeans(pts: DataFrame, iters: Int = 3): DataFrame = {
+  def kmeans(ptsIn: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // seeding + every assignment round scans the points — materialize once
+    val pts = ptsIn.localCheckpoint(true)
     val ranked = pts
       .withColumn("rn", row_number().over(
         Window.orderBy(col("x"), col("y"), col("id"))))
@@ -307,9 +313,15 @@ object MiningOps {
     */
   def pageRank(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L): DataFrame = {
+    // materialize the directed edge list and the degree table ONCE —
+    // every iteration joins both; without this the upstream scan +
+    // distinct re-runs per iteration (4×). On a cluster this is the
+    // "land the graph, iterate over the landing" posture.
     val e = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val nn = deg.agg(count(lit(1)).as("n"))
     val tele = expr(s"(15 * ${scale}L) div (100 * n)")
     var r = deg.crossJoin(broadcast(nn))
