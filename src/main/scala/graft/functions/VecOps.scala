@@ -200,6 +200,22 @@ object VecKernels {
     }
     s
   }
+
+  /** ADC lookup-sum over PQ codes: Σ_j lut[j·ks + codes[j]] with
+    * ks = |lut| / |codes|.
+    */
+  def pqAdc(codes: Array[Byte], lut: ArrayData): Double = {
+    val m = codes.length
+    if (m == 0) return 0.0
+    val ks = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getDouble(j * ks + (codes(j) & 0xff))
+      j += 1
+    }
+    s
+  }
 }
 
 /** binary SQ8 code of an array<float> vector (codegen). */
@@ -385,6 +401,170 @@ case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Product-quantization encode: the vector is split into
+  * `books.length` contiguous subspaces and each sub-vector is replaced
+  * by the index of its nearest (L2) codebook centroid — one byte per
+  * subspace. Subspace widths come from the codebooks themselves, so a
+  * trailing ragged subspace (dim not divisible by m) works unchanged.
+  * Ties go to the lowest code. Same addReferenceObj/state-hashed-name
+  * discipline as [[CentroidArgmax]].
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  /** Public for generated code. */
+  def kernelEval(a: Any): Array[Byte] = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val m = mat.length
+    val out = new Array[Byte](m)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = mat(j)
+      val sub = if (book.length > 0) book(0).length else 0
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub && off + i < dim) {
+          val diff = arr.getFloat(off + i).toDouble - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(j) = bestC.toByte
+      off += sub
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, c => s"(byte[]) $ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query PQ lookup table: lut[j·ks + c] = dot(q_subspace_j,
+  * books(j)(c)) as flat array<double> — the asymmetric-distance
+  * tables of ADC scoring. Runs once per QUERY row (the broadcast-tiny
+  * side); the corpus side then scores via [[PqAdcDot]] without ever
+  * touching floats.
+  */
+case class PqLut(child: Expression, books: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_lut expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Array[Float]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  /** Public for generated code. */
+  def kernelEval(a: Any): ArrayData = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val m = mat.length
+    val ks = if (m > 0) mat(0).length else 0
+    val out = new Array[Any](m * ks)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = mat(j)
+      val sub = if (book.length > 0) book(0).length else 0
+      var c = 0
+      while (c < ks) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < sub && off + i < dim) {
+          d += arr.getFloat(off + i).toDouble * cent(i)
+          i += 1
+        }
+        out(j * ks + c) = d
+        c += 1
+      }
+      off += sub
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: Σ_j lut[j·ks + codes[j]], with ks inferred as
+  * lut.length / codes.length — the codes column and the query's LUT
+  * agree on (m, ks) by construction (same codebooks). Stateless, fixed
+  * registry name.
+  */
+case class PqAdcDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc expects (binary, array<double>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.pqAdc(l.asInstanceOf[Array[Byte]], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecOps {
   /** Register SQL-callable kernels once per session (lookup-before-create
     * via [[KernelRegistry.ensure]] — no replacement, no WARN spam).
@@ -400,6 +580,8 @@ object VecOps {
       exprs => QuantizedDot(exprs(0), exprs(1)))
     KernelRegistry.ensure(spark, "qparams8")(
       exprs => QuantizeParams8(exprs(0)))
+    KernelRegistry.ensure(spark, "pq_adc")(
+      exprs => PqAdcDot(exprs(0), exprs(1)))
   }
 
   /** Dot product of two array<float> columns (codegen'd). */
@@ -469,5 +651,39 @@ object VecOps {
     KernelRegistry.ensureTransient(spark, name)(
       exprs => CentroidArgmax(exprs(0), centSeq))
     call_function(name, emb)
+  }
+
+  private def bookSeq(books: Array[Array[Array[Float]]])
+      : Seq[Seq[Seq[Float]]] =
+    books.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq))
+
+  /** PQ code bytes against fixed per-subspace codebooks (codegen'd;
+    * state-hashed name, use-immediately contract).
+    */
+  def pqEncode(spark: SparkSession, emb: Column,
+      books: Array[Array[Array[Float]]]): Column = {
+    val bs = bookSeq(books)
+    val name = s"pq_encode_${(bs.hashCode & Int.MaxValue).toHexString}"
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => PqEncode(exprs(0), bs))
+    call_function(name, emb)
+  }
+
+  /** Per-query ADC lookup table for the same codebooks (codegen'd;
+    * state-hashed name, use-immediately contract).
+    */
+  def pqLut(spark: SparkSession, emb: Column,
+      books: Array[Array[Array[Float]]]): Column = {
+    val bs = bookSeq(books)
+    val name = s"pq_lut_${(bs.hashCode & Int.MaxValue).toHexString}"
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => PqLut(exprs(0), bs))
+    call_function(name, emb)
+  }
+
+  /** ADC score Σ_j lut[j·ks + codes[j]] (codegen'd, stateless). */
+  def pqAdc(spark: SparkSession, codes: Column, lut: Column): Column = {
+    register(spark)
+    call_function("pq_adc", codes, lut)
   }
 }

@@ -318,6 +318,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
   }
 
+  test("PQ top-k: ADC candidates + exact rerank reach useful recall") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = SimilarityOps.bruteForceTopK(emb, queries, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityOps.pqTopK(emb, queries, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 subspaces × 16 codes over 64 dims is a 32× compression — recall
+    // is structurally below SQ8's; the 16× expand keeps it well above
+    // the registered gate floor (RecallProbe: 0.90/0.68 at the SFs)
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall below 0.5")
+    // returned similarities are EXACT (rerank on floats): every returned
+    // pair's sim must match the brute value for that pair bit-for-bit
+    val bruteSim = SimilarityOps.bruteForceTopK(emb, queries, 500)
+      .select("q_id", "c_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    SimilarityOps.pqTopK(emb, queries, 10)
+      .select("q_id", "c_id", "sim").collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        bruteSim.get(key).foreach(b => assert(b == r.getDouble(2),
+          s"rerank sim not exact for $key"))
+      }
+  }
+
+  test("PQ ADC kernel: score equals the manual lookup-table sum") {
+    import spark.implicits._
+    // 2 subspaces × 2 codes over dim 4; hand-built codebooks
+    val books: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(1f, 1f)),
+      Array(Array(2f, 0f), Array(0f, 2f)))
+    val df = Seq((1L, Seq(0.9f, 1.1f, 0.1f, 1.9f))).toDF("vec_id", "embedding")
+    val enc = df.select(
+      graft.functions.VecOps.pqEncode(spark, col("embedding"), books)
+        .as("codes"),
+      graft.functions.VecOps.pqLut(spark, col("embedding"), books).as("lut"))
+    val row = enc.select(col("codes"),
+      graft.functions.VecOps.pqAdc(spark, col("codes"), col("lut"))
+        .as("score"), col("lut")).collect().head
+    val codes = row.getAs[Array[Byte]]("codes")
+    // (0.9,1.1) is nearer (1,1) → code 1; (0.1,1.9) nearer (0,2) → code 1
+    assert(codes.toSeq == Seq(1.toByte, 1.toByte))
+    val lut = row.getSeq[Double](2)
+    // self-ADC score = lut[0*2+1] + lut[1*2+1] = dot(sub1,(1,1)) + dot(sub2,(0,2))
+    assert(row.getAs[Double]("score") == lut(1) + lut(3))
+    assert(math.abs(lut(1) - 2.0) < 1e-6 && math.abs(lut(3) - 3.8) < 1e-6)
+  }
+
   test("incremental dedup: drops re-crawled docs, collapses in-batch copies") {
     val corpus = Seq(
       (1L, "aaa bbb ccc"),
