@@ -621,6 +621,69 @@ object TextOps {
        |      FROM scores)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- T16: TF-IDF top terms per document --------------------------------
+  /** The IR/text-mining scoring baseline: per-document top-5 terms by
+    * tf·idf with idf = ln(N / df) — keyword extraction, the retrieval
+    * ranking primitive, and the classic bag-of-words feature weighting,
+    * over t7's portable whitespace tokenization.
+    *
+    * Ranking portability: ln() is libm-dependent (≤ 1 ulp), so ranks
+    * are taken over the score ROUNDED to 6 dp — near-ties collapse to
+    * equal and break on the token string identically in both engines;
+    * a 1-ulp ln difference can only flip an order the rounded value
+    * already declares a tie. (tf, df_docs) ride along as exact-integer
+    * anchors.
+    *
+    * Scale: three slim shuffles — (doc, tok) term counts with map-side
+    * partials (the distinct-by-construction tf frame is reused as the
+    * df input, so the token stream shuffles ONCE); df joins back on tok
+    * (AQE broadcasts the vocab side when it fits); the per-doc top-5 is
+    * a high-cardinality window partitioned BY doc_id — never a global
+    * sort. Nothing driver-side; N is one broadcast row.
+    */
+  private def t16Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_docs"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")),
+          6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("tok"), col("tf"), col("df_docs"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val t16Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE LENGTH(tok) > 0 GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df_docs FROM tf GROUP BY tok),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.tok, tf, df_docs,
+      |    ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df_docs), 6) AS score
+      |  FROM tf JOIN df ON tf.tok = df.tok, nd)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df_docs AS BIGINT) AS df_docs,
+      |  score
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, tok) AS rank
+      |      FROM scored)
+      |WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
     "t14_quality_buckets" -> Q(t14QualityBuckets, Some(t14Sql)),
@@ -630,6 +693,7 @@ object TextOps {
     "t5_length_quantiles" -> Q(t5LengthQuantiles, Some(t5Sql)),
     "t7_top_tokens"      -> Q(t7TopTokens, Some(t7Sql)),
     "t15_heavyhitters"   -> Q(t15HeavyHitters, Some(t15Sql)),
+    "t16_tfidf"          -> Q(t16Tfidf, Some(t16Sql)),
     "t8_string_funcs"    -> Q(t8StringFuncs, Some(t8Sql)),
     "t9_array_funcs"     -> Q(t9ArrayFuncs, Some(t9Sql)),
     "t10_redaction"      -> Q(t10Redaction, Some(t10Sql)),
