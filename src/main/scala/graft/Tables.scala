@@ -24,18 +24,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) rejects outright. Read nanos as long (legacy flag is a runtime
-    * SQLConf) and truncate to µs with exact integer arithmetic — the
-    * testdata has no sub-µs components, so this is lossless and matches
-    * what the DuckDB oracle sees.
+  /** The driver has shipped events.parquet with two `ts` encodings across
+    * rounds: TIMESTAMP(NANOS) — which Spark's TimestampType (µs) rejects
+    * outright, so it is read as long via the legacy runtime SQLConf and
+    * truncated to µs with exact integer arithmetic (lossless: the testdata
+    * has no sub-µs components) — and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Both are
+    * normalized to TimestampType here (session tz is UTC everywhere, so the
+    * NTZ→LTZ cast is value-identical), keeping every downstream operator
+    * encoding-agnostic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(t(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType whatever the parquet
+    * encoding produced (see [[events]]). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -15,16 +15,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStream {
 
-  /** The on-disk schema (ts is TIMESTAMP(NANOS) → read as long,
-    * truncated to µs — same convention as graft.Tables.events).
+  /** The on-disk schema, probed from the parquet footer of the files
+    * actually under `path` (one cheap batch footer read per call site):
+    * the driver has shipped `ts` as TIMESTAMP(NANOS) (read as long) and
+    * as TIMESTAMP(MICROS)/NTZ across rounds — same duality as
+    * graft.Tables.events, whose normalizeTs converts either to
+    * TimestampType after the streaming read.
     */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def rawSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   // One staged directory per source dir, deleted on JVM exit — repeated
   // readStream calls in one session (Verify runs the stream query, suites
@@ -46,13 +54,12 @@ object EventStream {
     })
 
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // FileStreamSource tails a *directory*; the testdata ships a single
     // file, so stage it into a temp dir (at scale this is the landing
     // directory new files arrive in).
-    spark.readStream.schema(RawSchema)
-      .parquet(stageDir(dir).toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val staged = stageDir(dir).toString
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(spark, staged)).parquet(staged))
   }
 
   // At-least-once landing dir: the same events file staged under TWO
@@ -77,10 +84,9 @@ object EventStream {
     })
 
   def readStreamDuplicated(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema)
-      .parquet(dupStageDir(dir).toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val staged = dupStageDir(dir).toString
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(spark, staged)).parquet(staged))
   }
 
   /** Exactly-once materialization from an at-least-once stream:
@@ -154,14 +160,13 @@ object EventStream {
   def dedupToFileSink(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val src = spark.readStream.schema(RawSchema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val src = graft.Tables.normalizeTs(
+        spark.readStream.schema(rawSchema(spark, srcDir))
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(srcDir))
       dedupStream(src).writeStream
         .format("parquet").option("path", outDir)
         .option("checkpointLocation", checkpointDir)
@@ -352,11 +357,11 @@ object EventStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = spark.readStream.schema(RawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(splitStageDir(spark, dir).toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val staged = splitStageDir(spark, dir).toString
+      val src = graft.Tables.normalizeTs(
+        spark.readStream.schema(rawSchema(spark, staged))
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, id) =>
         batch.withColumn("_batch", lit(id))
           .write.mode("append").parquet(target)
