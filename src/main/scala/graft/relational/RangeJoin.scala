@@ -84,7 +84,55 @@ object RangeJoin {
       | AND e.ts BETWEEN i.session_start AND i.session_end
       |ORDER BY e.event_id""".stripMargin
 
+  /** AF3: the same class of join written the way a user actually writes
+    * it — raw ANSI `BETWEEN` in SQL text, NO manual binning — planned
+    * through [[graft.plans.RangeBinRule]] (injected via
+    * `spark.sql.extensions`): for each June-1997 order, market-wide
+    * lineitem shipments during the order's first week. Without the rule
+    * this non-equi inner join is a BroadcastNestedLoopJoin
+    * (|orders|×|lineitem| comparisons); with `binWidth = 8` (the interval
+    * length) every 8-day interval explodes to ≤2 bins and the join
+    * hash-partitions on the bin — plan-asserted in RangeBinRuleSpec,
+    * result-identical by construction. The conf is left set: the rewrite
+    * is exact, so a later query it happens to match changes plan, never
+    * results.
+    */
+  private def af3RangeRule(s: SparkSession, d: String): DataFrame = {
+    s.conf.set(graft.plans.RangeBinRule.WidthKey, "8")
+    graft.relational.CoreOps.registerViews(s, d)
+    s.sql(
+      """SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  SUM(l.qty) AS sum_qty
+        |FROM (SELECT o_orderkey,
+        |        CAST(DATEDIFF(o_orderdate, DATE '1970-01-01') AS BIGINT) AS od
+        |      FROM orders
+        |      WHERE o_orderdate >= DATE '1997-06-01'
+        |        AND o_orderdate <  DATE '1997-07-01') o
+        |JOIN (SELECT CAST(DATEDIFF(l_shipdate, DATE '1970-01-01') AS BIGINT)
+        |        AS sd, l_quantity AS qty
+        |      FROM lineitem) l
+        |  ON l.sd BETWEEN o.od AND o.od + 7
+        |GROUP BY o.o_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  private val af3Sql =
+    """SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  SUM(l.qty) AS sum_qty
+      |FROM (SELECT o_orderkey,
+      |        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+      |      FROM orders
+      |      WHERE o_orderdate >= DATE '1997-06-01'
+      |        AND o_orderdate <  DATE '1997-07-01') o
+      |JOIN (SELECT CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS sd,
+      |        l_quantity AS qty
+      |      FROM lineitem) l
+      |  ON l.sd BETWEEN o.od AND o.od + 7
+      |GROUP BY o.o_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "af2_range_join" -> Q(af2RangeJoin, Some(af2Sql)),
+    "af3_range_join_rule" -> Q(af3RangeRule, Some(af3Sql)),
   )
 }
