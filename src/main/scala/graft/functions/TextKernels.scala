@@ -444,22 +444,28 @@ object TextKernelFns {
   /** Register the kernels in the session FunctionRegistry (idempotent;
     * `new Column(expr)` is private in Spark 4 — CLAUDE.md convention).
     */
-  def register(spark: SparkSession): Unit = {
+  /** The stateless SQL-callable kernels, as data: consumed by [[register]]
+    * (runtime, per-session) and by `plans.GraftExtensions.injectFunction`
+    * (session build — a pure-SQL session gets them with no Scala call).
+    */
+  val kernels: Seq[(String, Seq[Expression] => Expression)] = {
     def intLit(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
-    KernelRegistry.ensure(spark, "shingle_hashes")(
-      exprs => ShingleHashesExpr(exprs(0), intLit(exprs(1))))
-    KernelRegistry.ensure(spark, "minhash_sig")(
-      exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
-    KernelRegistry.ensure(spark, "simhash64k")(
-      exprs => SimHashExpr(exprs(0)))
-    KernelRegistry.ensure(spark, "poly_fingerprint")(
-      exprs => PolyFingerprintExpr(exprs(0)))
-    KernelRegistry.ensure(spark, "repetition_stats")(
-      exprs => RepetitionStatsExpr(exprs(0)))
-    KernelRegistry.ensure(spark, "md5_minhash_sig")(
-      exprs => Md5MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    Seq(
+      "shingle_hashes" ->
+        (exprs => ShingleHashesExpr(exprs(0), intLit(exprs(1)))),
+      "minhash_sig" ->
+        (exprs => MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+      "simhash64k" -> (exprs => SimHashExpr(exprs(0))),
+      "poly_fingerprint" -> (exprs => PolyFingerprintExpr(exprs(0))),
+      "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs(0))),
+      "md5_minhash_sig" ->
+        (exprs => Md5MinHashSigExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    )
   }
+
+  def register(spark: SparkSession): Unit =
+    kernels.foreach { case (n, b) => KernelRegistry.ensure(spark, n)(b) }
 
   def shingleHashes(spark: SparkSession, text: Column, w: Int): Column = {
     register(spark)

@@ -566,23 +566,24 @@ case class PqAdcDot(left: Expression, right: Expression)
 }
 
 object VecOps {
+  /** The stateless SQL-callable kernels, as data: consumed by [[register]]
+    * (runtime, per-session) and by `plans.GraftExtensions.injectFunction`
+    * (session build — a pure-SQL session gets them with no Scala call).
+    */
+  val kernels: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "fdot"      -> (exprs => FloatArrayDot(exprs(0), exprs(1))),
+    "dsqdist"   -> (exprs => DoubleArraySqDist(exprs(0), exprs(1))),
+    "quantize8" -> (exprs => QuantizeFloat8(exprs(0))),
+    "qdot8"     -> (exprs => QuantizedDot(exprs(0), exprs(1))),
+    "qparams8"  -> (exprs => QuantizeParams8(exprs(0))),
+    "pq_adc"    -> (exprs => PqAdcDot(exprs(0), exprs(1))),
+  )
+
   /** Register SQL-callable kernels once per session (lookup-before-create
     * via [[KernelRegistry.ensure]] — no replacement, no WARN spam).
     */
-  def register(spark: SparkSession): Unit = {
-    KernelRegistry.ensure(spark, "fdot")(
-      exprs => FloatArrayDot(exprs(0), exprs(1)))
-    KernelRegistry.ensure(spark, "dsqdist")(
-      exprs => DoubleArraySqDist(exprs(0), exprs(1)))
-    KernelRegistry.ensure(spark, "quantize8")(
-      exprs => QuantizeFloat8(exprs(0)))
-    KernelRegistry.ensure(spark, "qdot8")(
-      exprs => QuantizedDot(exprs(0), exprs(1)))
-    KernelRegistry.ensure(spark, "qparams8")(
-      exprs => QuantizeParams8(exprs(0)))
-    KernelRegistry.ensure(spark, "pq_adc")(
-      exprs => PqAdcDot(exprs(0), exprs(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    kernels.foreach { case (n, b) => KernelRegistry.ensure(spark, n)(b) }
 
   /** Dot product of two array<float> columns (codegen'd). */
   def fdot(spark: SparkSession, a: Column, b: Column): Column = {

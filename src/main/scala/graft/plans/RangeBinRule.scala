@@ -141,10 +141,26 @@ object RangeBinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Entry point for `spark.sql.extensions` — wires [[RangeBinRule]] into
-  * every session built with this jar on the classpath.
+/** Entry point for `spark.sql.extensions` — wires [[RangeBinRule]] and the
+  * stateless codegen kernels into every session built with this jar on the
+  * classpath. The kernel injection is what makes the kernels reachable from
+  * a PURE-SQL session (spark-sql shell, JDBC/Thrift, notebook SQL cell)
+  * where nobody can call `VecOps.register(spark)` first; the runtime
+  * registry path (`KernelRegistry.ensure`) stays as the fallback for
+  * sessions built without the extension, and its lookup-before-create makes
+  * the two paths compose (the injected entry short-circuits the ensure).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeBinRule)
+    val kernels = graft.functions.VecOps.kernels ++
+      graft.functions.TextKernelFns.kernels
+    kernels.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
+  }
 }

@@ -90,6 +90,20 @@ class RangeBinRuleSpec extends SparkSpec {
     assert(expect === Seq(org.apache.spark.sql.Row(1L, 10L)))
   }
 
+  test("injected kernels resolve in a fresh session state from pure SQL " +
+      "(no programmatic register call)") {
+    // newSession() rebuilds SessionState from the extensions, so this
+    // exercises the injectFunction path, not a leftover runtime ensure
+    val s2 = spark.newSession()
+    val dot = s2.sql(
+      """SELECT fdot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+        |""".stripMargin).head().getDouble(0)
+    assert(dot === 11.0)
+    val sim = s2.sql("SELECT simhash64k('a b c a b') AS h").head().getLong(0)
+    assert(sim !== 0L)
+  }
+
   test("af3 registered query returns week-window counts on sf0.001") {
     val out = SparkEntry.queries("af3_range_join_rule")(spark, Sf0001)
     assert(out.columns.toSeq === Seq("o_orderkey", "n_lines", "sum_qty"))
