@@ -46,9 +46,29 @@ object RangeBinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.binWidth"
 
-  private def isIntegral(e: Expression): Boolean = e.dataType match {
+  /** Types the bin mapping supports. Analysis has already coerced both
+    * sides of each comparison to one common type, so point and bounds
+    * always agree here. The mapping only has to be monotone non-decreasing
+    * and shared by both sides — bin(lo) ≤ bin(x) ≤ bin(hi) then follows
+    * from lo ≤ x ≤ hi for any floor-div width.
+    */
+  private def isBinnable(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case DateType | TimestampType | TimestampNTZType   => true
     case _                                             => false
+  }
+
+  /** Monotone map to long: integral → identity cast; date → days since
+    * epoch; timestamps → µs since epoch (binWidth is therefore in the
+    * column's native unit — days for dates, MICROSECONDS for timestamps).
+    * The NTZ→LTZ cast is session-tz dependent but non-decreasing, which is
+    * all correctness needs (the exact predicate still filters in-stage).
+    */
+  private def toLong(e: Expression): Expression = e.dataType match {
+    case DateType          => Cast(UnixDate(e), LongType)
+    case TimestampType     => UnixMicros(e)
+    case TimestampNTZType  => UnixMicros(Cast(e, TimestampType))
+    case _                 => Cast(e, LongType)
   }
 
   /** Normalize any comparison conjunct to (smaller, larger). */
@@ -65,7 +85,7 @@ object RangeBinRule extends Rule[LogicalPlan] with PredicateHelper {
     * never rounds (same discipline as ext.Sampling's bucket ids).
     */
   private def bin(e: Expression, width: Long): Expression = {
-    val x = Cast(e, LongType)
+    val x = toLong(e)
     val w = Literal(width)
     IntegralDivide(Subtract(x, Pmod(x, w)), w)
   }
@@ -111,7 +131,7 @@ object RangeBinRule extends Rule[LogicalPlan] with PredicateHelper {
       else les.iterator.collect {
         case (x2, hi) if x2.semanticEquals(x) &&
             (if (xRight) fromLeft(hi) else fromRight(hi)) &&
-            isIntegral(x) && isIntegral(lo) && isIntegral(hi) =>
+            isBinnable(x) && isBinnable(lo) && isBinnable(hi) =>
           (x, lo, hi, xLeft)
       }
     }.take(1).toSeq.headOption

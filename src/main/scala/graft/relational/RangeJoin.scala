@@ -93,14 +93,20 @@ object RangeJoin {
     * (|orders|×|lineitem| comparisons); with `binWidth = 8` (the interval
     * length) every 8-day interval explodes to ≤2 bins and the join
     * hash-partitions on the bin — plan-asserted in RangeBinRuleSpec,
-    * result-identical by construction. The conf is left set: the rewrite
-    * is exact, so a later query it happens to match changes plan, never
-    * results.
+    * result-identical by construction. The bin-width conf is SCOPED to
+    * this query's execution (set → eager localCheckpoint materializes the
+    * binned plan → restore in finally, the SortedLanding conf-toggle
+    * discipline): the width's unit is the join column's native unit, so a
+    * width tuned for day-granularity bins must never leak into some later
+    * µs-granularity timestamp join, where 8 µs bins would explode each
+    * interval into millions of sequence rows.
     */
   private def af3RangeRule(s: SparkSession, d: String): DataFrame = {
-    s.conf.set(graft.plans.RangeBinRule.WidthKey, "8")
     graft.relational.CoreOps.registerViews(s, d)
-    s.sql(
+    val key = graft.plans.RangeBinRule.WidthKey
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "8")
+    try s.sql(
       """SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
         |  SUM(l.qty) AS sum_qty
         |FROM (SELECT o_orderkey,
@@ -114,6 +120,11 @@ object RangeJoin {
         |  ON l.sd BETWEEN o.od AND o.od + 7
         |GROUP BY o.o_orderkey
         |ORDER BY o.o_orderkey""".stripMargin)
+      .localCheckpoint(true)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   private val af3Sql =

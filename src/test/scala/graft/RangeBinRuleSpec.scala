@@ -90,6 +90,25 @@ class RangeBinRuleSpec extends SparkSpec {
     assert(expect === Seq(org.apache.spark.sql.Row(1L, 10L)))
   }
 
+  test("timestamp point-in-interval joins fire too (µs bin width) and " +
+      "agree with the naive plan") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("ts")).limit(500)
+    val iv = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    def q() = ev.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_id"))
+    val expect = q().collect().toSeq
+    withWidth((3600L * 1000000L).toString) { // 1h bins in µs
+      val opt = q()
+      val plan = planString(opt)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"no fire:\n$plan")
+      assert(opt.collect().toSeq === expect)
+    }
+  }
+
   test("injected kernels resolve in a fresh session state from pure SQL " +
       "(no programmatic register call)") {
     // newSession() rebuilds SessionState from the extensions, so this
