@@ -592,19 +592,25 @@ object TextOps {
     * deciles early / filter the bottom decile); the per-bucket stats
     * are the audit view.
     *
-    * ntile here is an EXACT global rank — one WindowExec partition,
-    * fine at |documents| rows of (id, score) pairs but not at 10^10.
-    * The scale path is the m7 discipline: compute decile BOUNDARIES
-    * from a rank prefix-sum (or approx_percentile with an exact-rerank
-    * band), broadcast them, and assign buckets map-side; the exact form
-    * here doubles as that path's oracle. Ties totalized by doc_id so
+    * The decile cut is EXACT but never a global data window: a bare
+    * `ntile(10) OVER (ORDER BY ...)` moves every row to ONE WindowExec
+    * partition - fine at |documents| rows, a scale cliff at 10^10. The
+    * registered form runs util.Ranks.distributedRank (approximate score
+    * bands -> per-band parallel row_number + band-offset prefix sum -
+    * the m7 discipline) and derives the bucket from the exact rank with
+    * integral arithmetic (Ranks.ntileFromRank), so the output is
+    * bit-identical to the window form (RanksSpec pins the equivalence)
+    * while the plan stays partitioned. Ties totalized by doc_id so
     * both engines cut identically.
     */
   private def t14QualityBuckets(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("lm_score"), col("doc_id"))
-    lmScore(Tables.documents(s, d))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    val scored = lmScore(Tables.documents(s, d))
+      .select(col("doc_id"), col("lm_score"))
+    val ranked = graft.util.Ranks
+      .distributedRank(scored, "lm_score", "doc_id", "_rank")
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+    ranked
+      .withColumn("bucket", graft.util.Ranks.ntileFromRank("_rank", "_n", 10))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("lm_score")).as("min_score"),

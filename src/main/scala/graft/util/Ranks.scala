@@ -1,0 +1,74 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed ranking without a single-partition window.
+  *
+  * `WindowExec` with an empty PARTITION BY moves every row to ONE
+  * partition — the classic global-sort scale cliff (`ntile`, `row_number`
+  * over a whole table). The m7 prefix-sum discipline removes it: band the
+  * rows by a handful of APPROXIMATE score boundaries (banding only has to
+  * be order-consistent, not balanced — boundary accuracy affects band
+  * skew, never the answer), count each band, prefix-sum the tiny
+  * band-count frame into offsets, rank WITHIN bands in parallel, and add
+  * the offset. The global rank is exact because bands are contiguous runs
+  * of the total (score, id) order: every row with a smaller score lands
+  * in an earlier or equal band, and ties (equal scores) always share a
+  * band since banding compares the score alone.
+  */
+object Ranks {
+
+  /** Exact global `row_number` over (score ASC, id ASC), distributed.
+    *
+    * @param bands number of parallel ranking bands (≈ partition count)
+    * @return df plus `rankCol` (1-based long)
+    */
+  def distributedRank(df: DataFrame, scoreCol: String, idCol: String,
+      rankCol: String, bands: Int = 32): DataFrame = {
+    // Approximate boundaries: a bounded driver-side fetch (bands-1
+    // doubles) — the adaptive size-probe class, not a data collect.
+    // relativeError 0.01 keeps the sketch one-pass and tiny; a skewed
+    // boundary only unbalances band sizes, the ranks stay exact.
+    val qs = (1 until bands).map(_.toDouble / bands).toArray
+    val bounds = df.stat.approxQuantile(scoreCol, qs, 0.01).distinct.sorted
+    val band = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
+    }
+    val banded = df.withColumn("_band", band)
+    // tiny frame: one row per band — the single-partition window here is
+    // over ≤ `bands` rows, not the data
+    val offs = banded.groupBy(col("_band"))
+      .agg(count(lit(1)).as("_bc"))
+      .withColumn("_off", coalesce(sum(col("_bc")).over(
+        Window.orderBy(col("_band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_band"), col("_off"))
+    val wLocal = Window.partitionBy(col("_band"))
+      .orderBy(col(scoreCol), col(idCol))
+    banded.join(broadcast(offs), "_band")
+      .withColumn(rankCol,
+        (row_number().over(wLocal).cast("long") + col("_off")).cast("long"))
+      .drop("_band", "_off")
+  }
+
+  /** NTILE(n) bucket from a 1-based-rank column and a total-count column
+    * (both BIGINT) — Spark/ANSI semantics in pure integer arithmetic: the
+    * first N mod n buckets hold ⌈N/n⌉ rows, the rest ⌊N/n⌋. All divisions
+    * are integral `div`, so the assignment is engine-portable (DuckDB's
+    * `//` computes the identical buckets). The ELSE branch's `div (N div
+    * n)` cannot hit zero: when N < n every rank satisfies the WHEN branch
+    * and CaseWhen evaluates lazily (the systematicWeighted guard
+    * discipline).
+    */
+  def ntileFromRank(rankCol: String, totalCol: String, n: Int): Column =
+    expr(
+      s"""CAST(CASE
+         |  WHEN `$rankCol` <= (1 + `$totalCol` div $n) * (`$totalCol` % $n)
+         |  THEN (`$rankCol` - 1) div ((`$totalCol` div $n) + 1) + 1
+         |  ELSE (`$totalCol` % $n)
+         |    + (`$rankCol` - (1 + `$totalCol` div $n) * (`$totalCol` % $n) - 1)
+         |      div (`$totalCol` div $n) + 1
+         |END AS BIGINT)""".stripMargin)
+}
