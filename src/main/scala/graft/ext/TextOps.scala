@@ -604,8 +604,13 @@ object TextOps {
     * both engines cut identically.
     */
   private def t14QualityBuckets(s: SparkSession, d: String): DataFrame = {
+    // the expensive scoring pipeline feeds FOUR evaluations (the rank's
+    // approxQuantile action, the broadcast count, distributedRank's
+    // band-count agg, and the band join) — materialize it once
+    // (localCheckpoint(eager): scoped persist, ContextCleaner frees it)
     val scored = lmScore(Tables.documents(s, d))
       .select(col("doc_id"), col("lm_score"))
+      .localCheckpoint(true)
     val ranked = graft.util.Ranks
       .distributedRank(scored, "lm_score", "doc_id", "_rank")
       .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))

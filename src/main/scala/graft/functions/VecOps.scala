@@ -401,6 +401,103 @@ case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Multi-probe hyperplane signatures: the primary sign signature of
+  * [[PlaneSignBits]] PLUS every variant with a subset of the `flips`
+  * lowest-|margin| bits flipped — 2^flips probe buckets per row. The
+  * margin |dot(v, plane_b)| ranks bit confidence: a near-zero dot means
+  * the true neighbour plausibly sits on the other side of that plane, so
+  * flipping exactly those bits probes the most promising neighbouring
+  * buckets (Lv et al., multi-probe LSH, VLDB'07). Query-side only —
+  * extra probes multiply candidate LOOKUPS, never corpus rows or scans.
+  *
+  * Probe order is deterministic: margins sort by (|dot|, bit index), the
+  * flip masks enumerate in fixed binary order, and element 0 is always
+  * the primary signature — a row's probe array is a pure function of
+  * (vector, planes, flips).
+  */
+case class PlaneSignProbes(child: Expression, planes: Seq[Seq[Float]],
+    flips: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"plane_sign_probes expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    planes.map(_.toArray).toArray
+
+  /** Public for generated code; dot accumulation left-to-right double,
+    * strict `> 0` — the primary signature is bit-identical to
+    * [[PlaneSignBits]] over the same planes.
+    */
+  def kernelEval(a: Any): ArrayData = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val nb = mat.length
+    val dots = new Array[Double](nb)
+    var sig = 0L
+    var b = 0
+    while (b < nb) {
+      val p = mat(b)
+      val n = math.min(dim, p.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += arr.getFloat(i).toDouble * p(i); i += 1 }
+      dots(b) = d
+      if (d > 0) sig |= (1L << b)
+      b += 1
+    }
+    val f = math.min(math.max(flips, 0), nb)
+    // indices of the f smallest |margins| (partial selection sort; ties
+    // break on the lower bit index — deterministic)
+    val idx = Array.tabulate(nb)(identity)
+    var s = 0
+    while (s < f) {
+      var m = s
+      var j = s + 1
+      while (j < nb) {
+        if (math.abs(dots(idx(j))) < math.abs(dots(idx(m)))) m = j
+        j += 1
+      }
+      val t = idx(s); idx(s) = idx(m); idx(m) = t
+      s += 1
+    }
+    val nProbes = 1 << f
+    val out = new Array[Long](nProbes)
+    var mask = 0
+    while (mask < nProbes) {
+      var v = sig
+      var k = 0
+      while (k < f) {
+        if ((mask & (1 << k)) != 0) v ^= (1L << idx(k))
+        k += 1
+      }
+      out(mask) = v
+      mask += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeSignProbes", this,
+      classOf[PlaneSignProbes].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode: the vector is split into
   * `books.length` contiguous subspaces and each sub-vector is replaced
   * by the index of its nearest (L2) codebook centroid — one byte per
@@ -638,6 +735,20 @@ object VecOps {
     val name = s"plane_sign_bits_${(planeSeq.hashCode & Int.MaxValue).toHexString}"
     KernelRegistry.ensureTransient(spark, name)(
       exprs => PlaneSignBits(exprs(0), planeSeq))
+    call_function(name, emb)
+  }
+
+  /** Multi-probe signature array (primary + lowest-|margin| bit flips)
+    * against a fixed plane set — state-hashed name (the flip count is
+    * part of the state), use-immediately contract as [[planeSignBits]].
+    */
+  def planeSignProbes(spark: SparkSession, emb: Column,
+      planes: Array[Array[Float]], flips: Int): Column = {
+    val planeSeq: Seq[Seq[Float]] = planes.toIndexedSeq.map(_.toIndexedSeq)
+    val name = s"plane_sign_probes_" +
+      s"${((planeSeq, flips).hashCode & Int.MaxValue).toHexString}"
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => PlaneSignProbes(exprs(0), planeSeq, flips))
     call_function(name, emb)
   }
 

@@ -67,7 +67,11 @@ object RangeBinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def toLong(e: Expression): Expression = e.dataType match {
     case DateType          => Cast(UnixDate(e), LongType)
     case TimestampType     => UnixMicros(e)
-    case TimestampNTZType  => UnixMicros(Cast(e, TimestampType))
+    // NTZ→LTZ Cast needsTimeZone: without an explicit timeZoneId the
+    // optimizer-inserted expression stays unresolved and evaluation NPEs
+    // on timeZoneId.get (same constraint as Sequence in rewrite())
+    case TimestampNTZType  =>
+      UnixMicros(Cast(e, TimestampType, Some(conf.sessionLocalTimeZone)))
     case _                 => Cast(e, LongType)
   }
 

@@ -20,13 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Exact global `row_number` over (score ASC, id ASC), distributed.
+  /** Exact global `row_number` over (score ASC, ties ASC..., id ASC),
+    * distributed. The whole plan is free of partition-less WindowExec:
+    * even the ≤`bands`-row prefix sum runs as a triangular self-join, so
+    * callers (t14, km1) can assert a window-partition-clean executed plan.
     *
-    * @param bands number of parallel ranking bands (≈ partition count)
+    * @param bands   number of parallel ranking bands (≈ partition count)
+    * @param tieCols extra ORDER BY columns between score and id (banding
+    *                still splits on score alone, so score-ties share a
+    *                band and the composite rank stays exact)
     * @return df plus `rankCol` (1-based long)
     */
   def distributedRank(df: DataFrame, scoreCol: String, idCol: String,
-      rankCol: String, bands: Int = 32): DataFrame = {
+      rankCol: String, bands: Int = 32,
+      tieCols: Seq[String] = Nil): DataFrame = {
     // Approximate boundaries: a bounded driver-side fetch (bands-1
     // doubles) — the adaptive size-probe class, not a data collect.
     // relativeError 0.01 keeps the sketch one-pass and tiny; a skewed
@@ -37,16 +44,16 @@ object Ranks {
       acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
     }
     val banded = df.withColumn("_band", band)
-    // tiny frame: one row per band — the single-partition window here is
-    // over ≤ `bands` rows, not the data
-    val offs = banded.groupBy(col("_band"))
-      .agg(count(lit(1)).as("_bc"))
-      .withColumn("_off", coalesce(sum(col("_bc")).over(
-        Window.orderBy(col("_band"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_band"), col("_off"))
+    // tiny frame: one row per band. The prefix sum is a triangular
+    // self-join instead of a global-order window — same ≤`bands`² cost,
+    // zero partition-less WindowExec anywhere in the caller's plan.
+    val counts = banded.groupBy(col("_band")).agg(count(lit(1)).as("_bc"))
+    val offs = counts.as("_a")
+      .join(counts.as("_b"), col("_b._band") < col("_a._band"), "left")
+      .groupBy(col("_a._band").as("_band"))
+      .agg(coalesce(sum(col("_b._bc")), lit(0L)).as("_off"))
     val wLocal = Window.partitionBy(col("_band"))
-      .orderBy(col(scoreCol), col(idCol))
+      .orderBy((scoreCol +: tieCols :+ idCol).map(col): _*)
     banded.join(broadcast(offs), "_band")
       .withColumn(rankCol,
         (row_number().over(wLocal).cast("long") + col("_off")).cast("long"))

@@ -92,8 +92,11 @@ class RangeBinRuleSpec extends SparkSpec {
 
   test("timestamp point-in-interval joins fire too (µs bin width) and " +
       "agree with the naive plan") {
+    // deterministic probe set: LIMIT without ORDER BY may pick different
+    // rows on the naive and optimized runs (they execute independently)
     val ev = Tables.events(spark, Sf0001)
-      .select(col("event_id"), col("ts")).limit(500)
+      .select(col("event_id"), col("ts"))
+      .orderBy(col("event_id")).limit(500)
     val iv = Tables.events(spark, Sf0001)
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
@@ -102,6 +105,33 @@ class RangeBinRuleSpec extends SparkSpec {
       .orderBy(col("event_id"))
     val expect = q().collect().toSeq
     withWidth((3600L * 1000000L).toString) { // 1h bins in µs
+      val opt = q()
+      val plan = planString(opt)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"no fire:\n$plan")
+      assert(opt.collect().toSeq === expect)
+    }
+  }
+
+  test("TIMESTAMP_NTZ point-in-interval joins fire without an unresolved " +
+      "NTZ cast and agree with the naive plan") {
+    // isBinnable advertises NTZ; toLong must build the NTZ→LTZ Cast with
+    // an explicit session timeZoneId or the rewrite NPEs at evaluation
+    val base = Seq(
+      (1L, "2024-01-01 00:10:00"), (2L, "2024-01-01 03:20:00"),
+      (3L, "2024-01-02 12:00:00"), (4L, "2024-01-05 23:59:59"))
+      .toDF("event_id", "s")
+      .select(col("event_id"), col("s").cast("timestamp_ntz").as("ts"))
+    val iv = Seq(
+      (10L, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+      (11L, "2024-01-02 00:00:00", "2024-01-03 00:00:00"))
+      .toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp_ntz").as("lo"),
+        col("b").cast("timestamp_ntz").as("hi"))
+    def q() = base.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select(col("event_id"), col("iid")).orderBy(col("event_id"))
+    val expect = q().collect().toSeq
+    assert(expect.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+    withWidth((3600L * 1000000L).toString) {
       val opt = q()
       val plan = planString(opt)
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"no fire:\n$plan")

@@ -22,7 +22,8 @@ object RecallProbe {
       val exact = bruteForceTopK(emb, q5, 10).select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       for ((nm, df) <- Seq(
-          "x2" -> lshTopK(emb, q5, 10, bits = 4),
+          "x2" -> lshTopK(emb, q5, 10, bits = 4,
+            probeFlips = graft.ext.SimilarityOps.X2ProbeFlips),
           "x4" -> ivfTopK(emb, q5, 10),
           "x5" -> sq8TopK(emb, q5, 10),
           "x8" -> ivfSq8TopK(emb, q5, 10),
