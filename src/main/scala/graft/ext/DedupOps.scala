@@ -124,7 +124,7 @@ object DedupOps {
     */
   private def d2Minhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    graft.util.OracleFixtures.withCorpusKey(minhashPairs(docs), docs)
+    graft.util.OracleFixtures.withCorpusKey(minhashPairs(docs), s, d)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -292,7 +292,7 @@ object DedupOps {
     */
   private def d3Simhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    graft.util.OracleFixtures.withCorpusKey(simhashTable(docs), docs)
+    graft.util.OracleFixtures.withCorpusKey(simhashTable(docs), s, d)
       .orderBy(col("doc_id"))
   }
 

@@ -289,7 +289,7 @@ object MultimodalOps {
           element_at(col("features"), 1).cast("int").as("kind"),
           element_at(col("features"), 2).cast("int").as("dim0"),
           round(element_at(col("features"), 5), 3).as("stat0")),
-      docs)
+      s, d)
       .orderBy(col("doc_id"))
   }
 

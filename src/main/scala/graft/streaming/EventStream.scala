@@ -350,8 +350,8 @@ object EventStream {
     * the checkpoint + append are the production restart story, same as
     * dedupToFileSink).
     */
-  def runUpsertLogToCompletion(spark: SparkSession, dir: String)
-      : DataFrame = {
+  def runUpsertLogToCompletion(spark: SparkSession, dir: String,
+      compactEvery: Int = 0): DataFrame = {
     val target = graft.util.Landing.tempDirOnce("graft_mv_upsert").toString
     val ckp = graft.util.Landing.tempDirOnce("graft_mv_upsert_ckp").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -362,9 +362,12 @@ object EventStream {
         spark.readStream.schema(rawSchema(spark, staged))
           .option("maxFilesPerTrigger", 1)
           .parquet(staged))
-      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) =>
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
         batch.withColumn("_batch", lit(id))
           .write.mode("append").parquet(target)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compactUpsertLog(spark, target)
+      }
       val q = upsertRollup(src).writeStream
         .outputMode("update")
         .foreachBatch(mergeBatch)
@@ -376,14 +379,39 @@ object EventStream {
     spark.read.parquet(target)
   }
 
+  /** Keep-latest-revision-per-key rewrite of the upsert log — the
+    * retention half of MV maintenance (round-6 verdict #5): an
+    * append-only MERGE stand-in otherwise grows with (keys × batches
+    * touched) forever and every read re-windows the whole history.
+    * Compaction caps both at |MV| while preserving last-writer-wins
+    * EXACTLY: the rows it drops are strictly older revisions of keys
+    * whose latest row survives with its original `_batch`, so the MV
+    * read over a compacted log is value-identical (spec-pinned). The
+    * rewrite is materialized (eager localCheckpoint) before the
+    * overwrite — the j6 amortized-landing production accounting, cost
+    * |MV| per compaction, never |log|.
+    */
+  def compactUpsertLog(spark: SparkSession, target: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day"), col("event_type"))
+      .orderBy(col("_batch").desc)
+    val compacted = spark.read.parquet(target)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint(true)
+    compacted.write.mode("overwrite").parquet(target)
+  }
+
   /** The maintained MV: last-writer-wins per key over the upsert log —
     * what the MERGE target would hold after the final batch. Must equal
     * the batch rollup over all events (the oracle): the incremental
-    * update path may invent or lose nothing.
+    * update path may invent or lose nothing. Runs with periodic log
+    * compaction ON (every 2 batches) — the registered e16 exercises the
+    * retention path under the driver's hash gate.
     */
   def runUpsertRollupToCompletion(spark: SparkSession, dir: String)
       : DataFrame = {
-    val log = runUpsertLogToCompletion(spark, dir)
+    val log = runUpsertLogToCompletion(spark, dir, compactEvery = 2)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("day"), col("event_type"))
       .orderBy(col("_batch").desc)

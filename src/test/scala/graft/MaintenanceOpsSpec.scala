@@ -108,6 +108,33 @@ class MaintenanceOpsSpec extends SparkSpec {
 
   // ---- e16: streaming MV upsert ------------------------------------------
 
+  test("e16: periodic log compaction preserves last-writer-wins exactly " +
+      "and strictly bounds the log") {
+    def mv(log: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day"), col("event_type"))
+        .orderBy(col("_batch").desc)
+      log.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("day"), col("event_type"), col("n"), col("sum_value"))
+    }
+    val full = streaming.EventStream
+      .runUpsertLogToCompletion(spark, Sf0001).localCheckpoint(true)
+    val compacted = streaming.EventStream
+      .runUpsertLogToCompletion(spark, Sf0001, compactEvery = 2)
+      .localCheckpoint(true)
+    // the other e16 spec proves ≥1 key is touched by >1 batch, so
+    // compaction must have dropped at least one superseded revision
+    assert(compacted.count() < full.count(),
+      s"compaction dropped nothing: ${compacted.count()} vs ${full.count()}")
+    // after the final compaction (batch 3) the log holds exactly one
+    // revision per key — the |MV| retention bound
+    assert(compacted.count() ===
+      compacted.select("day", "event_type").distinct().count())
+    assert(mv(compacted).collect().toSet === mv(full).collect().toSet,
+      "compacted MV diverged from the full-log MV")
+  }
+
   test("e16: the upsert log shows genuine incremental maintenance — " +
       "multiple micro-batches re-upserting the same keys — and " +
       "last-writer-wins equals the batch rollup") {
