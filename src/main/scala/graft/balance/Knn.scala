@@ -44,14 +44,28 @@ object Knn {
 
   /** Approximate k-NN via BucketedRandomProjectionLSH — candidates only
     * from shared buckets, then exact re-rank within candidates.
+    *
+    * Feature-identical rows are collapsed BEFORE the LSH self-join: exact
+    * duplicates are projection-inseparable (the x7 hot-bucket lesson), so
+    * every extra copy widens its bucket in EVERY hash table and the
+    * candidate-pair volume grows QUADRATICALLY in the duplication factor
+    * (ScaleSweep measured 51× wall-clock at a 10×-duplicated corpus; a
+    * 100 TB crawl is exactly that corpus). One representative per distinct
+    * vector computes the neighbour list; all rows join it back by feature
+    * equality — linear, and byte-identical doubles make the equi-join
+    * safe. Neighbours are therefore the k nearest DISTINCT vectors, which
+    * is also the better SMOTE semantics: interpolating toward a
+    * zero-distance copy just reproduces the point (plain duplication —
+    * the fallback already covers that case honestly).
     */
   def approxNeighbors(spark: SparkSession, df: DataFrame, idCol: String,
       featCol: String, k: Int, bucketLength: Double = 2.0,
       numHashTables: Int = 3, maxDist: Double = Double.MaxValue): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.array_to_vector
-    val vecDf = df.select(col(idCol), col(featCol))
-      .withColumn("_vec", array_to_vector(col(featCol)))
+    val vecs = df.select(col(idCol), col(featCol))
+    val reps = vecs.groupBy(col(featCol)).agg(min(col(idCol)).as("_rid"))
+    val vecDf = reps.withColumn("_vec", array_to_vector(col(featCol)))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("_vec").setOutputCol("_hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)
@@ -59,16 +73,18 @@ object Knn {
     val model = lsh.fit(vecDf)
     val pairs = model.approxSimilarityJoin(vecDf, vecDf, maxDist, "_dist")
       .select(
-        col(s"datasetA.$idCol").as("_a_id"),
-        col(s"datasetB.$idCol").as("_b_id"),
+        col("datasetA._rid").as("_a_id"),
+        col(s"datasetA.$featCol").as("_a_f"),
+        col("datasetB._rid").as("_b_id"),
         col(s"datasetB.$featCol").as("_b_f"),
         col("_dist"))
       .filter(col("_a_id") =!= col("_b_id"))
     val w = Window.partitionBy(col("_a_id")).orderBy(col("_dist"), col("_b_id"))
-    pairs.withColumn("_rank", row_number().over(w))
+    val nnRep = pairs.withColumn("_rank", row_number().over(w))
       .filter(col("_rank") <= k)
-      .groupBy(col("_a_id").as(idCol))
+      .groupBy(col("_a_f").as(featCol))
       .agg(collect_list(struct(col("_rank"), col("_b_f"))).as("_nn"))
+    vecs.join(nnRep, Seq(featCol))
       .select(col(idCol),
         transform(array_sort(col("_nn")), s => s.getField("_b_f"))
           .as("neighbors"))

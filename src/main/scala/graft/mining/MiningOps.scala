@@ -329,16 +329,18 @@ object MiningOps {
     val e = (if (directed) e0 else e0.unionByName(
         edges.select(col("dst").as("src"), col("src").as("dst"))))
       .localCheckpoint(true)
-    // node universe = every edge endpoint. Undirected doubling makes every
-    // node both a source and a destination, so the old deg-keyed frame was
-    // already the universe; a genuinely directed graph has pure sinks
-    // (no out-edges) and pure sources (no in-edges) that must still hold
-    // rank, hence the explicit frame.
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
+    // node universe = every edge endpoint. Undirected doubling makes every
+    // node both a source and a destination, so the degree keys ARE the
+    // universe (no extra distinct); a genuinely directed graph has pure
+    // sinks (no out-edges) and pure sources (no in-edges) that must still
+    // hold rank, hence the explicit endpoint frame.
+    val nodes =
+      if (!directed) deg.select(col("src").as("node"))
+      else e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint(true)
     val nn = nodes.agg(count(lit(1)).as("n"))
     val tele = expr(s"(15 * ${scale}L) div (100 * n)")
     var r = nodes.crossJoin(broadcast(nn))

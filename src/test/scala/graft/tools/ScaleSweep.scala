@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** One-shot scaling sweep of the heavy-tail queries (round-6 verdict #5):
+  * synthesizes a ~sf1 dataset as 10 key-shifted copies of sf0.1 under
+  * /tmp/graft_sf1 (documents text gets a per-copy md5 prefix so the copies
+  * are DISTINCT content — an exact-duplicate corpus would measure the
+  * 45×-output adversarial case, not scaling), runs each tail query once at
+  * sf0.1 and once at sf1 in the same warmed JVM, and prints the ratio.
+  * A clean linear envelope is ratio ≈ 10 + constant; a quadratic term the
+  * plan audits missed shows up as ratio ≫ 12. Results are recorded in
+  * docs/SCALING.md (the committed artifact; wall-clock asserts would be
+  * machine-load-flaky in CI).
+  *
+  * pr1/pr2 run on an explicitly shifted 10× edge list instead of the dir:
+  * their input is DISTINCT (partkey, suppkey) pairs, which key-shifted
+  * fact duplication would collapse right back to sf0.1 size.
+  *
+  * Usage: `Test/runMain graft.tools.ScaleSweep`
+  */
+object ScaleSweep {
+  private val Src = "/root/testdata/sf0.1"
+  private val Out = "/tmp/graft_sf1"
+  private val Copies = 10
+
+  private def build(s: SparkSession): Unit = {
+    if (new java.io.File(s"$Out/documents.parquet").exists()) return
+    new java.io.File(Out).mkdirs()
+
+    def shifted(df: DataFrame, idCol: String)(mangle: DataFrame => DataFrame)
+        : DataFrame = {
+      val span = df.agg(max(col(idCol))).head().getLong(0) + 1L
+      (0 until Copies).map { k =>
+        mangle(df.withColumn(idCol, col(idCol) + lit(k * span))
+          .withColumn("_copy", lit(k)))
+      }.reduce(_ unionByName _).drop("_copy")
+    }
+
+    val docs = Tables.documents(s, Src)
+    shifted(docs, "doc_id") { d =>
+      // distinct content per copy: a 16-hex-char md5 prefix pushes every
+      // cross-copy pair past the near-dup thresholds without changing the
+      // length/shingle profile the blocking operators key on
+      d.withColumn("text",
+          concat(substring(md5(concat_ws("|", col("doc_id"), col("_copy"))),
+            1, 16), lit(" "), col("text")))
+        .withColumn("n_chars", length(col("text")))
+    }.coalesce(4).write.mode("overwrite").parquet(s"$Out/documents.parquet")
+
+    // embeddings stay byte-identical per copy: duplicated vectors stress
+    // exactly the hot-bucket refine/salt path x7 exists to survive
+    shifted(Tables.embeddings(s, Src), "vec_id")(identity)
+      .coalesce(4).write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+
+    shifted(Tables.lineitem(s, Src), "l_orderkey")(identity)
+      .coalesce(8).write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+    // dimensions ride along unscaled (the realistic fact-only scale-up)
+    Tables.part(s, Src).write.mode("overwrite").parquet(s"$Out/part.parquet")
+    println(s"[scalesweep] built $Out")
+  }
+
+  private def time[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val s = SparkSpec.session
+    build(s)
+    val tail = Seq("d10_editdist_neardup", "x7_knn_join", "fm1_assoc_rules",
+      "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh")
+    for (q <- tail) {
+      val small = time(SparkEntry.queries(q)(s, Src).collect())
+      val big = time(SparkEntry.queries(q)(s, Out).collect())
+      println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
+    }
+    // pr1-shaped graph, 10 shifted copies of the distinct edge list
+    val e0 = Tables.lineitem(s, Src)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      .localCheckpoint(true)
+    val span = e0.agg(greatest(max(col("src")), max(col("dst")))).head()
+      .getLong(0) + 1L
+    val e10 = (0 until Copies).map(k =>
+        e0.select((col("src") + lit(k * span)).as("src"),
+          (col("dst") + lit(k * span)).as("dst")))
+      .reduce(_ unionByName _)
+    val small = time(graft.mining.MiningOps.pageRank(e0, iters = 3).collect())
+    val big = time(graft.mining.MiningOps.pageRank(e10, iters = 3).collect())
+    println(f"[scalesweep] pr1_pagerank(10x edges) sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
+  }
+}
