@@ -418,6 +418,11 @@ case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
 case class PlaneSignProbes(child: Expression, planes: Seq[Seq[Float]],
     flips: Int) extends UnaryExpression {
 
+  // 2^flips probes per row: cap well before the Int shift and any
+  // realistic candidate budget (16 bits = 65k lookups per query-table
+  // is already far past useful multi-probe depth)
+  require(flips <= 16, s"plane_sign_probes: flips=$flips > 16")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes()
