@@ -248,12 +248,13 @@ object SimilarityOps {
   // x2 measured 0.68/0.60 aggregate with 2-bit multi-probe (was
   // 0.20-0.38 single-probe — the round-6 "gate only catches collapse"
   // weakness; the 0.50 floor now trips on a partial regression too),
-  // x4 0.46-0.50, x5 1.0, x7 0.84-0.86.
+  // x4 0.64/0.62 at nProbe=6 (floor 0.40), x5 1.0, x7 0.84-0.86.
   private def x2Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.50)((emb, q5) =>
       lshTopK(emb, q5, 10, bits = 4, probeFlips = X2ProbeFlips))
   private def x4Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.25)((emb, q5) => ivfTopK(emb, q5, 10))
+    fiveProbeGate(s, d, 0.40)((emb, q5) =>
+      ivfTopK(emb, q5, 10, nProbe = X4Probe))
   private def x5Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.90)((emb, q5) => sq8TopK(emb, q5, 10))
 
@@ -699,9 +700,17 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** x4's registered shape probes 6 of 16 cells (the nProbe/nCells
+    * fraction is IVF's recall knob at fixed index cost — the same lever
+    * multi-probe is for x2): measured aggregate recall 0.46-0.50 at
+    * nProbe=4 → 0.62-0.64 at 6, so the driver-gate floor bites at 0.40
+    * instead of only catching collapse at 0.25.
+    */
+  private[graft] val X4Probe = 6
+
   private[graft] def x4IvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
+    ivfTopK(emb, emb.filter(col("vec_id") < 5), 10, nProbe = X4Probe)
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }

@@ -24,7 +24,8 @@ object RecallProbe {
       for ((nm, df) <- Seq(
           "x2" -> lshTopK(emb, q5, 10, bits = 4,
             probeFlips = graft.ext.SimilarityOps.X2ProbeFlips),
-          "x4" -> ivfTopK(emb, q5, 10),
+          "x4" -> ivfTopK(emb, q5, 10,
+            nProbe = graft.ext.SimilarityOps.X4Probe),
           "x5" -> sq8TopK(emb, q5, 10),
           "x8" -> ivfSq8TopK(emb, q5, 10),
           "x9" -> pqTopK(emb, q5, 10))) {
