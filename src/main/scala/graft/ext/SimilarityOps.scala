@@ -857,13 +857,17 @@ object SimilarityOps {
 
   private[graft] def x8IvfSq8TopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10)
+    // same 6/16 probe depth as x4: the composed path's recall ceiling is
+    // the IVF routing (SQ8 scoring error is sub-1%), so the same knob
+    // lifts it identically and the same 0.40 floor bites
+    ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10, nProbe = X4Probe)
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   private def x8Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.25)((emb, q5) => ivfSq8TopK(emb, q5, 10))
+    fiveProbeGate(s, d, 0.40)((emb, q5) =>
+      ivfSq8TopK(emb, q5, 10, nProbe = X4Probe))
 
   // ---- X9: product-quantized top-k (ADC) ---------------------------------
   /** The memory-floor ANN path: the corpus rides as m PQ code bytes per
