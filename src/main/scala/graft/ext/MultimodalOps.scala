@@ -95,7 +95,12 @@ object MultimodalOps {
     * not integer PCM16 (the one encoding [[synthesizeMedia]] and most
     * pipeline audio use; other codecs would plug in here).
     */
-  private def decodeWav(payload: Array[Byte]): Array[Float] = {
+  /** RIFF chunk walk shared by [[decodeWav]] and [[resizeGrid]]:
+    * (rate, channels, bits, dataOff, dataLen) for integer-PCM16 WAVE, or
+    * null when malformed / not PCM16 — byte-identical acceptance to the
+    * original decodeWav walk (mm1 outputs must not move).
+    */
+  private def wavLayout(payload: Array[Byte]): Array[Int] = {
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     var pos = 12 // past RIFF<size>WAVE
     var rate = 0; var channels = 0; var bits = 0
@@ -116,6 +121,14 @@ object MultimodalOps {
       pos += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || bits != 16 || dataOff < 0) return null
+    Array(rate, channels, bits, dataOff, dataLen)
+  }
+
+  private def decodeWav(payload: Array[Byte]): Array[Float] = {
+    val lay = wavLayout(payload)
+    if (lay == null) return null
+    val Array(rate, channels, bits, dataOff, dataLen) = lay
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     val nSamples = dataLen / 2
     var sumSq = 0.0; var peak = 0.0
     var i = 0
@@ -343,8 +356,138 @@ object MultimodalOps {
       |FROM fr WHERE length(frame) > 0
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  // ---- MM3: media resize ---------------------------------------------------
+  /** Resize to a fixed tw×th grid — the remaining op of the multimodal
+    * quartet (decode / feature-extract / RESIZE / frame-sample): the
+    * thumbnail / fixed-shape-tensor step every vision-data pipeline runs
+    * before a model sees the image. Per sniffed kind:
+    *  - image: nearest-neighbour sample of the DECODED raster, each cell
+    *    the rounded Rec.601 luma of its source pixel — a real resize of
+    *    real pixels;
+    *  - audio: the grid is a tw·th-bin RMS envelope over the actual PCM16
+    *    samples (the 1-D "resize" — fixed-length downsample), per-mille;
+    *  - opaque: byte-value histogram folded into tw·th bins, per-mille —
+    *    degrade-never-throw, same contract as [[decodeFeatures]].
+    * All cells are INTS (rounded), so the grid digest is deterministic
+    * across JVMs/partitionings with no float-formatting hazard.
+    */
+  def resizeGrid(payload: Array[Byte], tw: Int, th: Int)
+      : (Int, Int, Int, Array[Int]) = {
+    val cells = tw * th
+    if (payload == null || payload.isEmpty)
+      return (0, 0, 0, new Array[Int](cells))
+    if (isPng(payload)) {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val w = img.getWidth; val h = img.getHeight
+        val grid = new Array[Int](cells)
+        var ty = 0
+        while (ty < th) {
+          val sy = math.min(h - 1, ty * h / th)
+          var tx = 0
+          while (tx < tw) {
+            val sx = math.min(w - 1, tx * w / tw)
+            val rgb = img.getRGB(sx, sy)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            grid(ty * tw + tx) = math.round(0.299f * r + 0.587f * g + 0.114f * b)
+            tx += 1
+          }
+          ty += 1
+        }
+        return (1, w, h, grid)
+      }
+    }
+    if (isRiffWave(payload)) {
+      val lay = wavLayout(payload)
+      if (lay != null) {
+        val dataOff = lay(3); val nSamples = lay(4) / 2
+        val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+        val grid = new Array[Int](cells)
+        var i = 0
+        while (i < cells) {
+          val lo = (i.toLong * nSamples / cells).toInt
+          val hi = ((i + 1).toLong * nSamples / cells).toInt
+          var sumSq = 0.0
+          var j = lo
+          while (j < hi) {
+            val v = bb.getShort(dataOff + 2 * j) / 32768.0
+            sumSq += v * v
+            j += 1
+          }
+          grid(i) =
+            if (hi > lo) math.round(math.sqrt(sumSq / (hi - lo)) * 1000.0).toInt
+            else 0
+          i += 1
+        }
+        return (2, nSamples, 1, grid)
+      }
+    }
+    val hist = new Array[Long](cells)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) * cells / 256) += 1
+      i += 1
+    }
+    (0, payload.length, 1, hist.map(c => (c * 1000 / payload.length).toInt))
+  }
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media_type", StringType),
+    StructField("kind", IntegerType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("c0", IntegerType),
+    StructField("grid_digest", StringType)))
+
+  /** Partition-wise resize over a media table — same one-pass, no-shuffle
+    * batch shape as [[extractFeatures]]. Emits the source dims, the first
+    * cell (spot-checkable), and the md5 of the comma-joined int grid (the
+    * whole resized content, digest-gated).
+    */
+  def resizeMedia(spark: SparkSession, media: DataFrame, tw: Int,
+      th: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
+    media.select(col("doc_id"), col("payload"), col("meta.mime"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val (kind, w, h, grid) =
+            resizeGrid(r.getAs[Array[Byte]]("payload"), tw, th)
+          md.reset()
+          val hex = md.digest(grid.mkString(",").getBytes("US-ASCII"))
+            .map(b => f"$b%02x").mkString
+          Row(r.getAs[Long]("doc_id"), r.getAs[String]("mime"), kind, w, h,
+            grid(0), hex)
+        }
+      }(enc)
+  }
+
+  /** MM3 registered: 8×8 resize of the synthesized real PNG/WAV corpus.
+    * DuckDB cannot decode, so the oracle replays frozen rows keyed by the
+    * corpus content ([[graft.util.OracleFixtures]] — corpus_key +
+    * corpus_sig); the pipeline is deterministic per doc_id, so the digest
+    * column makes the gate bite on any drift in synthesis, decode, or the
+    * resize arithmetic itself.
+    */
+  private def mm3Resize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.util.OracleFixtures.withCorpusKey(
+      resizeMedia(s, synthesizeMedia(docs), 8, 8), s, d)
+      .orderBy(col("doc_id"))
+  }
+
+  private val mm3Sql = graft.util.OracleFixtures.sql("mm3_resize",
+    Seq("doc_id", "media_type", "kind", "src_w", "src_h", "c0",
+      "grid_digest"), "doc_id")
+
   val qs: Seq[(String, Q)] = Seq(
     "mm1_media_features" -> Q(mm1Features, Some(mm1Sql)),
     "mm2_frame_sample"   -> Q(mm2FrameSample, Some(mm2Sql)),
+    "mm3_resize"         -> Q(mm3Resize, Some(mm3Sql)),
   )
 }

@@ -82,7 +82,8 @@ object GenFixtures {
     // registered query output — corpus_key column included — frozen at
     // both SFs into one directory the DuckDB oracle reads back with
     // read_parquet and filters by the current corpus key.
-    for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features"))
+    for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features",
+        "mm3_resize"))
       write(s"oracle/$name") {
         Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
           .map(SparkEntry.queries(name)(spark, _))

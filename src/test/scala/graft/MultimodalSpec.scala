@@ -104,6 +104,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm3 resize: image grid is real decoded luma; constant image → " +
+      "constant grid; known two-tone layout lands per-cell") {
+    // 16×16 all-gray (0x808080): every nearest-neighbour sample reads the
+    // same pixel, so all 64 cells equal round(luma(128,128,128)) = 128
+    val gray = pngOf(Array.fill(16)(Array.fill(16)(0x808080)))
+    val (k1, w1, h1, g1) = MultimodalOps.resizeGrid(gray, 8, 8)
+    assert(k1 === 1 && w1 === 16 && h1 === 16)
+    assert(g1.length === 64 && g1.forall(_ === 128))
+    // left half black, right half white → each grid row is 4 zeros then
+    // 4 times luma(255,255,255)=255 (nearest sample never straddles)
+    val split = pngOf(Array.fill(16)(
+      Array.tabulate(16)(x => if (x < 8) 0x000000 else 0xffffff)))
+    val (_, _, _, g2) = MultimodalOps.resizeGrid(split, 8, 8)
+    for (row <- 0 until 8; cx <- 0 until 8)
+      assert(g2(row * 8 + cx) === (if (cx < 4) 0 else 255))
+  }
+
+  test("mm3 resize: audio grid is the PCM RMS envelope; silence → zeros, " +
+      "full-scale half → per-mille ≈ 1000") {
+    // first half silence, second half full-scale square wave
+    val n = 1024
+    val samples = Array.tabulate(n)(i =>
+      if (i < n / 2) 0.toShort
+      else if (i % 2 == 0) Short.MaxValue else Short.MinValue)
+    val (k, srcN, _, g) = MultimodalOps.resizeGrid(wavOf(samples), 8, 8)
+    assert(k === 2 && srcN === n && g.length === 64)
+    assert(g.take(32).forall(_ === 0), "silent half must be zero bins")
+    // |Short.MinValue|/32768 = 1.0, |Short.MaxValue|/32768 ≈ 0.99997
+    assert(g.drop(32).forall(v => v >= 999 && v <= 1000),
+      s"square-wave half ${g.drop(32).toSeq}")
+  }
+
+  test("mm3 resize: opaque fallback and empty payloads never throw; " +
+      "digest is partitioning-invariant end-to-end") {
+    val (k0, n0, _, g0) = MultimodalOps.resizeGrid(Array[Byte](0, 0, 0, 0), 8, 8)
+    assert(k0 === 0 && n0 === 4 && g0(0) === 1000 && g0.drop(1).forall(_ === 0))
+    assert(MultimodalOps.resizeGrid(Array.emptyByteArray, 8, 8)._4
+      .forall(_ === 0))
+    val docs = Tables.documents(spark, Sf0001).limit(60)
+    def run(parts: Int) = MultimodalOps.resizeMedia(spark,
+        MultimodalOps.synthesizeMedia(docs).repartition(parts), 8, 8)
+      .select("doc_id", "kind", "src_w", "src_h", "c0", "grid_digest")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val a = run(3); val b = run(11)
+    assert(a === b, "resize output depends on partitioning")
+    assert(a.values.map(_.last).toSet.size > 10, "digests suspiciously uniform")
+  }
+
   for ((dir, tag) <- Seq(("/root/testdata/sf0.01", "sf0.01"),
       ("/root/testdata/sf0.1", "sf0.1")))
     test(s"mm1 features match the frozen fixture at $tag") {
