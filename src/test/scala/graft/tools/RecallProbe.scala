@@ -27,7 +27,8 @@ object RecallProbe {
           "x4" -> ivfTopK(emb, q5, 10,
             nProbe = graft.ext.SimilarityOps.X4Probe),
           "x5" -> sq8TopK(emb, q5, 10),
-          "x8" -> ivfSq8TopK(emb, q5, 10),
+          "x8" -> ivfSq8TopK(emb, q5, 10,
+            nProbe = graft.ext.SimilarityOps.X4Probe),
           "x9" -> pqTopK(emb, q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
