@@ -410,10 +410,14 @@ case class PlaneSignBits(child: Expression, planes: Seq[Seq[Float]])
   * buckets (Lv et al., multi-probe LSH, VLDB'07). Query-side only —
   * extra probes multiply candidate LOOKUPS, never corpus rows or scans.
   *
-  * Probe order is deterministic: margins sort by (|dot|, bit index), the
-  * flip masks enumerate in fixed binary order, and element 0 is always
-  * the primary signature — a row's probe array is a pure function of
-  * (vector, planes, flips).
+  * Probe order is DETERMINISTIC — a row's probe array is a pure function
+  * of (vector, planes, flips): the selection sort scans fixed index
+  * order with strict `<`, the flip masks enumerate in fixed binary
+  * order, and element 0 is always the primary signature. On exactly tied
+  * margins the selected bit set is the sort's stable outcome, NOT
+  * necessarily the lowest bit indices (a swap can displace a tied low
+  * bit past later candidates) — don't re-derive the probe set from a
+  * "lowest index wins" rule elsewhere.
   */
 case class PlaneSignProbes(child: Expression, planes: Seq[Seq[Float]],
     flips: Int) extends UnaryExpression {

@@ -127,8 +127,13 @@ class MaintenanceOpsSpec extends SparkSpec {
     // compaction must have dropped at least one superseded revision
     assert(compacted.count() < full.count(),
       s"compaction dropped nothing: ${compacted.count()} vs ${full.count()}")
-    // after the final compaction (batch 3) the log holds exactly one
-    // revision per key — the |MV| retention bound
+    // after the final compaction the log holds exactly one revision per
+    // key — the |MV| retention bound. COUPLING: this only holds because
+    // the LAST micro-batch is a compacting one — splitStageDir stages 4
+    // chunks (batch ids 0..3) and compactEvery=2 fires at ids 1 and 3;
+    // change either constant and a trailing uncompacted append breaks
+    // this assert (not compaction itself — the MV equality below is the
+    // correctness gate).
     assert(compacted.count() ===
       compacted.select("day", "event_type").distinct().count())
     assert(mv(compacted).collect().toSet === mv(full).collect().toSet,

@@ -76,24 +76,8 @@ class MiningOpsSpec extends SparkSpec {
     // a global Window.orderBy. Seeds now come from Ranks.distributedRank
     // (band-parallel, prefix-sum via triangular self-join), so NO window
     // in the whole executed plan may have an empty partition spec.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.window.WindowExec
-    val df = SparkEntry.queries("km1_kmeans")(spark, Sf001)
-    df.collect()
-    def partitionless(p: SparkPlan): Seq[WindowExec] = {
-      val self = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _ => Nil
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(partitionless)
-    }
-    val bad = partitionless(df.queryExecution.executedPlan)
+    val bad = PlanChecks.partitionlessWindows(
+      SparkEntry.queries("km1_kmeans")(spark, Sf001))
     assert(bad.isEmpty,
       s"partition-less WindowExec in km1 plan:\n${bad.mkString("\n")}")
   }

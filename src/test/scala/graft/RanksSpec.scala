@@ -50,23 +50,7 @@ class RanksSpec extends SparkSpec {
   }
 
   test("distributedRank's own plan holds no partition-less WindowExec") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.window.WindowExec
-    val df = Ranks.distributedRank(frame, "score", "id", "rn")
-    df.collect()
-    def partitionless(p: SparkPlan): Seq[WindowExec] = {
-      val self = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _ => Nil
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(partitionless)
-    }
-    assert(partitionless(df.queryExecution.executedPlan).isEmpty)
+    assert(PlanChecks.partitionlessWindows(
+      Ranks.distributedRank(frame, "score", "id", "rn")).isEmpty)
   }
 }

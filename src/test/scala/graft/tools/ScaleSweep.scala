@@ -27,7 +27,9 @@ object ScaleSweep {
   private val Copies = 10
 
   private def build(s: SparkSession): Unit = {
-    if (new java.io.File(s"$Out/documents.parquet").exists()) return
+    // idempotence guard keys on the LAST-written table, so a build that
+    // died midway re-runs instead of serving a half-built dir forever
+    if (new java.io.File(s"$Out/part.parquet").exists()) return
     new java.io.File(Out).mkdirs()
 
     def shifted(df: DataFrame, idCol: String)(mangle: DataFrame => DataFrame)

@@ -1,9 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.window.WindowExec
-import graft.{SparkEntry, SparkSpec}
+import graft.{PlanChecks, SparkEntry, SparkSpec}
 
 /** One-shot audit: execute every registered query at sf0.001 and report
   * each partition-less WindowExec in the final adaptive plan, with its
@@ -19,24 +16,10 @@ object WindowAudit {
   def main(args: Array[String]): Unit = {
     val s = SparkSpec.session
     val dir = "/root/testdata/sf0.001"
-    def partitionless(p: SparkPlan): Seq[WindowExec] = {
-      val self = p match {
-        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
-        case _ => Nil
-      }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self ++ kids.flatMap(partitionless)
-    }
     var hits = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
-        val df = fn(s, dir)
-        df.collect()
-        val bad = partitionless(df.queryExecution.executedPlan)
+        val bad = PlanChecks.partitionlessWindows(fn(s, dir))
         if (bad.nonEmpty) {
           hits += bad.size
           bad.foreach { w =>
