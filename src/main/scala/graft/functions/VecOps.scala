@@ -464,8 +464,11 @@ case class PlaneSignProbes(child: Expression, planes: Seq[Seq[Float]],
       b += 1
     }
     val f = math.min(math.max(flips, 0), nb)
-    // indices of the f smallest |margins| (partial selection sort; ties
-    // break on the lower bit index — deterministic)
+    // indices of the f smallest |margins| (partial selection sort; on
+    // exactly tied margins the pick is the sort's stable-but-swap-order
+    // outcome — deterministic, but NOT "lowest bit index wins": an
+    // earlier swap can displace a tied low bit past later candidates
+    // (see class scaladoc))
     val idx = Array.tabulate(nb)(identity)
     var s = 0
     while (s < f) {

@@ -34,6 +34,7 @@ object Ranks {
   def distributedRank(df: DataFrame, scoreCol: String, idCol: String,
       rankCol: String, bands: Int = 32,
       tieCols: Seq[String] = Nil): DataFrame = {
+    val orderCols = (scoreCol +: tieCols :+ idCol).map(col)
     // Approximate boundaries: a bounded driver-side fetch (bands-1
     // doubles) — the adaptive size-probe class, not a data collect.
     // relativeError 0.01 keeps the sketch one-pass and tiny; a skewed
@@ -43,7 +44,28 @@ object Ranks {
     val band = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
     }
-    val banded = df.withColumn("_band", band)
+    // Degenerate-spread guard (round-7 verdict): a (near-)constant score
+    // column collapses the quantile boundaries to a handful of values —
+    // in the constant case every row lands in band 0 and the "parallel"
+    // within-band window IS the single-partition global window by the
+    // back door. Score banding can't help (banding must split on score
+    // alone only because ties must share a band — but when everything
+    // ties, nothing splits), so band on the FULL composite order
+    // instead: repartitionByRange over (score, ties, id) makes the
+    // physical partition id an order-contiguous band (equal composite
+    // keys cannot straddle a range boundary, and the rank order IS the
+    // range order), which the offset arithmetic ranks exactly like any
+    // other contiguous banding. The range sampler's boundary choice
+    // varies run-to-run, so the assignment is pinned ONCE with an eager
+    // localCheckpoint — every downstream branch (band counts, offsets,
+    // final join) must see the same banding or offsets go inconsistent.
+    // Only the degenerate path pays the materialization; the quantile
+    // path stays storage-free for the common spread-score case.
+    val banded =
+      if (bounds.length * 4 >= bands - 1) df.withColumn("_band", band)
+      else df.repartitionByRange(bands, orderCols: _*)
+        .withColumn("_band", spark_partition_id())
+        .localCheckpoint(true)
     // tiny frame: one row per band. The prefix sum is a triangular
     // self-join instead of a global-order window — same ≤`bands`² cost,
     // zero partition-less WindowExec anywhere in the caller's plan.
@@ -52,8 +74,7 @@ object Ranks {
       .join(counts.as("_b"), col("_b._band") < col("_a._band"), "left")
       .groupBy(col("_a._band").as("_band"))
       .agg(coalesce(sum(col("_b._bc")), lit(0L)).as("_off"))
-    val wLocal = Window.partitionBy(col("_band"))
-      .orderBy((scoreCol +: tieCols :+ idCol).map(col): _*)
+    val wLocal = Window.partitionBy(col("_band")).orderBy(orderCols: _*)
     banded.join(broadcast(offs), "_band")
       .withColumn(rankCol,
         (row_number().over(wLocal).cast("long") + col("_off")).cast("long"))

@@ -53,4 +53,49 @@ class RanksSpec extends SparkSpec {
     assert(PlanChecks.partitionlessWindows(
       Ranks.distributedRank(frame, "score", "id", "rn")).isEmpty)
   }
+
+  // The round-7 verdict's latent reuse trap: a constant score column
+  // collapses every quantile boundary, so score banding degraded to ONE
+  // band — the single-partition window by the back door. The guard
+  // switches to range-partition banding on the full composite order;
+  // the rank must stay bit-identical to the window form and the plan
+  // must stay window-partition-clean.
+  private def constFrame = (1 to 997).map { i =>
+    ((i * 7919 % 1000).toLong, 5L, (i * 31 % 13).toLong)
+  }.toDF("id", "score", "tie").repartition(7)
+
+  test("constant score column: rank matches the window form") {
+    val got = Ranks.distributedRank(constFrame, "score", "id", "rn")
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = constFrame.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("constant score column: tieCols composite order still exact") {
+    val got = Ranks.distributedRank(constFrame, "score", "id", "rn",
+        tieCols = Seq("tie"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = constFrame.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("tie"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
+  test("constant score column: plan holds no partition-less WindowExec") {
+    assert(PlanChecks.partitionlessWindows(
+      Ranks.distributedRank(constFrame, "score", "id", "rn")).isEmpty)
+  }
+
+  test("constant score engages the range-band guard; spread score does not") {
+    // guard path materializes the banding (eager localCheckpoint), so the
+    // plan reads an ExistingRDD scan instead of the in-line LocalTableScan
+    def usesCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("ExistingRDD")
+    assert(usesCheckpoint(Ranks.distributedRank(constFrame, "score", "id", "rn")),
+      "constant score must take the range-band fallback")
+    assert(!usesCheckpoint(Ranks.distributedRank(frame, "score", "id", "rn")),
+      "spread score must stay on the storage-free quantile path")
+  }
 }
