@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ext.Sampling
 
 /** Bucketing: pre-shuffling at write time so co-located joins skip the
@@ -197,6 +198,26 @@ class BucketingSpec extends SparkSpec {
     val got = Sampling.systematicWeighted(f, "id", "w", 5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got.contains(37L) && !got.contains(101L), got)
+  }
+
+  test("weighted systematic sampling: three-level prefix matches the " +
+      "single-window reference on a many-bucket frame") {
+    import spark.implicits._
+    // 5000 ids at bucketSize=8 → 625 occupied buckets across 79
+    // super-buckets: the rolled-up path with real multi-super fan-in.
+    // Weights include zeros (empty intervals must stay unselected).
+    val f = (1L to 5000L).map(i => (i, i * 2654435761L % 97L))
+      .toDF("id", "w")
+    val tot = f.agg(sum(col("w"))).head().getLong(0)
+    val wAll = Window.partitionBy(lit(0)).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = f.withColumn("cum", sum(col("w")).over(wAll))
+      .filter(expr(s"(cum * 20) div $tot") >
+        expr(s"((cum - w) * 20) div $tot"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = Sampling.systematicWeighted(f, "id", "w", 20, bucketSize = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ref, "three-level prefix diverged from single-window")
   }
 
   test("group split: groups are atomic and the split is layout-independent") {

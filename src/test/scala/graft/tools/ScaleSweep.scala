@@ -17,7 +17,11 @@ import graft.{SparkEntry, SparkSpec, Tables}
   *
   * pr1/pr2 run on an explicitly shifted 10× edge list instead of the dir:
   * their input is DISTINCT (partkey, suppkey) pairs, which key-shifted
-  * fact duplication would collapse right back to sf0.1 size.
+  * fact duplication would collapse right back to sf0.1 size. km1 likewise
+  * gets explicitly shifted part-points (part rides along unscaled in the
+  * dir as a dimension). Round 8 adds the round-7 newcomers: pr2, km1's
+  * banded-rank seeding, e16 with compaction on (events.parquet now ships
+  * in the synthetic dir), and mm3's decode+resize.
   *
   * Usage: `Test/runMain graft.tools.ScaleSweep`
   */
@@ -25,11 +29,21 @@ object ScaleSweep {
   private val Src = "/root/testdata/sf0.1"
   private val Out = "/tmp/graft_sf1"
   private val Copies = 10
+  private val SrcTables =
+    Seq("documents", "embeddings", "lineitem", "part", "events")
 
   private def build(s: SparkSession): Unit = {
-    // idempotence guard keys on the LAST-written table, so a build that
-    // died midway re-runs instead of serving a half-built dir forever
-    if (new java.io.File(s"$Out/part.parquet").exists()) return
+    // Staleness guard: the stamp records the source mtime at build
+    // completion, so both a half-built dir (no stamp — the stamp is the
+    // LAST write) and a dir built from since-regenerated testdata (the
+    // driver rewrites /root/testdata between rounds) trigger a rebuild
+    // instead of silently serving stale ratios.
+    val stamp = new java.io.File(s"$Out/_source_mtime")
+    val cur = graft.util.Landing.sourceMtime(Src, SrcTables).toString
+    if (stamp.exists() && {
+          val src = scala.io.Source.fromFile(stamp)
+          try src.mkString.trim == cur finally src.close()
+        }) return
     new java.io.File(Out).mkdirs()
 
     def shifted(df: DataFrame, idCol: String)(mangle: DataFrame => DataFrame)
@@ -59,8 +73,15 @@ object ScaleSweep {
 
     shifted(Tables.lineitem(s, Src), "l_orderkey")(identity)
       .coalesce(8).write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+    // events: 10× volume over the SAME (day, event_type) key space — the
+    // right MV-maintenance scale-up (e16's state is key-sized, not
+    // volume-sized). ts lands as TimestampType µs; Tables.normalizeTs
+    // accepts it on read.
+    shifted(Tables.events(s, Src), "event_id")(identity)
+      .coalesce(8).write.mode("overwrite").parquet(s"$Out/events.parquet")
     // dimensions ride along unscaled (the realistic fact-only scale-up)
     Tables.part(s, Src).write.mode("overwrite").parquet(s"$Out/part.parquet")
+    java.nio.file.Files.write(stamp.toPath, cur.getBytes("UTF-8"))
     println(s"[scalesweep] built $Out")
   }
 
@@ -74,7 +95,8 @@ object ScaleSweep {
     val s = SparkSpec.session
     build(s)
     val tail = Seq("d10_editdist_neardup", "x7_knn_join", "fm1_assoc_rules",
-      "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh")
+      "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh",
+      "e16_stream_upsert_mv", "mm3_resize")
     for (q <- tail) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
@@ -94,5 +116,29 @@ object ScaleSweep {
     val small = time(graft.mining.MiningOps.pageRank(e0, iters = 3).collect())
     val big = time(graft.mining.MiningOps.pageRank(e10, iters = 3).collect())
     println(f"[scalesweep] pr1_pagerank(10x edges) sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
+    // pr2 on the SAME shifted edges, directed: the dangling-mass path adds
+    // a per-iteration left-anti join + scalar agg that must stay linear
+    val dSmall = time(
+      graft.mining.MiningOps.pageRank(e0, iters = 3, directed = true)
+        .collect())
+    val dBig = time(
+      graft.mining.MiningOps.pageRank(e10, iters = 3, directed = true)
+        .collect())
+    println(f"[scalesweep] pr2_directed(10x edges)  sf0.1 $dSmall%6.1fs  sf1 $dBig%7.1fs  ratio ${dBig / dSmall}%5.1f")
+    // km1 on 10 shifted copies of the part points (part itself rides along
+    // unscaled in $Out as a dimension, so the sweep shifts explicitly —
+    // the round-7 distributed banded-rank seeding is what's under test)
+    val p0 = Tables.part(s, Src).select(col("p_partkey").as("id"),
+        col("p_size").cast("long").as("x"),
+        round(col("p_retailprice") * 100).cast("long").as("y"))
+      .localCheckpoint(true)
+    val pSpan = p0.agg(max(col("id"))).head().getLong(0) + 1L
+    val p10 = (0 until Copies).map(k =>
+        p0.select((col("id") + lit(k * pSpan)).as("id"), col("x"),
+          col("y")))
+      .reduce(_ unionByName _)
+    val kSmall = time(graft.mining.MiningOps.kmeans(p0, iters = 3).collect())
+    val kBig = time(graft.mining.MiningOps.kmeans(p10, iters = 3).collect())
+    println(f"[scalesweep] km1_kmeans(10x points)   sf0.1 $kSmall%6.1fs  sf1 $kBig%7.1fs  ratio ${kBig / kSmall}%5.1f")
   }
 }
