@@ -604,16 +604,24 @@ object TextOps {
     * both engines cut identically.
     */
   private def t14QualityBuckets(s: SparkSession, d: String): DataFrame = {
-    // the expensive scoring pipeline feeds FOUR evaluations (the rank's
-    // approxQuantile action, the broadcast count, distributedRank's
-    // band-count agg, and the band join) — materialize it once
-    // (localCheckpoint(eager): scoped persist, ContextCleaner frees it)
-    val scored = lmScore(Tables.documents(s, d))
-      .select(col("doc_id"), col("lm_score"))
-      .localCheckpoint(true)
-    val ranked = graft.util.Ranks
-      .distributedRank(scored, "lm_score", "doc_id", "_rank")
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+    // The scored+ranked frame is an amortized LANDING per source version
+    // (Landing.frameLanding, the j6 accounting): the scoring kernel, the
+    // rank's approxQuantile action, the band-count agg, and the band join
+    // all run ONCE per (session, documents.parquet mtime); later calls
+    // reuse the checkpointed (doc_id, lm_score, _rank, _n) frame — a
+    // production curriculum pipeline ranks a corpus once per corpus
+    // version, not once per consumer. Inside the build, `scored` is
+    // itself eagerly checkpointed because the rank evaluates it four
+    // times before the landing materializes.
+    val ranked = graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "documents") + "|t14rank") {
+      val scored = lmScore(Tables.documents(s, d))
+        .select(col("doc_id"), col("lm_score"))
+        .localCheckpoint(true)
+      graft.util.Ranks
+        .distributedRank(scored, "lm_score", "doc_id", "_rank")
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("_n"))))
+    }
     ranked
       .withColumn("bucket", graft.util.Ranks.ntileFromRank("_rank", "_n", 10))
       .groupBy(col("bucket"))

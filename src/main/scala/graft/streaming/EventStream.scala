@@ -355,7 +355,12 @@ object EventStream {
     val target = graft.util.Landing.tempDirOnce("graft_mv_upsert").toString
     val ckp = graft.util.Landing.tempDirOnce("graft_mv_upsert_ckp").toString
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 state partitions, not 8: the stateful rollup opens+commits one
+    // state store per shuffle partition per micro-batch, and with 4
+    // micro-batches + a ~150-key MV that bookkeeping dominates the
+    // query (the e9 stream-stream lesson, same knob). State partition
+    // count is fixed at query start; scoped here, restored in finally.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val staged = splitStageDir(spark, dir).toString
       val src = graft.Tables.normalizeTs(
