@@ -67,29 +67,48 @@ object Classifiers {
 
   final case class TrainResult(predictions: DataFrame, auc: Double)
 
+  /** The seeded 70/30 split halves, LANDED once per (session,
+    * prepared-plan, seed) — Landing.frameLanding keyed on the analyzed
+    * plan's semanticHash, so s4, s5, and all five s8 cells (which fit on
+    * the SAME dataset + seed) share one materialized split instead of
+    * each re-splitting + re-checkpointing. History of this spot: plain
+    * cache()+finally-unpersist raced under Experiments.matrix's
+    * concurrent cells (identical cells share ONE CacheManager entry, the
+    * first finisher's unpersist evicted it under the other fits); a
+    * per-call localCheckpoint fixed the race but paid the split +
+    * materialization per cell. The landing keeps the checkpoint's
+    * own-storage-identity fix AND amortizes it: a concurrent
+    * getOrElseUpdate race at worst builds twice and keeps one — both
+    * builds are seeded-identical and nothing ever unpersists.
+    *
+    * Train is coalesced to 8 BEFORE checkpointing: the stroke parity
+    * surface is driver-scale (~5k rows) and every LR/SVC fit iteration
+    * otherwise launches one task per shuffle partition (~160 rows each).
+    * Membership of the seeded split is decided before the coalesce, so
+    * models stay within the golden AUC ranges. The two halves come from
+    * two randomSplit calls with the same seed over the same cached frame
+    * — per-partition seeded sampling makes them exact complements, same
+    * as destructuring one call.
+    */
+  def split7030(prepared: DataFrame, seed: Long): (DataFrame, DataFrame) = {
+    val h = prepared.queryExecution.analyzed.semanticHash()
+    val key = s"stroke_split|$h|$seed"
+    val train = graft.util.Landing.frameLanding(
+      prepared.sparkSession, key + "|train")(
+      prepared.randomSplit(Array(0.7, 0.3), seed)(0).coalesce(8))
+    val test = graft.util.Landing.frameLanding(
+      prepared.sparkSession, key + "|test")(
+      prepared.randomSplit(Array(0.7, 0.3), seed)(1))
+    (train, test)
+  }
+
   /** 70/30 split path (stroke_predict.py:148-173): fit on train, score
     * test, AUC from rawPrediction.
     */
   def trainEval(name: String, prepared: DataFrame,
       labelCol: String = "stroke", seed: Long = 42L): TrainResult = {
-    val Array(train, test) = prepared.randomSplit(Array(0.7, 0.3), seed)
-    // LR/LinearSVC run up to 100 treeAggregate passes over `train`;
-    // materialize it once per call via an eager localCheckpoint. Plain
-    // cache()+finally-unpersist raced under Experiments.matrix's
-    // concurrent cells: identical (dataset, seed) cells share ONE
-    // CacheManager entry (dedup by canonicalized plan), so the first
-    // finisher's unpersist evicted it under the other fits — results
-    // stayed correct (seeded recompute) but the caching silently
-    // vanished. The checkpoint has its own storage identity per call and
-    // its blocks are freed by the ContextCleaner once the frame is GC'd.
-    //
-    // Coalesce first: the stroke parity surface is inherently
-    // driver-scale data (~5k rows), and every fit iteration otherwise
-    // launches one task per shuffle partition (~160 rows each) — task
-    // overhead, not compute. Membership of the seeded split is decided
-    // BEFORE the coalesce, so models stay within the golden AUC ranges.
-    val model = estimator(name, labelCol)
-      .fit(train.coalesce(8).localCheckpoint())
+    val (train, test) = split7030(prepared, seed)
+    val model = estimator(name, labelCol).fit(train)
     val pred = model.asInstanceOf[Model[_]].transform(test)
     TrainResult(pred, evaluator(labelCol).evaluate(pred))
   }
