@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Classifiers
+import graft.pipeline.StrokePipeline
+import graft.util.Landing
+
+/** Pins util.Landing.frameLanding (the amortized derived-frame landing
+  * behind t14's ranked frame, km1's points/seeds, and the model split)
+  * and the split7030 contract the s4/s5/s8 goldens depend on: the two
+  * landed halves must be an exact, disjoint partition of the prepared
+  * frame — identical to destructuring one randomSplit call.
+  */
+class LandingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frameLanding: same key returns the SAME materialized frame, " +
+      "different key rebuilds") {
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a"), (2L, "b")).toDF("k", "v") }
+    val a = Landing.frameLanding(spark, "landing-spec-key-1")(build)
+    val b = Landing.frameLanding(spark, "landing-spec-key-1")(build)
+    assert(builds === 1, "second call must hit the memo")
+    assert(a eq b, "memo must return the same frame instance")
+    Landing.frameLanding(spark, "landing-spec-key-2")(build)
+    assert(builds === 2, "a new key must rebuild")
+    // the landed frame is materialized (checkpointed): its plan no longer
+    // contains the original local relation but a checkpoint scan
+    assert(a.queryExecution.analyzed.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "landing must be an eager localCheckpoint (LogicalRDD leaf)")
+  }
+
+  test("split7030: halves are an exact disjoint partition of prepared, " +
+      "identical to one destructured randomSplit call") {
+    val prepared = StrokePipeline.prepare(spark, StrokePipeline.RawCsv)
+    val (train, test) = Classifiers.split7030(prepared, 42L)
+    val (train2, test2) = Classifiers.split7030(prepared, 42L)
+    assert(train eq train2, "split must be landed, not re-derived")
+    assert(test eq test2)
+    val nTrain = train.count(); val nTest = test.count()
+    assert(nTrain + nTest === prepared.count(),
+      "halves must partition the input")
+    // membership as row MULTISETS (the cleaned frame has no id column
+    // and rows can repeat): train ⊎ test must equal prepared exactly
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.collect().toSeq.groupBy(_.toString).view.mapValues(_.size).toMap
+    val tr = multiset(train); val te = multiset(test)
+    val both = (tr.keySet ++ te.keySet).map(k =>
+      k -> (tr.getOrElse(k, 0) + te.getOrElse(k, 0))).toMap
+    assert(both === multiset(prepared),
+      "halves must be an exact multiset partition of the input")
+    // and the landed train must equal the classic destructured split —
+    // the exact frame the golden AUCs were pinned on
+    val Array(wantTrain, _) = prepared.randomSplit(Array(0.7, 0.3), 42L)
+    assert(tr === multiset(wantTrain),
+      "landed train diverged from Array-destructured randomSplit")
+  }
+}
