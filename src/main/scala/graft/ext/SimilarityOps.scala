@@ -151,7 +151,7 @@ object SimilarityOps {
     * 0.20-0.38 single-probe → ≥0.6 multi-probe on the unclustered
     * synthetic corpus, which is what lets the driver gate's floor bite).
     */
-  private[graft] val X2ProbeFlips = 2
+  private[graft] val X2ProbeFlips = 3
 
   private[graft] def x2LshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
