@@ -36,7 +36,8 @@ class AnnFixtureSpec extends SparkSpec {
     "x4" -> (ext.SimilarityOps.x4IvfTopK _),
     "x5" -> (ext.SimilarityOps.x5Sq8TopK _),
     "x7" -> (ext.SimilarityOps.x7KnnJoin _),
-    "x8" -> (ext.SimilarityOps.x8IvfSq8TopK _))
+    "x8" -> (ext.SimilarityOps.x8IvfSq8TopK _),
+    "x9" -> (ext.SimilarityOps.x9PqTopK _))
 
   for ((short, build) <- builders;
       (dir, tag) <- Seq(Sf001 -> "sf0.01", Sf01 -> "sf0.1")) {
