@@ -49,14 +49,22 @@ object MiningOps {
     * rounded to 6.
     */
   def associationRules(baskets: DataFrame, idCol: String, itemCol: String,
-      minSupPct: Int = 1): DataFrame = {
+      minSupPct: Int = 1,
+      landKey: Option[(SparkSession, String)] = None): DataFrame = {
     require(minSupPct >= 1 && minSupPct <= 100, "minSupPct in [1,100]")
     // materialize the deduped basket table ONCE: it feeds the total, the
     // item supports, and both sides of the pair self-join — without this
     // the dim-join + distinct runs four times (localCheckpoint(eager) is
-    // the scoped-persist idiom; ContextCleaner frees the blocks)
-    val b = baskets.select(col(idCol).as("bid"), col(itemCol).as("item"))
-      .distinct().localCheckpoint(true)
+    // the scoped-persist idiom; ContextCleaner frees the blocks). With
+    // landKey the basket table additionally lands once per source
+    // version (Landing.frameLanding): baskets are source-derived state,
+    // the same accounting as pr1's graph landing.
+    val bDistinct = baskets
+      .select(col(idCol).as("bid"), col(itemCol).as("item")).distinct()
+    val b = landKey match {
+      case Some((s, key)) => graft.util.Landing.frameLanding(s, key)(bDistinct)
+      case None => bDistinct.localCheckpoint(true)
+    }
     val nB = b.select(countDistinct(col("bid")).as("n_baskets"))
     val items = b.groupBy(col("item")).agg(count(lit(1)).as("item_cnt"))
     val pairs = b.as("l").join(b.as("r"),
@@ -94,7 +102,8 @@ object MiningOps {
     val baskets = li.join(broadcast(pt),
         li("l_partkey") === pt("p_partkey"))
       .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
-    associationRules(baskets, "bid", "item", minSupPct = 1)
+    associationRules(baskets, "bid", "item", minSupPct = 1, landKey =
+      Some((s, graft.util.Landing.mtimeKey(d, "lineitem") + "|fm1_baskets")))
   }
 
   private val fm1Sql =
