@@ -34,14 +34,17 @@ object EventStream {
       StructField("props", StringType)))
   }
 
-  // One staged directory per source dir, deleted on JVM exit — repeated
-  // readStream calls in one session (Verify runs the stream query, suites
-  // share a session) must not leak a /tmp dir per call.
+  // One staged directory per source VERSION (dir + events.parquet
+  // mtime — the Landing staleness discipline), deleted on JVM exit —
+  // repeated readStream calls in one session (Verify runs the stream
+  // query, suites share a session) must not leak a /tmp dir per call,
+  // and a source rewritten mid-JVM (ScaleSweep's synthetic dir rebuild)
+  // must re-stage instead of replaying stale chunks.
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   private def stageDir(dir: String): java.nio.file.Path =
-    stagedDirs.getOrElseUpdate(dir, {
+    stagedDirs.getOrElseUpdate(graft.util.Landing.mtimeKey(dir, "events"), {
       val staged = java.nio.file.Files.createTempDirectory("graft_events_stream")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -69,7 +72,8 @@ object EventStream {
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   private def dupStageDir(dir: String): java.nio.file.Path =
-    dupStagedDirs.getOrElseUpdate(dir, {
+    dupStagedDirs.getOrElseUpdate(
+      graft.util.Landing.mtimeKey(dir, "events"), {
       val staged = java.nio.file.Files.createTempDirectory("graft_events_dup")
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       java.nio.file.Files.copy(src, staged.resolve("events.parquet"))
@@ -300,7 +304,8 @@ object EventStream {
 
   private def splitStageDir(spark: SparkSession, dir: String)
       : java.nio.file.Path =
-    splitStagedDirs.getOrElseUpdate(dir, {
+    splitStagedDirs.getOrElseUpdate(
+      graft.util.Landing.mtimeKey(dir, "events"), {
       import java.nio.file.{Files, Paths}
       val staged = Files.createTempDirectory("graft_events_split")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
