@@ -146,10 +146,11 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** x2's registered shape: 4 bits × 2 tables, multi-probe over the 2
-    * lowest-|margin| bits (4 lookups per query-table — measured recall
-    * 0.20-0.38 single-probe → ≥0.6 multi-probe on the unclustered
-    * synthetic corpus, which is what lets the driver gate's floor bite).
+  /** x2's registered shape: 4 bits × 2 tables, multi-probe over the 3
+    * lowest-|margin| bits (8 lookups per query-table — measured recall
+    * 0.20-0.38 single-probe → 0.88/0.90 aggregate on the unclustered
+    * synthetic corpus, which is what lets the driver gate's floor bite
+    * with room for per-regen drift).
     */
   private[graft] val X2ProbeFlips = 3
 
@@ -248,12 +249,12 @@ object SimilarityOps {
   // slack for the recall drift each driver testdata regeneration brings
   // (2026-08-14 regen moved several aggregates by ~0.05 without any code
   // change — floors must survive a regen, not just today's corpus):
-  // x2 measured 0.68/0.60 aggregate with 2-bit multi-probe (was
-  // 0.20-0.38 single-probe — the round-6 "gate only catches collapse"
-  // weakness; the 0.50 floor now trips on a partial regression too),
-  // x4/x8 0.62-0.64 at nProbe=6 (floor 0.40), x5 1.0 (floor 0.90),
-  // x9 0.90/0.68 (floor 0.55 — was 0.40 from before the probe work;
-  // a PQ/ADC regression lands ≤0.2, drift observed ≲0.1), x7 0.84-0.86.
+  // x2 measured 0.88/0.90 aggregate at 3-flip multi-probe (0.20-0.38
+  // single-probe, 0.68/0.60 at 2 flips — the 0.50 floor trips on a
+  // partial regression, not just collapse), x4/x8 0.62-0.64 at nProbe=6
+  // (floor 0.40), x5 1.0 (floor 0.90), x9 1.0/0.82 at expand=32 (floor
+  // 0.55 — a PQ/ADC regression lands ≤0.2, drift observed ≲0.1),
+  // x7 0.84-0.86 (floor 0.60).
   private def x2Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.50)((emb, q5) =>
       lshTopK(emb, q5, 10, bits = 4, probeFlips = X2ProbeFlips))

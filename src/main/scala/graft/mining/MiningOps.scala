@@ -102,8 +102,12 @@ object MiningOps {
     val baskets = li.join(broadcast(pt),
         li("l_partkey") === pt("p_partkey"))
       .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+    // key on BOTH source tables (Landing.sourceMtime, the multi-table
+    // landing discipline): baskets = lineitem ⋈ part, so a part-only
+    // rewrite must re-land too
     associationRules(baskets, "bid", "item", minSupPct = 1, landKey =
-      Some((s, graft.util.Landing.mtimeKey(d, "lineitem") + "|fm1_baskets")))
+      Some((s, s"$d|fm1_baskets|" +
+        graft.util.Landing.sourceMtime(d, Seq("lineitem", "part")))))
   }
 
   private val fm1Sql =
@@ -371,8 +375,15 @@ object MiningOps {
       case None => build.localCheckpoint(true)
     }
     val e0 = edges.select(col("src"), col("dst"))
-    val e = land("e")(if (directed) e0 else e0.unionByName(
+    // e is consumed only while BUILDING deg/eDeg/nodes, never by the
+    // iterations — so it is NOT landed (round-8 review: landing it would
+    // session-pin a second full copy of the edge list next to eDeg).
+    // Landed path: lazy checkpoint — materializes once on a cold build,
+    // costs nothing on a warm memo-hit call, blocks GC-freed after.
+    // Unlanded path: eager, the original scoped-persist behavior.
+    val e = (if (directed) e0 else e0.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .localCheckpoint(landKey.isEmpty)
     val deg = land("deg")(
       e.groupBy(col("src")).agg(count(lit(1)).as("d")))
     // Degree-annotated edges: folding d onto each edge row up front

@@ -92,7 +92,19 @@ object Classifiers {
     */
   def split7030(prepared: DataFrame, seed: Long): (DataFrame, DataFrame) = {
     val h = prepared.queryExecution.analyzed.semanticHash()
-    val key = s"stroke_split|$h|$seed"
+    // the plan hash identifies the SOURCE IDENTITY but not its version —
+    // fold in the max mtime of the plan's file relations (the Landing
+    // staleness discipline) so an in-place CSV rewrite re-lands the split
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val srcMtime = prepared.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths
+          .map(p => new java.io.File(p.toUri).lastModified())
+          .foldLeft(0L)(math.max)
+        case _ => 0L
+      }
+    }.foldLeft(0L)(math.max)
+    val key = s"stroke_split|$h|$srcMtime|$seed"
     val train = graft.util.Landing.frameLanding(
       prepared.sparkSession, key + "|train")(
       prepared.randomSplit(Array(0.7, 0.3), seed)(0).coalesce(8))

@@ -61,8 +61,14 @@ object Ranks {
     // final join) must see the same banding or offsets go inconsistent.
     // Only the degenerate path pays the materialization; the quantile
     // path stays storage-free for the common spread-score case.
+    // The quantile path additionally requires ≥2 distinct boundaries:
+    // with a single boundary b, a constant score column (score == b
+    // everywhere) puts EVERY row in band 0 — for small `bands` (≤5) the
+    // ×4 collapse heuristic alone would still accept that and reopen
+    // the single-partition-window cliff (round-8 review).
     val banded =
-      if (bounds.length * 4 >= bands - 1) df.withColumn("_band", band)
+      if (bounds.length >= 2 && bounds.length * 4 >= bands - 1)
+        df.withColumn("_band", band)
       else df.repartitionByRange(bands, orderCols: _*)
         .withColumn("_band", spark_partition_id())
         .localCheckpoint(true)

@@ -98,4 +98,21 @@ class RanksSpec extends SparkSpec {
     assert(!usesCheckpoint(Ranks.distributedRank(frame, "score", "id", "rn")),
       "spread score must stay on the storage-free quantile path")
   }
+
+  test("small bands + constant score: guard engages (the ×4 heuristic " +
+      "alone would pass 1 boundary at bands ≤ 5) and the rank is exact") {
+    val ranked = Ranks.distributedRank(constFrame, "score", "id", "rn",
+      bands = 4)
+    // a structurally partitioned window over ONE band value is the bug —
+    // assert the guard actually took the materialized range-band path
+    assert(ranked.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "bands=4 constant score must take the range-band fallback")
+    assert(PlanChecks.partitionlessWindows(ranked).isEmpty)
+    val got = ranked.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = constFrame.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
