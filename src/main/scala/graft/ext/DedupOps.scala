@@ -444,9 +444,20 @@ object DedupOps {
       .filter(col("jaccard") >= minJ)
   }
 
+  /** The (w=3, minJ=0.5) candidate-pair frame d4 AND d7 both consume,
+    * landed once per documents version (Landing.frameLanding): the pair
+    * index is source-derived dedup state — production computes it once
+    * per corpus version and both the pair report and the cluster
+    * resolution read the landing. Small by construction (pairs above the
+    * Jaccard threshold).
+    */
+  private def landedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "documents") + "|jacc_pairs_3_05")(
+      jaccardPairs(Tables.documents(s, d), 3, 0.5))
+
   private def d4Jaccard(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(Tables.documents(s, d), 3, 0.5)
-      .orderBy(col("id_a"), col("id_b"))
+    landedJaccardPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   // ---- D8: incremental dedup (re-ingest against an existing corpus) ------
   /** Keep only batch documents whose content digest is NOT already in the
@@ -764,7 +775,7 @@ object DedupOps {
     * cluster's smallest doc_id, n_docs ≥ 2).
     */
   private def d7DupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(jaccardPairs(Tables.documents(s, d), 3, 0.5))
+    connectedComponents(landedJaccardPairs(s, d))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"))
       .select(col("label").as("cluster_id"), col("n_docs"))
