@@ -251,15 +251,15 @@ object SimilarityOps {
   // change — floors must survive a regen, not just today's corpus):
   // x2 measured 0.88/0.90 aggregate at 3-flip multi-probe (0.20-0.38
   // single-probe, 0.68/0.60 at 2 flips — the 0.50 floor trips on a
-  // partial regression, not just collapse), x4/x8 0.62-0.64 at nProbe=6
-  // (floor 0.40), x5 1.0 (floor 0.90), x9 1.0/0.82 at expand=32 (floor
-  // 0.55 — a PQ/ADC regression lands ≤0.2, drift observed ≲0.1),
-  // x7 0.84-0.86 (floor 0.60).
+  // partial regression, not just collapse), x4/x8 0.88/0.78 at nProbe=8
+  // (0.62-0.64 at 6; floor 0.55), x5 1.0 (floor 0.90), x9 1.0/0.82 at
+  // expand=32 (floor 0.55 — a PQ/ADC regression lands ≤0.2, drift
+  // observed ≲0.1), x7 0.84-0.86 (floor 0.60).
   private def x2Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.50)((emb, q5) =>
       lshTopK(emb, q5, 10, bits = 4, probeFlips = X2ProbeFlips))
   private def x4Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.40)((emb, q5) =>
+    fiveProbeGate(s, d, 0.55)((emb, q5) =>
       ivfTopK(emb, q5, 10, nProbe = X4Probe))
   private def x5Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.90)((emb, q5) => sq8TopK(emb, q5, 10))
@@ -706,13 +706,16 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** x4's registered shape probes 6 of 16 cells (the nProbe/nCells
+  /** x4's registered shape probes 8 of 16 cells (the nProbe/nCells
     * fraction is IVF's recall knob at fixed index cost — the same lever
     * multi-probe is for x2): measured aggregate recall 0.46-0.50 at
-    * nProbe=4 → 0.62-0.64 at 6, so the driver-gate floor bites at 0.40
-    * instead of only catching collapse at 0.25.
+    * nProbe=4 → 0.62-0.64 at 6 → see the floors block for 8, so the
+    * driver-gate floor bites at 0.40 with regen-drift margin instead of
+    * only catching collapse. At production cell counts (√n cells for
+    * 10⁹+ corpora) the probed FRACTION shrinks with n while the probe
+    * count stays fixed — the demo-scale 8/16 is not the scale posture.
     */
-  private[graft] val X4Probe = 6
+  private[graft] val X4Probe = 8
 
   private[graft] def x4IvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -865,14 +868,14 @@ object SimilarityOps {
     val emb = Tables.embeddings(s, d)
     // same 6/16 probe depth as x4: the composed path's recall ceiling is
     // the IVF routing (SQ8 scoring error is sub-1%), so the same knob
-    // lifts it identically and the same 0.40 floor bites
+    // lifts it identically and the same 0.55 floor bites
     ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10, nProbe = X4Probe)
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   private def x8Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.40)((emb, q5) =>
+    fiveProbeGate(s, d, 0.55)((emb, q5) =>
       ivfSq8TopK(emb, q5, 10, nProbe = X4Probe))
 
   // ---- X9: product-quantized top-k (ADC) ---------------------------------
