@@ -251,16 +251,19 @@ object SimilarityOps {
   // change — floors must survive a regen, not just today's corpus):
   // x2 measured 0.88/0.90 aggregate at 3-flip multi-probe (0.20-0.38
   // single-probe, 0.68/0.60 at 2 flips — the 0.50 floor trips on a
-  // partial regression, not just collapse), x4/x8 0.88/0.78 at nProbe=8
-  // (0.62-0.64 at 6; floor 0.55), x5 1.0 (floor 0.90), x9 1.0/0.82 at
-  // expand=32 (floor 0.55 — a PQ/ADC regression lands ≤0.2, drift
-  // observed ≲0.1), x7 0.84-0.86 (floor 0.60).
+  // partial regression, not just collapse), x4/x8 0.50/0.62 at the
+  // round-10 AUTO geometry (≤25% of the corpus scanned — 5/23 cells at
+  // sf0.01, 11/45 at sf0.1; the old fixed 8-of-16 probe scanned HALF the
+  // corpus for 0.88/0.78 — recall bought by not pruning is not an index;
+  // floor 0.37 = 0.50 − 0.13 regen slack), x5 1.0 (floor 0.90), x9
+  // 1.0/0.82 at expand=32 (floor 0.55 — a PQ/ADC regression lands ≤0.2,
+  // drift observed ≲0.1), x7 0.84-0.86 (floor 0.60).
   private def x2Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.50)((emb, q5) =>
       lshTopK(emb, q5, 10, bits = 4, probeFlips = X2ProbeFlips))
   private def x4Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.55)((emb, q5) =>
-      ivfTopK(emb, q5, 10, nProbe = X4Probe))
+    fiveProbeGate(s, d, 0.37)((emb, q5) =>
+      ivfTopK(emb, q5, 10))
   private def x5Gate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, 0.90)((emb, q5) => sq8TopK(emb, q5, 10))
 
@@ -647,6 +650,38 @@ object SimilarityOps {
     * those cells. The scale path when the LSH bucket distribution is too
     * coarse: cells ≈ sqrt(n), probe cost ≈ nProbe/cells of the corpus.
     */
+
+  /** Auto-derived IVF geometry (the x7 auto-bits idiom): `nCells ≤ 0` ⇒
+    * `clamp(⌈√n⌉, 16, 1024)` from one metadata-cheap corpus count, so the
+    * cell count GROWS with the corpus instead of freezing the pruning
+    * fraction at a demo-scale constant; `nProbe ≤ 0` ⇒
+    * `clamp(cells/4, 2, 16)`, so the probed fraction is ≤ 25% at every
+    * size and SHRINKS once the probe cap bites (cells = 64 at n ≈ 4k):
+    * n = 10⁶ probes 16/1000 = 1.6% of the corpus; past the cell cap
+    * (n ≥ ~10⁶) the fraction floors at 16/1024 ≈ 1.6%. The 1024-cell cap
+    * is the bounded-driver-Lloyd budget (5 rounds × 16k sample × 1024
+    * cells × 64 dims ≈ 5·10⁹ scalar ops, a one-time few seconds); a
+    * 10⁹-vector production fit would swap in a distributed/hierarchical
+    * coarse quantizer behind the same cell contract (docs/SCALING.md).
+    */
+  private[graft] def ivfGeometry(n: Long, nCells: Int, nProbe: Int): (Int, Int) = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.min(1024, math.max(16,
+        math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
+    val probe =
+      if (nProbe > 0) nProbe
+      else math.min(16, math.max(2, cells / 4))
+    (cells, probe)
+  }
+
+  /** Lloyd needs ≥ ~16 sample points per cell to place centroids; the cap
+    * bounds the driver fit (16k × 64 floats ≈ 4 MB).
+    */
+  private def ivfFitSample(fitSample: Int, cells: Int): Int =
+    if (fitSample > 0) fitSample
+    else math.min(16384, math.max(4096, cells * 16))
+
   /** Coarse-quantizer training sample: bounded hash-ordered TakeOrdered
     * pass, unit-normalized on the driver, zero-norm rows dropped — no
     * MLlib KMeans, which caches the full corpus, costs a dozen scheduler
@@ -666,14 +701,16 @@ object SimilarityOps {
       }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0, fitSample: Int = 0): DataFrame = {
     val s = corpus.sparkSession
+    val (cells, probe) = ivfGeometry(
+      if (nCells > 0 && nProbe > 0) 0L else corpus.count(), nCells, nProbe)
     // Direction cells suit the cosine metric, and argmax-dot assignment
     // is scale-invariant, so raw embeddings need no normalize pass.
-    val sampleUnit = unitSample(corpus, fitSample)
+    val sampleUnit = unitSample(corpus, ivfFitSample(fitSample, cells))
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
-      math.min(nCells, sampleUnit.length), 5)
+      math.min(cells, sampleUnit.length), 5)
     // argmax dot is scale-invariant, so assignment runs on the raw
     // embedding (single struct use — getField directly)
     val assigned = corpus
@@ -694,7 +731,7 @@ object SimilarityOps {
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"),
         (-VecOps.fdot(s, col("q_emb"), col("centroid"))).as("cdist"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
+      .filter(col("pr") <= probe)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
 
     val scored = assigned.join(broadcast(probes), "cell")
@@ -706,20 +743,17 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** x4's registered shape probes 8 of 16 cells (the nProbe/nCells
-    * fraction is IVF's recall knob at fixed index cost — the same lever
-    * multi-probe is for x2): measured aggregate recall 0.46-0.50 at
-    * nProbe=4 → 0.62-0.64 at 6 → see the floors block for 8, so the
-    * driver-gate floor bites at 0.40 with regen-drift margin instead of
-    * only catching collapse. At production cell counts (√n cells for
-    * 10⁹+ corpora) the probed FRACTION shrinks with n while the probe
-    * count stays fixed — the demo-scale 8/16 is not the scale posture.
+  /** x4's registered shape runs the AUTO geometry ([[ivfGeometry]]) —
+    * round-10 replacement for the fixed 8-of-16 probe (which scanned
+    * half the corpus at every scale): 23 cells / 5 probes at sf0.01
+    * (500 vectors, 21.7% scanned), 45 / 11 at sf0.1 (2000 vectors,
+    * 24.4%). The nProbe/nCells fraction is IVF's recall knob at fixed
+    * index cost (the lever multi-probe is for x2); measured recall at
+    * these fractions is in the floors block above [[x2Gate]].
     */
-  private[graft] val X4Probe = 8
-
   private[graft] def x4IvfTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ivfTopK(emb, emb.filter(col("vec_id") < 5), 10, nProbe = X4Probe)
+    ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
@@ -805,13 +839,15 @@ object SimilarityOps {
     * so the corpus never shuffles in either phase.
     */
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, expand: Int = 4,
-      fitSample: Int = 4096): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0, expand: Int = 4,
+      fitSample: Int = 0): DataFrame = {
     val s = corpus.sparkSession
-    val sampleUnit = unitSample(corpus, fitSample)
+    val (cells, probe) = ivfGeometry(
+      if (nCells > 0 && nProbe > 0) 0L else corpus.count(), nCells, nProbe)
+    val sampleUnit = unitSample(corpus, ivfFitSample(fitSample, cells))
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
-      math.min(nCells, sampleUnit.length), 5)
+      math.min(cells, sampleUnit.length), 5)
     val qp = VecOps.qparams8(s, col("embedding"))
     val assigned = corpus.select(col("vec_id").as("c_id"),
       VecOps.fnorm(s, col("embedding")).as("c_norm"),
@@ -836,7 +872,7 @@ object SimilarityOps {
         col("cell"),
         (-VecOps.fdot(s, col("q_emb"), col("centroid"))).as("cdist"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
+      .filter(col("pr") <= probe)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("q_sum"),
         col("cell"))
     val approx = assigned.join(broadcast(probes), "cell")
@@ -866,17 +902,17 @@ object SimilarityOps {
 
   private[graft] def x8IvfSq8TopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    // same 6/16 probe depth as x4: the composed path's recall ceiling is
+    // same AUTO geometry as x4: the composed path's recall ceiling is
     // the IVF routing (SQ8 scoring error is sub-1%), so the same knob
-    // lifts it identically and the same 0.55 floor bites
-    ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10, nProbe = X4Probe)
+    // moves it identically and the same 0.37 floor bites
+    ivfSq8TopK(emb, emb.filter(col("vec_id") < 5), 10)
       .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
       .orderBy(col("q_id"), col("rank"))
   }
 
   private def x8Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.55)((emb, q5) =>
-      ivfSq8TopK(emb, q5, 10, nProbe = X4Probe))
+    fiveProbeGate(s, d, 0.37)((emb, q5) =>
+      ivfSq8TopK(emb, q5, 10))
 
   // ---- X9: product-quantized top-k (ADC) ---------------------------------
   /** The memory-floor ANN path: the corpus rides as m PQ code bytes per

@@ -67,6 +67,21 @@ object Classifiers {
 
   final case class TrainResult(predictions: DataFrame, auc: Double)
 
+  /** Local mtime of a relation root for the split-staleness key.
+    * Only `file:`/scheme-less paths have one; hdfs/s3 roots degrade to 0
+    * (stable key, no re-land on version — the documented tradeoff)
+    * instead of throwing — `new File(URI)` rejects any non-file absolute
+    * URI with IllegalArgumentException (round-9 ADVICE item 4).
+    */
+  private[graft] def rootPathMtime(p: org.apache.hadoop.fs.Path): Long = {
+    val u = p.toUri
+    u.getScheme match {
+      case null   => new java.io.File(u.getPath).lastModified()
+      case "file" => new java.io.File(u).lastModified()
+      case _      => 0L
+    }
+  }
+
   /** The seeded 70/30 split halves, LANDED once per (session,
     * prepared-plan, seed) — Landing.frameLanding keyed on the analyzed
     * plan's semanticHash, so s4, s5, and all five s8 cells (which fit on
@@ -99,8 +114,7 @@ object Classifiers {
     val srcMtime = prepared.queryExecution.analyzed.collect {
       case l: LogicalRelation => l.relation match {
         case f: HadoopFsRelation => f.location.rootPaths
-          .map(p => new java.io.File(p.toUri).lastModified())
-          .foldLeft(0L)(math.max)
+          .map(rootPathMtime).foldLeft(0L)(math.max)
         case _ => 0L
       }
     }.foldLeft(0L)(math.max)

@@ -19,14 +19,21 @@ object Experiments {
 
   def run(spark: SparkSession, classifier: String, csvPath: String,
       cv: Boolean): Result = {
+    val t0 = System.nanoTime()
     val prepared = StrokePipeline.prepare(spark, csvPath)
     val res =
       if (cv) Classifiers.cvTrainEval(classifier, prepared)
       else Classifiers.trainEval(classifier, prepared)
     val dataset =
       if (csvPath == StrokePipeline.RawCsv) "unbalanced" else "balanced"
-    Result(classifier, dataset, if (cv) "cv5_grid" else "split70_30",
+    val out = Result(classifier, dataset,
+      if (cv) "cv5_grid" else "split70_30",
       res.auc, ClassificationReport.accuracy(res.predictions, "stroke"))
+    // per-cell wall attribution: the matrix wall is max(cell), so one
+    // line per cell is what a bench forensics run needs (round-9 list #4)
+    println(f"[experiments] $classifier/$dataset/cv=$cv: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    out
   }
 
   /** The matrix cells are independent seeded experiments — submit them as
@@ -41,9 +48,13 @@ object Experiments {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    // Materialize each dataset's prepared frame once, before fan-out, so
-    // concurrent cells never race the pipeline fit.
-    datasets.foreach(d => StrokePipeline.prepare(spark, d).count())
+    // Land each dataset's prepared frame AND its 70/30 split once,
+    // before fan-out: split7030's frameLanding materializes the cached
+    // prepared frame as a side effect (the old separate count() action),
+    // and pre-landing removes the concurrent-cell getOrElseUpdate race
+    // that could checkpoint the split twice (seed 42 = trainEval's).
+    datasets.foreach(d =>
+      Classifiers.split7030(StrokePipeline.prepare(spark, d), 42L))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val cells = for { c <- classifiers; d <- datasets; cv <- modes } yield (c, d, cv)

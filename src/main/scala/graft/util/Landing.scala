@@ -47,18 +47,59 @@ object Landing {
     * sessions are dropped on every access (the StrokePipeline.prepare
     * discipline) so a long-lived JVM never pins frames of dead contexts.
     * Intended for SMALL derived frames (ranked ids, seed rows): the memo
-    * reference keeps the checkpoint blocks alive for the session's life.
+    * reference keeps the checkpoint blocks alive for the session's life —
+    * two round-10 guards enforce that contract instead of trusting it:
+    *  1. SIZE: the landed frame is probed with the adaptive
+    *     `limit(cap+1).count()` idiom (cheap — it scans the already-
+    *     checkpointed blocks and stops at cap+1 rows). Past
+    *     [[FrameRowCap]] the frame is returned eagerly checkpointed but
+    *     NOT memoized, so an oversized landing lives only as long as its
+    *     caller holds it (ContextCleaner frees the blocks on GC) instead
+    *     of for the session's life. Every registered landing at bench
+    *     scale sits far under the cap; a 10×+ sweep corpus falls back to
+    *     per-run checkpointing — correct, just un-amortized.
+    *  2. VERSION EVICTION: keys embed source mtimes, so a mid-JVM source
+    *     regen lands under a NEW key while the superseded entry's blocks
+    *     stayed pinned (round-9 verdict). On insert, entries whose key
+    *     differs ONLY in numeric segments (mtimes, seeds — the version
+    *     axes) are dropped; the structural segments (path, table, op
+    *     tag) are the entry's FAMILY and at most one version per family
+    *     stays memoized.
     */
   private val frames =
     TrieMap.empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
+
+  /** Memo cap: bench-scale derived frames are ≤ ~600k rows (pr1's
+    * degree-annotated edges at sf0.1); the cap bounds the pinned bytes,
+    * not correctness.
+    */
+  private[graft] val FrameRowCap = 2000000L
+
+  /** Version-insensitive key: `|`-delimited numeric segments (mtimes,
+    * seeds, plan hashes) dropped, structure kept.
+    */
+  private[graft] def frameFamily(key: String): String =
+    key.split('|').filterNot(seg =>
+      seg.nonEmpty && seg.forall(c => c.isDigit || c == '-')).mkString("|")
 
   def frameLanding(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     frames.keySet.filter(_._1.sparkContext.isStopped)
       .foreach(frames.remove)
-    frames.getOrElseUpdate((spark, key), build.localCheckpoint(true))
+    frames.get((spark, key)).getOrElse {
+      val landed = build.localCheckpoint(true)
+      if (landed.limit((FrameRowCap + 1).toInt).count() > FrameRowCap) landed
+      else {
+        val fam = frameFamily(key)
+        frames.keySet
+          .filter(k => (k._1 eq spark) && k._2 != key &&
+            frameFamily(k._2) == fam)
+          .foreach(frames.remove)
+        frames.getOrElseUpdate((spark, key), landed)
+      }
+    }
   }
 
   /** Latest mtime across a source dir's files (multi-table landings). */

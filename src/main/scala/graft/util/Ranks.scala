@@ -39,8 +39,12 @@ object Ranks {
     // doubles) — the adaptive size-probe class, not a data collect.
     // relativeError 0.01 keeps the sketch one-pass and tiny; a skewed
     // boundary only unbalances band sizes, the ranks stay exact.
-    val qs = (1 until bands).map(_.toDouble / bands).toArray
-    val bounds = df.stat.approxQuantile(scoreCol, qs, 0.01).distinct.sorted
+    // Probability 1 rides along: the GK sketch keeps the exact maximum,
+    // which is what the small-bands guard below compares against.
+    val qs = (1 until bands).map(_.toDouble / bands).toArray :+ 1.0
+    val quantiles = df.stat.approxQuantile(scoreCol, qs, 0.01)
+    val scoreMax = if (quantiles.isEmpty) 0.0 else quantiles.last
+    val bounds = quantiles.dropRight(1).distinct.sorted
     val band = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(scoreCol) > lit(b), 1).otherwise(0)
     }
@@ -65,9 +69,18 @@ object Ranks {
     // with a single boundary b, a constant score column (score == b
     // everywhere) puts EVERY row in band 0 — for small `bands` (≤5) the
     // ×4 collapse heuristic alone would still accept that and reopen
-    // the single-partition-window cliff (round-8 review).
+    // the single-partition-window cliff (round-8 review). Scoped for
+    // bands = 2 (round-9 ADVICE item 3): there only ONE boundary can
+    // exist, so `>= 2` made the quantile path unreachable and every
+    // bands=2 caller paid the range-repartition fallback even on
+    // well-spread scores. A lone boundary is a safe 2-banding exactly
+    // when it splits the order — some row > b (b < exact max, from the
+    // same sketch pass) — which the constant column fails.
+    val quantileSafe =
+      if (bands == 2) bounds.nonEmpty && bounds.head < scoreMax
+      else bounds.length >= 2 && bounds.length * 4 >= bands - 1
     val banded =
-      if (bounds.length >= 2 && bounds.length * 4 >= bands - 1)
+      if (quantileSafe)
         df.withColumn("_band", band)
       else df.repartitionByRange(bands, orderCols: _*)
         .withColumn("_band", spark_partition_id())

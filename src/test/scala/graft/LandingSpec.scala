@@ -31,6 +31,60 @@ class LandingSpec extends SparkSpec {
       "landing must be an eager localCheckpoint (LogicalRDD leaf)")
   }
 
+  test("frameLanding: frames past FrameRowCap are returned checkpointed " +
+      "but NOT memoized (no session-lifetime pin)") {
+    var builds = 0
+    def big = { builds += 1
+      spark.range(Landing.FrameRowCap + 10).toDF("v") }
+    val a = Landing.frameLanding(spark, "landing-spec-big")(big)
+    assert(a.queryExecution.analyzed.collectLeaves()
+      .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "oversized landing must still be an eager localCheckpoint")
+    val b = Landing.frameLanding(spark, "landing-spec-big")(big)
+    assert(builds === 2, "oversized frame must not be memoized")
+    assert(!(a eq b))
+  }
+
+  test("frameLanding: a new source version (numeric key segment) evicts " +
+      "the superseded entry of the same family") {
+    var builds = 0
+    def build = { builds += 1; Seq((1L, "a")).toDF("k", "v") }
+    assert(Landing.frameFamily("/d|part|1755000000000|km1|pts") ===
+      "/d|part|km1|pts")
+    Landing.frameLanding(spark, "/d|part|111|evict-spec")(build)
+    Landing.frameLanding(spark, "/d|part|111|evict-spec")(build)
+    assert(builds === 1, "same version must hit the memo")
+    // regen: same family, new mtime — supersedes the 111 entry
+    Landing.frameLanding(spark, "/d|part|222|evict-spec")(build)
+    assert(builds === 2)
+    Landing.frameLanding(spark, "/d|part|222|evict-spec")(build)
+    assert(builds === 2, "new version must now be the memoized one")
+    Landing.frameLanding(spark, "/d|part|111|evict-spec")(build)
+    assert(builds === 3, "superseded version must have been evicted")
+    // sibling suffixes (train/test, pts/seeds) are DIFFERENT families
+    // and must not evict each other
+    Landing.frameLanding(spark, "/d|part|333|evict-spec2|x")(build)
+    Landing.frameLanding(spark, "/d|part|333|evict-spec2|y")(build)
+    assert(builds === 5)
+    Landing.frameLanding(spark, "/d|part|333|evict-spec2|x")(build)
+    assert(builds === 5, "sibling-suffix landing must survive")
+  }
+
+  test("rootPathMtime: non-file schemes degrade to 0 instead of " +
+      "throwing; file paths report the real mtime") {
+    import org.apache.hadoop.fs.Path
+    assert(Classifiers.rootPathMtime(
+      new Path("hdfs://nn:8020/warehouse/t")) === 0L)
+    assert(Classifiers.rootPathMtime(
+      new Path("s3a://bucket/prefix/t")) === 0L)
+    val f = java.nio.file.Files.createTempFile("mtime-spec", ".tmp")
+    try {
+      val want = f.toFile.lastModified()
+      assert(Classifiers.rootPathMtime(new Path(f.toUri)) === want)
+      assert(Classifiers.rootPathMtime(new Path(f.toString)) === want)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("split7030: halves are an exact disjoint partition of prepared, " +
       "identical to one destructured randomSplit call") {
     val prepared = StrokePipeline.prepare(spark, StrokePipeline.RawCsv)

@@ -99,6 +99,35 @@ class RanksSpec extends SparkSpec {
       "spread score must stay on the storage-free quantile path")
   }
 
+  test("bands=2 + spread score: quantile path reachable (no checkpoint) " +
+      "and the rank is exact; constant score still falls back") {
+    // round-9 ADVICE item 3: bands−1 = 1 boundary could never satisfy
+    // `bounds.length >= 2`, so bands=2 callers always paid the
+    // repartitionByRange + localCheckpoint fallback. The lone boundary
+    // is safe exactly when it sits below the sketch's exact max.
+    val ranked = Ranks.distributedRank(frame, "score", "id", "rn", bands = 2)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "bands=2 spread score must stay on the storage-free quantile path")
+    assert(PlanChecks.partitionlessWindows(ranked).isEmpty)
+    val got = ranked.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = frame.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // constant score at bands=2: boundary == max → not a split → fallback
+    val const2 = Ranks.distributedRank(constFrame, "score", "id", "rn",
+      bands = 2)
+    assert(const2.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "bands=2 constant score must take the range-band fallback")
+    val gotC = const2.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantC = constFrame.withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotC === wantC)
+  }
+
   test("small bands + constant score: guard engages (the ×4 heuristic " +
       "alone would pass 1 boundary at bands ≤ 5) and the rank is exact") {
     val ranked = Ranks.distributedRank(constFrame, "score", "id", "rn",

@@ -24,11 +24,9 @@ object RecallProbe {
       for ((nm, df) <- Seq(
           "x2" -> lshTopK(emb, q5, 10, bits = 4,
             probeFlips = graft.ext.SimilarityOps.X2ProbeFlips),
-          "x4" -> ivfTopK(emb, q5, 10,
-            nProbe = graft.ext.SimilarityOps.X4Probe),
+          "x4" -> ivfTopK(emb, q5, 10),
           "x5" -> sq8TopK(emb, q5, 10),
-          "x8" -> ivfSq8TopK(emb, q5, 10,
-            nProbe = graft.ext.SimilarityOps.X4Probe),
+          "x8" -> ivfSq8TopK(emb, q5, 10),
           "x9" -> pqTopK(emb, q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
