@@ -94,9 +94,14 @@ object ScaleSweep {
   def main(args: Array[String]): Unit = {
     val s = SparkSpec.session
     build(s)
+    // x4/x8 ride along since round 10: their auto IVF geometry derives
+    // cells from the corpus count, so the 10× dir (n = 20k → 142 cells,
+    // 16 probes ≈ 11% scanned vs 24% at sf0.1) exercises the
+    // shrinking-fraction claim, not just the wall-clock ratio.
     val tail = Seq("d10_editdist_neardup", "x7_knn_join", "fm1_assoc_rules",
       "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh",
-      "e16_stream_upsert_mv", "mm3_resize")
+      "e16_stream_upsert_mv", "mm3_resize", "x4_cosine_topk_ivf",
+      "x8_cosine_topk_ivfsq")
     for (q <- tail) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
