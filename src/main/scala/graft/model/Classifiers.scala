@@ -73,14 +73,8 @@ object Classifiers {
     * instead of throwing — `new File(URI)` rejects any non-file absolute
     * URI with IllegalArgumentException (round-9 ADVICE item 4).
     */
-  private[graft] def rootPathMtime(p: org.apache.hadoop.fs.Path): Long = {
-    val u = p.toUri
-    u.getScheme match {
-      case null   => new java.io.File(u.getPath).lastModified()
-      case "file" => new java.io.File(u).lastModified()
-      case _      => 0L
-    }
-  }
+  private[graft] def rootPathMtime(p: org.apache.hadoop.fs.Path): Long =
+    graft.util.Landing.rootPathMtime(p)
 
   /** The seeded 70/30 split halves, LANDED once per (session,
     * prepared-plan, seed) — Landing.frameLanding keyed on the analyzed
@@ -106,19 +100,11 @@ object Classifiers {
     * as destructuring one call.
     */
   def split7030(prepared: DataFrame, seed: Long): (DataFrame, DataFrame) = {
-    val h = prepared.queryExecution.analyzed.semanticHash()
-    // the plan hash identifies the SOURCE IDENTITY but not its version —
-    // fold in the max mtime of the plan's file relations (the Landing
-    // staleness discipline) so an in-place CSV rewrite re-lands the split
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val srcMtime = prepared.queryExecution.analyzed.collect {
-      case l: LogicalRelation => l.relation match {
-        case f: HadoopFsRelation => f.location.rootPaths
-          .map(rootPathMtime).foldLeft(0L)(math.max)
-        case _ => 0L
-      }
-    }.foldLeft(0L)(math.max)
-    val key = s"stroke_split|$h|$srcMtime|$seed"
+    // plan hash = source identity, file-relation mtimes = source version
+    // (Landing.planVersionKey) so an in-place CSV rewrite re-lands the
+    // split instead of serving stale halves
+    val key =
+      s"stroke_split|${graft.util.Landing.planVersionKey(prepared)}|$seed"
     val train = graft.util.Landing.frameLanding(
       prepared.sparkSession, key + "|train")(
       prepared.randomSplit(Array(0.7, 0.3), seed)(0).coalesce(8))

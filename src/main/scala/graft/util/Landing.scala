@@ -105,4 +105,42 @@ object Landing {
   /** Latest mtime across a source dir's files (multi-table landings). */
   def sourceMtime(dir: String, tables: Seq[String]): Long =
     tables.map(t => new java.io.File(dir, s"$t.parquet").lastModified()).max
+
+  /** Scheme-safe mtime of a relation root: local paths report their
+    * mtime; non-file schemes (hdfs/s3 — `File(URI)` would throw) degrade
+    * to 0, where the path segment of [[planVersionKey]] still carries the
+    * identity.
+    */
+  def rootPathMtime(p: org.apache.hadoop.fs.Path): Long = {
+    val u = p.toUri
+    u.getScheme match {
+      case null   => new java.io.File(u.getPath).lastModified()
+      case "file" => new java.io.File(u).lastModified()
+      case _      => 0L
+    }
+  }
+
+  /** Version key for an ARBITRARY frame (the split7030 idiom, hoisted
+    * round 10): the analyzed plan's semanticHash is the source IDENTITY,
+    * the max mtime over every file relation's roots is the source
+    * VERSION, and the sorted root paths are the structural FAMILY — they
+    * survive [[frameFamily]]'s numeric stripping, so memos keyed this way
+    * treat two different corpora as different families (both stay cached)
+    * while two versions of one corpus evict each other. Frames with no
+    * file relations (local/checkpointed inputs) key on the hash alone —
+    * their canonicalized plan embeds the data/RDD identity.
+    */
+  def planVersionKey(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    val roots = plan.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths
+        case _ => Seq.empty
+      }
+    }.flatten
+    val mtime = roots.map(rootPathMtime).foldLeft(0L)(math.max)
+    val paths = roots.map(_.toString).distinct.sorted.mkString(",")
+    s"$paths|${plan.semanticHash()}|$mtime"
+  }
 }

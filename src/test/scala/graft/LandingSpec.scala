@@ -110,4 +110,69 @@ class LandingSpec extends SparkSpec {
     assert(tr === multiset(wantTrain),
       "landed train diverged from Array-destructured randomSplit")
   }
+
+  test("planVersionKey: identity + version + family of file-backed frames") {
+    import java.nio.file.{Files, attribute}
+    val tmp = Files.createTempDirectory("graft_pvk")
+    try {
+      val p = tmp.resolve("t.parquet").toString
+      spark.range(10).toDF("v").write.mode("overwrite").parquet(p)
+      val k1 = Landing.planVersionKey(spark.read.parquet(p))
+      assert(k1 === Landing.planVersionKey(spark.read.parquet(p)),
+        "two reads of one source version must share a key")
+      assert(k1.contains(p),
+        "the root path must be a structural segment of the key")
+      assert(Landing.frameFamily(k1).contains(p),
+        "the path must survive numeric family-stripping")
+      // a rewrite = new mtime: new KEY, same FAMILY (eviction axis)
+      val f = tmp.resolve("t.parquet")
+      Files.setLastModifiedTime(f,
+        attribute.FileTime.fromMillis(f.toFile.lastModified() + 5000))
+      val k2 = Landing.planVersionKey(spark.read.parquet(p))
+      assert(k2 !== k1, "a rewritten source must change the key")
+      assert(Landing.frameFamily(k2) === Landing.frameFamily(k1),
+        "versions of one source must share a family")
+      // a different projection is a different identity (semanticHash)
+      val k3 = Landing.planVersionKey(
+        spark.read.parquet(p).select((col("v") * 2).as("w")))
+      assert(k3 !== k2)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  test("ANN fit memo: count memoized per corpus version, superseded " +
+      "version evicted, fresh value served after a rewrite") {
+    import java.nio.file.{Files, attribute}
+    val tmp = Files.createTempDirectory("graft_fitmemo")
+    try {
+      val p = tmp.resolve("emb.parquet").toString
+      spark.range(10).toDF("vec_id").write.mode("overwrite").parquet(p)
+      val before = graft.ext.SimilarityOps.fitCounts.size
+      assert(graft.ext.SimilarityOps.memoCount(spark.read.parquet(p)) === 10L)
+      assert(graft.ext.SimilarityOps.memoCount(spark.read.parquet(p)) === 10L)
+      assert(graft.ext.SimilarityOps.fitCounts.size === before + 1,
+        "one entry per corpus version")
+      // regen with different cardinality + bumped mtime: the fresh value
+      // must be served and the superseded entry evicted (no growth)
+      spark.range(12).toDF("vec_id").write.mode("overwrite").parquet(p)
+      val f = tmp.resolve("emb.parquet")
+      Files.setLastModifiedTime(f,
+        attribute.FileTime.fromMillis(f.toFile.lastModified() + 5000))
+      assert(graft.ext.SimilarityOps.memoCount(spark.read.parquet(p)) === 12L,
+        "a rewritten corpus must re-count, not serve the stale cardinality")
+      assert(graft.ext.SimilarityOps.fitCounts.size === before + 1,
+        "the superseded version's entry must be evicted on insert")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
 }
