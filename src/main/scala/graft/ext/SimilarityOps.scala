@@ -736,8 +736,12 @@ object SimilarityOps {
 
   private def memoUnitSample(corpus: DataFrame, fitSample: Int)
       : Array[Array[Float]] =
+    // "sample:N" is one NON-numeric token: different sample sizes over
+    // one corpus are different FAMILIES (x9's fixed 4096 must not evict
+    // x4's cells×16 once they diverge at scale), while a regen still
+    // evicts via the key's standalone mtime segment
     memoVersioned(fitSamples,
-      graft.util.Landing.planVersionKey(corpus) + s"|sample|$fitSample")(
+      graft.util.Landing.planVersionKey(corpus) + s"|sample:$fitSample")(
       unitSample(corpus, fitSample))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,

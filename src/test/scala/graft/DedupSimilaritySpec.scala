@@ -590,4 +590,29 @@ class DedupSimilaritySpec extends SparkSpec {
     // the single-table ceiling
     assert(recall > 0.4, s"LSH recall $recall too low for 2 tables")
   }
+
+  test("ivfGeometry: auto cells ≈ √n clamped, probed fraction ≤ 25% at " +
+      "every corpus size, explicit params pass through") {
+    // explicit geometry is never overridden
+    assert(SimilarityOps.ivfGeometry(0L, 32, 8) === ((32, 8)))
+    // the registered demo shapes (documented in README/SCALING)
+    assert(SimilarityOps.ivfGeometry(500L, 0, 0) === ((23, 5)))
+    assert(SimilarityOps.ivfGeometry(2000L, 0, 0) === ((45, 11)))
+    // floors and caps
+    assert(SimilarityOps.ivfGeometry(1L, 0, 0) === ((16, 4)))
+    assert(SimilarityOps.ivfGeometry(1000L * 1000 * 1000, 0, 0) ===
+      ((1024, 16)))
+    // the scanned fraction is ≤ 25% at EVERY size and shrinks once the
+    // probe cap bites (cells = 64 at n ≈ 4k)
+    var n = 1L
+    while (n <= 100000000000L) {
+      val (cells, probe) = SimilarityOps.ivfGeometry(n, 0, 0)
+      assert(probe.toDouble / cells <= 0.25 + 1e-9,
+        s"n=$n probes $probe/$cells > 25%")
+      n *= 10
+    }
+    val (bigCells, bigProbe) = SimilarityOps.ivfGeometry(1000000L, 0, 0)
+    assert(bigProbe.toDouble / bigCells <= 0.02,
+      "past the probe cap the fraction must shrink well below the bound")
+  }
 }
