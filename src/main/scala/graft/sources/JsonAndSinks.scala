@@ -147,10 +147,58 @@ object JsonAndSinks {
       |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---- S14: XML source/sink round-trip (built-in since Spark 4) ----------
+  private val xmlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** S14: the semi-structured interchange format — Spark 4 ships the XML
+    * data source in core (the spark-xml merge). Suppliers land once as
+    * `<supplier>` row elements (same amortized-landing discipline as s9);
+    * the read declares an EXPLICIT schema (inference costs an extra full
+    * pass) and the filtered aggregate must be result-transparent vs the
+    * parquet source — exactly what the oracle checks, including the
+    * doubles (Java's Double.toString/parse round-trip is value-exact, so
+    * the decimal-exact sum hashes identically). Scale posture: XML rows
+    * are text blobs — no column pruning, no filter pushdown, a row-level
+    * parse per record — so at 100 TB XML is an INGEST format: land it
+    * columnar once (this op's write half inverted), never a query-side
+    * layout.
+    */
+  private def s14XmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = {
+      val dir = tempLandingDir(xmlDirs, mtimeKey(d, "supplier"),
+        "graft_xml_sink")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+        Tables.supplier(s, d).write.mode("overwrite")
+          .option("rootTag", "suppliers").option("rowTag", "supplier")
+          .format("xml").save(dir.toString)
+      dir
+    }
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.schema(schema).option("rowTag", "supplier")
+      .format("xml").load(out.toString)
+      .filter(col("s_acctbal") > 0.0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val s14Sql =
+    s"""SELECT s_nationkey, COUNT(*) AS n,
+       |  ${graft.util.Det.sqlDsum("s_acctbal")} AS sum_bal
+       |FROM supplier WHERE s_acctbal > 0.0
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s6_json_extract"     -> Q(s6JsonExtract, Some(s6Sql)),
     "s7_partitioned_sink" -> Q(s7PartitionedSink, Some(s7Sql)),
     "s9_orc_roundtrip"    -> Q(s9OrcRoundtrip, Some(s9Sql)),
     "s10_schema_merge"    -> Q(s10SchemaMerge, Some(s10Sql)),
+    "s14_xml_roundtrip"   -> Q(s14XmlRoundtrip, Some(s14Sql)),
   )
 }

@@ -42,6 +42,22 @@ class EventProfileSpec extends SparkSpec {
       s"filter not pushed into the ORC reader:\n$plan")
   }
 
+  test("s14: XML round-trip is value-exact vs the parquet source, " +
+      "including doubles") {
+    val viaXml = SparkEntry.queries("s14_xml_roundtrip")(spark, Sf0001)
+    assert(viaXml.queryExecution.executedPlan.toString.toLowerCase
+      .contains("xml"), "s14 must read through the XML source")
+    val direct = Tables.supplier(spark, Sf0001)
+      .filter(col("s_acctbal") > 0.0)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+    // text round-trip must lose nothing: Double.toString/parse is exact
+    assert(viaXml.collect().toSeq === direct.collect().toSeq,
+      "XML landing diverged from the parquet source")
+  }
+
   test("sessionization: no within-session gap exceeds 30 min, session count sane") {
     val sessions = SparkEntry.queries("e2_sessionization")(spark, Sf0001)
     val ev = Tables.events(spark, Sf0001)
