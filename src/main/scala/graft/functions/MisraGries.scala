@@ -18,12 +18,28 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-    addCount(b, item, 1L)
+    MisraGries.addCount(b, item, 1L, k)
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    b.foldLeft(a) { case (acc, (item, n)) => addCount(acc, item, n) }
+    b.foldLeft(a) { case (acc, (item, n)) => MisraGries.addCount(acc, item, n, k) }
 
-  private def addCount(b: Map[String, Long], item: String, n: Long): Map[String, Long] = {
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
+}
+
+object MisraGries {
+
+  /** One Misra–Gries update step over an immutable k-bounded count map —
+    * shared by the batch Aggregator above and the streaming heavy-hitter
+    * state (`EventStream.heavyHitterSketches`), so both paths carry the
+    * identical guarantee: any item undercounted by at most N/k, every
+    * item with true share > N/k retained, for ANY processing order.
+    */
+  def addCount[K](b: Map[K, Long], item: K, n: Long, k: Int): Map[K, Long] = {
     if (b.contains(item)) b.updated(item, b(item) + n)
     else if (b.size < k) b.updated(item, n)
     else {
@@ -33,11 +49,4 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
       if (n - dec > 0) decremented.updated(item, n - dec) else decremented
     }
   }
-
-  override def finish(b: Map[String, Long]): Map[String, Long] = b
-
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
-  override def outputEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
 }

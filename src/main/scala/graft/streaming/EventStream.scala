@@ -486,4 +486,69 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("user_id"), col("n_events"))
+
+  // ---- e18: streaming heavy hitters (bounded sketch state) --------------
+
+  final case class BucketEv(bucket: Int, user_id: Long)
+  final case class BucketHH(bucket: Int, ver: Long, user_id: Long, est: Long)
+  final case class MgState(ver: Long, counts: Map[Long, Long])
+
+  /** Streaming per-key frequency tracking with state bounded at k
+    * entries PER BUCKET regardless of key cardinality — the 100 TB
+    * contrast with e16: an MV's state scales with its GROUP cardinality
+    * (fine for rollup keys), but a per-user tracker at 10⁹ users
+    * cannot hold a key-sized map. Misra–Gries caps state at k×buckets
+    * entries total, fed incrementally through flatMapGroupsWithState
+    * across micro-batches (the same `functions.MisraGries.addCount`
+    * step t15 runs batch-side, so both paths carry the identical
+    * undercount ≤ n_bucket/k + survival-above-n_bucket/k guarantee for
+    * ANY arrival order — which is what makes the e18 gate flags
+    * deterministic under shuffle-order variation). Keys hash to ONE
+    * bucket, so the final answer is the UNION of bucket sketches: no
+    * cross-sketch merge, no shuffle of per-key state. Each invocation
+    * re-emits the bucket's whole sketch stamped with a per-bucket
+    * version; the reader keeps each bucket's latest emission.
+    */
+  def heavyHitterSketches(events: DataFrame, k: Int,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(pmod(col("user_id"), lit(buckets.toLong)).cast("int")
+        .as("bucket"), col("user_id"))
+      .as[BucketEv]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[MgState, BucketHH](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (b: Int, evs: Iterator[BucketEv], state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(0L, Map.empty))
+          var m = prev.counts
+          evs.foreach(e =>
+            m = graft.functions.MisraGries.addCount(m, e.user_id, 1L, k))
+          val next = MgState(prev.ver + 1, m)
+          state.update(next)
+          m.iterator.map { case (u, c) => BucketHH(b, next.ver, u, c) }
+      }
+      .toDF()
+  }
+
+  /** Run the heavy-hitter stream over the 4-chunk staged landing (state
+    * genuinely carries across micro-batches) and return each bucket's
+    * FINAL sketch: (bucket, user_id, est), ≤ k rows per bucket.
+    */
+  def runHeavyHittersToCompletion(spark: SparkSession, dir: String,
+      k: Int = 64, buckets: Int = 32,
+      queryName: String = "stream_heavyhitters"): DataFrame = {
+    val staged = splitStageDir(spark, dir).toString
+    val log = runScoped(spark, queryName, "update")(
+      heavyHitterSketches(
+        spark.readStream.schema(rawSchema(spark, staged))
+          .option("maxFilesPerTrigger", 1).parquet(staged),
+        k, buckets))
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+    log.withColumn("_mx", max(col("ver")).over(wMax))
+      .filter(col("ver") === col("_mx"))
+      .select(col("bucket"), col("user_id"), col("est"))
+  }
 }

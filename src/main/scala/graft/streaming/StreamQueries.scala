@@ -132,8 +132,50 @@ object StreamQueries {
        |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** E18: streaming heavy hitters — per-user frequency tracking whose
+    * state is BOUNDED (k entries per bucket, k×buckets total) instead of
+    * key-sized, the only per-key tracker shape that survives 10⁹ users.
+    * Bounded-gate oracle (the a7/a10 discipline): the result rows carry
+    * the exact top-10 user counts (engine-neutral — DuckDB recomputes
+    * them) plus flags the Misra–Gries theorem makes deterministically
+    * TRUE for any arrival order: the user survives the sketch (its true
+    * count exceeds its bucket's n/k by a wide margin at both SFs) and
+    * the estimate sits within [exact − ⌊n_bucket/k⌋, exact].
+    */
+  private def e18StreamHH(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val Buckets = 32
+    val sketch = EventStream.runHeavyHittersToCompletion(s, d, K, Buckets)
+    val ev = graft.Tables.events(s, d)
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val bucketN = ev
+      .groupBy(pmod(col("user_id"), lit(Buckets.toLong)).cast("int")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_bucket"))
+    exact.orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      .withColumn("bucket",
+        pmod(col("user_id"), lit(Buckets.toLong)).cast("int"))
+      .join(broadcast(bucketN), "bucket")
+      .join(broadcast(sketch.select(col("user_id"), col("est"))),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("n_exact"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("est").isNotNull && col("est") <= col("n_exact") &&
+          col("est") >= col("n_exact") - floor(col("n_bucket") / K))
+          .as("est_ok"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
+  private val e18Sql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |  TRUE AS in_sketch, TRUE AS est_ok
+      |FROM events GROUP BY user_id
+      |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e18_stream_heavyhitters" -> Q(e18StreamHH, Some(e18Sql)),
     "e16_stream_upsert_mv" -> Q(e16StreamUpsert, Some(e16Sql)),
     "e11_stream_sliding" -> Q(e11StreamSliding, Some(e11Sql)),
     "e9_stream_interval_join" -> Q(e9StreamJoin, Some(e9Sql)),

@@ -116,4 +116,41 @@ class StreamSpec extends SparkSpec {
     val total = spark.table("spec_user_stream").agg(sum("n_events")).head().getLong(0)
     assert(total === Tables.events(spark, Sf0001).count())
   }
+
+  test("e18 heavy hitters: state carries exactly across micro-batches " +
+      "when nothing evicts (sketch union == exact per-user counts)") {
+    // sf0.001 has 15 users over 32 buckets — k=64 never evicts, so the
+    // streamed sketch must equal the batch groupBy EXACTLY: any dropped
+    // or double-counted micro-batch shows up as a count mismatch
+    val sketch = EventStream
+      .runHeavyHittersToCompletion(spark, Sf0001,
+        queryName = "spec_hh_exact")
+      .select(col("user_id"), col("est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sketch === exact,
+      "unevicting sketch must reproduce exact counts across 4 batches")
+  }
+
+  test("e18 heavy hitters: eviction path bounds state at k and " +
+      "undercounts by at most n/k through the streaming state machinery") {
+    val k = 2
+    val sketch = EventStream
+      .runHeavyHittersToCompletion(spark, Sf0001, k = k, buckets = 1,
+        queryName = "spec_hh_evict")
+      .select(col("user_id"), col("est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sketch.size <= k, s"sketch grew past k=$k: ${sketch.size}")
+    val exact = Tables.events(spark, Sf0001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = exact.values.sum
+    sketch.foreach { case (u, est) =>
+      assert(est <= exact(u), s"user $u overcounted: $est > ${exact(u)}")
+      assert(exact(u) - est <= n / k,
+        s"user $u undercounted past n/k: ${exact(u) - est} > ${n / k}")
+    }
+  }
 }
