@@ -363,8 +363,91 @@ object EventOps {
       |  CAST(SUM(DATE_DIFF('day', ist, ien)) AS BIGINT) AS covered_days
       |FROM isles GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---- E19: calendar gap-fill + linear interpolation ---------------------
+  /** Time-series regularization: densify each user's daily-total series to
+    * a gapless calendar over the user's own [first, last] active span and
+    * linearly interpolate the missing days — the standard pre-step before
+    * any per-key model fit or window feature that assumes an equidistant
+    * grid (forecasting, drift monitors, cohort charts).
+    *
+    * Spine = explode(sequence(min_day, max_day)) PER USER, so no global
+    * calendar table and no leading/trailing edge rows: every gap row has a
+    * real observation on both sides by construction, and the interpolation
+    * pv + (nv − pv)·(Δprev/Δspan) is total. Neighbors come from running
+    * `last(ignoreNulls)`/`first(ignoreNulls)` frames over the user
+    * partition — one shuffle on user_id shared by the rollup, the spine
+    * and both window passes.
+    *
+    * Scale: state per user is its day span (bounded by the retention
+    * window, not the corpus); the spine explode is map-side after the
+    * per-user agg; nothing global. Engine parity: daily sums are
+    * decimal-exact (Det.dsum), day distances are exact ints, and the
+    * interpolation is the same double expression tree on both sides,
+    * rounded to 6 (ulp discipline, CLAUDE.md).
+    */
+  def gapFillDaily(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wn = w.rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wn))
+      .select(col("user_id"), col("day"), col("v").isNull.as("filled"),
+        round(when(col("v").isNotNull, col("v")).otherwise(
+          col("pv") + (col("nv") - col("pv")) *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double"))), 6)
+          .as("value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private def e19Gapfill(s: SparkSession, d: String): DataFrame =
+    gapFillDaily(Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(dsum(col("value")).as("v")))
+
+  private val e19Sql =
+    s"""WITH daily AS (
+       |  SELECT user_id, DATE_TRUNC('day', ts) AS day,
+       |    ${sqlDsum("value")} AS v
+       |  FROM events GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT user_id,
+       |    UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+       |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+       |        FROM daily GROUP BY user_id)),
+       |j AS (
+       |  SELECT s.user_id, s.day, daily.v,
+       |    LAST_VALUE(daily.v IGNORE NULLS) OVER wp AS pv,
+       |    LAST_VALUE(CASE WHEN daily.v IS NOT NULL THEN s.day END
+       |      IGNORE NULLS) OVER wp AS pd,
+       |    FIRST_VALUE(daily.v IGNORE NULLS) OVER wn AS nv,
+       |    FIRST_VALUE(CASE WHEN daily.v IS NOT NULL THEN s.day END
+       |      IGNORE NULLS) OVER wn AS nd
+       |  FROM spine s LEFT JOIN daily
+       |    ON s.user_id = daily.user_id AND s.day = daily.day
+       |  WINDOW
+       |    wp AS (PARTITION BY s.user_id ORDER BY s.day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wn AS (PARTITION BY s.user_id ORDER BY s.day
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, day, (v IS NULL) AS filled,
+       |  ROUND(CASE WHEN v IS NOT NULL THEN v ELSE
+       |    pv + (nv - pv) * (CAST(DATE_DIFF('day', pd, day) AS DOUBLE)
+       |      / CAST(DATE_DIFF('day', pd, nd) AS DOUBLE)) END, 6) AS value
+       |FROM j ORDER BY user_id, day""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e17_interval_union" -> Q(e17IntervalUnion, Some(e17Sql)),
+    "e19_gapfill"        -> Q(e19Gapfill, Some(e19Sql)),
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
     "e10_sliding_window" -> Q(e10Sliding, Some(e10Sql)),
     "e5_pivot"           -> Q(e5Pivot, Some(e5Sql)),

@@ -703,8 +703,100 @@ object TextOps {
       |WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---- T17: BM25 keyword search ------------------------------------------
+  /** BM25 ranking (Robertson–Spärck Jones, Okapi; Lucene's +1-inside-the-
+    * log idf variant so idf never goes negative) of the corpus against a
+    * fixed query-term set — the lexical-retrieval baseline every
+    * training-data search/filter stack keeps next to its ANN index (x1–x9
+    * are the dense half; this is the sparse half).
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + ½)/(df_t + ½))
+    *              · tf · (k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *   with k1 = 1.2, b = 0.75.
+    *
+    * Plan, scale-first: the corpus-wide stats (N, Σ|d|) are one scalar agg
+    * broadcast back; the per-term df table is ≤|query| rows, broadcast;
+    * tf is filtered to the query terms BEFORE its shuffle, so the only
+    * corpus-sized exchanges carry (doc_id, tok)/(doc_id, dl) slivers,
+    * never text. At 100 TB the same plan holds: query-side tables stay
+    * tiny, the token scan is map-only, and the final top-k is a
+    * TakeOrderedAndProject.
+    *
+    * Engine parity: doubles flow through the SAME expression tree on both
+    * sides (no reassociation), per-term weights re-assemble in fixed
+    * textual order (conditional MAX per term — each (doc, term) is unique
+    * — then left-to-right addition), rounded to 6.
+    */
+  private val Bm25Terms = Seq("hash", "join", "spark")
+
+  /** BM25 over any (doc_id, text) frame — exposed so specs can score a
+    * hand-computable corpus. Terms assemble in their Seq order (fixed
+    * addition order = deterministic double result).
+    */
+  private[graft] def bm25Score(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+    val tf = tk.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("nd").cast("double")
+    val idf = log(lit(1) +
+      ((col("nd") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val w = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val wt = tf.join(broadcast(dft), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), col("tok"), w.as("w"))
+    def tw(t: String) = coalesce(max(when(col("tok") === t, col("w"))), lit(0.0))
+    wt.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(terms.map(tw).reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private def t17Bm25(s: SparkSession, d: String): DataFrame =
+    bm25Score(Tables.documents(s, d), Bm25Terms)
+
+  private val t17Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS tok
+      |    FROM documents)
+      |  WHERE LENGTH(tok) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |              CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM tk
+      |  WHERE tok IN ('hash', 'join', 'spark') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |wt AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    LN(1 + (CAST(nd - df AS DOUBLE) + 0.5)
+      |          / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(dl.dl AS DOUBLE)
+      |            / (CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))))) AS w
+      |  FROM tf JOIN df ON tf.tok = df.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id, st)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  ROUND(COALESCE(MAX(CASE WHEN tok = 'hash' THEN w END), 0)
+      |      + COALESCE(MAX(CASE WHEN tok = 'join' THEN w END), 0)
+      |      + COALESCE(MAX(CASE WHEN tok = 'spark' THEN w END), 0), 6)
+      |    AS score
+      |FROM wt GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
+    "t17_bm25"           -> Q(t17Bm25, Some(t17Sql)),
     "t14_quality_buckets" -> Q(t14QualityBuckets, Some(t14Sql)),
     "t13_vocab_stats"    -> Q(t13VocabStats, Some(t13Sql)),
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),

@@ -634,10 +634,147 @@ object MiningOps {
       |GROUP BY o.grp
       |ORDER BY o.grp""".stripMargin
 
+  // ---- PR3: triangle counting (degree-oriented) --------------------------
+  /** Exact triangle counting via the degree-orientation (compact-forward)
+    * algorithm [Schank–Wagner / Suri–Vassilvitskii "Counting Triangles and
+    * the Curse of the Last Reducer", WWW'11]: orient every undirected edge
+    * from its lower endpoint to its higher endpoint under the total order
+    * (degree, id), enumerate wedges only at each edge's LOW-order endpoint,
+    * and close them with one more join. Orientation caps every node's
+    * out-degree at O(√m) regardless of its real degree, so the wedge join
+    * generates O(m^1.5) candidates worst-case instead of Σdeg² — the
+    * high-degree hub that melts the naive wedge join ("the last reducer")
+    * fans out over its LOW-degree neighbors' short lists instead.
+    *
+    * Each triangle {a≺b≺c} is counted exactly once, at its minimum vertex:
+    * wedge (a→b, a→c) with b≺c, closed by the oriented edge b→c.
+    *
+    * Plan shape, scale-first: the oriented edge list is built once (one
+    * shuffle for distinct edges + a broadcast-size degree table joined
+    * twice) and landed per source version; the wedge self-join and the
+    * closure join shuffle only slim (long, long, long) rows — node ids and
+    * one degree column, never payloads. All arithmetic is exact integer
+    * counting: both engines agree bit-for-bit, no bounded gate needed.
+    */
+  /** The wedge frame is ~Σ outdeg² rows (41M at sf0.1) — the whole game
+    * is making sure those rows never ride an exchange, and that the
+    * stage GENERATING them keeps its parallelism:
+    *  - both self-join sides derive from ONE explicit
+    *    `repartition(n, src)` of the landed edge list; the exchange is
+    *    reused (one 1.2M-row shuffle total) and, critically, its
+    *    REPARTITION_BY_NUM origin is exempt from AQE partition
+    *    coalescing — with a plain ENSURE_REQUIREMENTS exchange AQE saw a
+    *    ~30 MB map output and coalesced the stage toward one partition,
+    *    serializing the 41M-row wedge fanout it cannot see (measured:
+    *    9.4 s → 4.8 s came from exactly that);
+    *  - the closure probe joins the wedges against a BROADCAST of the
+    *    slim (b, c) edge set when the adaptive `limit(cap+1)` probe says
+    *    it fits (the x3/d7 idiom; 4M edges ≈ 64 MB, routine executor
+    *    broadcast) — wedges then flow map-side from the self-join
+    *    straight into the hash probe and the partial count, and only
+    *    per-node partial counts (≤|V| rows per partition) shuffle. Past
+    *    the cap it degrades to the plain shuffle join — correct, and at
+    *    that scale the wedge shuffle is the honest cost.
+    */
+  def triangleCount(edges: DataFrame,
+      landKey: Option[(SparkSession, String)] = None,
+      broadcastEdgeCap: Long = 4000000L): DataFrame = {
+    // normalize: undirected, no self-loops, one row per edge with u < v
+    val e = edges.select(
+        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    // orient by the total order (dg, id): src = lower endpoint
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddg"))
+    val o = landKey match {
+      case Some((s, k)) => graft.util.Landing.frameLanding(s, k)(oriented)
+      case None         => oriented.localCheckpoint(true)
+    }
+    // one explicit-count shuffle feeds BOTH self-join sides (reused
+    // exchange) and pins the wedge stage's parallelism against AQE
+    val op = o.repartition(
+      o.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
+    // wedges at the minimum vertex, then close with the oriented (b,c) edge
+    val wedges = op.select(col("src"), col("dst").as("b"), col("ddg").as("bdg"))
+      .join(op.select(col("src"), col("dst").as("c"), col("ddg").as("cdg")),
+        Seq("src"))
+      .filter(col("bdg") < col("cdg") ||
+        (col("bdg") === col("cdg") && col("b") < col("c")))
+    val closure = o.select(col("src").as("b"), col("dst").as("c"))
+    val cl =
+      if (o.limit((broadcastEdgeCap + 1).toInt).count() <= broadcastEdgeCap)
+        broadcast(closure)
+      else closure
+    wedges.join(cl, Seq("b", "c"))
+      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("triangles").desc, col("node"))
+  }
+
+  /** The part co-purchase graph: parts appearing in the same order. Pair
+    * fan-out per order is bounded by C(items-per-order, 2) ≤ C(7,2) = 21 in
+    * this schema — the quadratic term is capped per BASKET, so the edge
+    * build stays linear in the fact table at any corpus size. The oriented
+    * graph itself is slim source-derived state (3 longs per edge), landed
+    * once per lineitem version like pr1's sourcing graph.
+    */
+  private def pr3Triangles(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("a").join(items.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    // the ORIENTED graph is the landed source-derived state (3 slim longs
+    // per edge, pre-partitioned on src) — the basket scan, pair distinct
+    // and degree joins run once per lineitem version
+    triangleCount(edges, landKey = Some((s,
+      graft.util.Landing.mtimeKey(d, "lineitem") + "|copurchase_oriented")))
+      .limit(20)
+  }
+
+  private val pr3Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (
+      |  SELECT n, COUNT(*) AS dg
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |         THEN e.u ELSE e.v END AS src,
+      |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |         THEN e.v ELSE e.u END AS dst,
+      |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |         THEN dv.dg ELSE du.dg END AS ddg
+      |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+      |tri AS (
+      |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+      |  FROM o w1
+      |  JOIN o w2 ON w1.src = w2.src
+      |    AND (w1.ddg < w2.ddg OR (w1.ddg = w2.ddg AND w1.dst < w2.dst))
+      |  JOIN o cl ON cl.src = w1.dst AND cl.dst = w2.dst)
+      |SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+      |FROM (SELECT a AS node FROM tri UNION ALL
+      |      SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |GROUP BY node ORDER BY triangles DESC, node LIMIT 20""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "fm1_assoc_rules" -> Q(fm1Rules, Some(fm1Sql)),
     "fm2_seq_patterns" -> Q(fm2Sequences, Some(fm2Sql)),
     "km1_kmeans"      -> Q(km1Kmeans, Some(km1Sql)),
+    "pr3_triangles"   -> Q(pr3Triangles, Some(pr3Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
     "pr2_pagerank_directed" -> Q(pr2PageRankDirected, Some(pr2Sql)),
     "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),

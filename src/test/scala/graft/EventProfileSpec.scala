@@ -149,4 +149,32 @@ class EventProfileSpec extends SparkSpec {
       .filter(col("total") =!= col("len")).count()
     assert(reassembled === 0)
   }
+
+  // ---- e19 gap-fill ------------------------------------------------------
+
+  test("e19: gaps interpolate linearly, edges stay exact, spans are per-user") {
+    import spark.implicits._
+    def day(d: String) = java.sql.Timestamp.valueOf(s"2024-01-0$d 00:00:00")
+    val daily = Seq(
+      (1L, day("1"), 10.0), (1L, day("4"), 40.0),   // 2-day gap
+      (2L, day("2"), 5.0),                          // single-day user
+      (3L, day("1"), 1.0), (3L, day("3"), 2.0))     // non-integer midpoint
+      .toDF("user_id", "day", "v")
+    val out = graft.ext.EventOps.gapFillDaily(daily).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").toString.take(10),
+        r.getAs[Boolean]("filled"), r.getAs[Double]("value")))
+    // user 1: 4 calendar days, interior gap interpolated 10→40
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.map(_._4).toSeq == Seq(10.0, 20.0, 30.0, 40.0))
+    assert(u1.map(_._3).toSeq == Seq(false, true, true, false))
+    // user 2: no spine beyond its single observed day (no edge rows)
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "2024-01-02", false, 5.0)))
+    // user 3: fractional interpolation lands exactly between
+    assert(out.filter(t => t._1 == 3L && t._3).map(_._4).toSeq == Seq(1.5))
+    // spine is gapless and sorted per user
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+  }
 }

@@ -167,4 +167,47 @@ class MiningOpsSpec extends SparkSpec {
     // each node loses < 2 units per iteration to integer flooring
     assert(total <= scale && total > scale - 4 * 3 * 100)
   }
+
+  // ---- pr3 triangle counting --------------------------------------------
+
+  test("pr3: K4 puts every node in exactly 3 triangles") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    val out = MiningOps.triangleCount(edges).collect()
+    assert(out.length == 4)
+    out.foreach(r => assert(r.getAs[Long]("triangles") == 3L))
+  }
+
+  test("pr3: paths and stars are triangle-free") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(MiningOps.triangleCount(path).collect().isEmpty)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    assert(MiningOps.triangleCount(star).collect().isEmpty)
+  }
+
+  test("pr3: reversed duplicates and self-loops normalize away") {
+    import spark.implicits._
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L),
+      (1L, 3L), (2L, 2L)).toDF("u", "v")
+    val out = MiningOps.triangleCount(noisy).collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Long]("triangles") == 1L))
+  }
+
+  test("pr3: wheel graph — hub rides every rim triangle despite max degree") {
+    import spark.implicits._
+    // hub 0 joined to the 5-cycle 1-2-3-4-5: triangles are exactly the
+    // (hub, rim-edge) fans; degree orientation points every rim node AT
+    // the hub, so the hub enumerates zero wedges itself (the
+    // last-reducer property under test).
+    val rim = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val spokes = (1L to 5L).map(i => (0L, i))
+    val out = MiningOps.triangleCount((rim ++ spokes).toDF("u", "v"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles"))
+      .toMap
+    assert(out(0L) == 5L)
+    (1L to 5L).foreach(i => assert(out(i) == 2L))
+  }
 }

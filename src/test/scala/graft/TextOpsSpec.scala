@@ -104,4 +104,35 @@ class TextOpsSpec extends SparkSpec {
     // cell assignment would give
     assert(recall > 0.3, s"IVF recall $recall too low")
   }
+
+  test("t17: BM25 matches the hand-computed formula on a tiny corpus") {
+    import spark.implicits._
+    // 3 docs, all length 4 → avgdl = 4, length norm = 1.0 everywhere
+    val docs = Seq(
+      (1L, "hash join hash scan"),
+      (2L, "join scan scan filter"),
+      (3L, "scan filter value sort")).toDF("doc_id", "text")
+    val out = TextOps.bm25Score(docs, Seq("hash", "join")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("score"))).toMap
+    def idf(df: Int) = math.log(1 + ((3 - df).toDouble + 0.5) / (df + 0.5))
+    def w(tf: Int, df: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (4.0 / 4.0)))
+    assert(out.keySet == Set(1L, 2L))           // doc 3 matches no term
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (w(2, 1) + w(1, 2))) < 2e-6)
+    assert(math.abs(out(2L)._2 - w(1, 2)) < 2e-6)
+    // rarer term ("hash", df=1) outweighs the common one at equal tf
+    assert(w(1, 1) > w(1, 2))
+  }
+
+  test("t17: longer documents are length-penalized at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash scan"),
+      (2L, "hash scan scan scan scan scan scan scan")).toDF("doc_id", "text")
+    val out = TextOps.bm25Score(docs, Seq("hash")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(out(1L) > out(2L))
+  }
 }
