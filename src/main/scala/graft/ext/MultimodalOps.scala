@@ -485,9 +485,140 @@ object MultimodalOps {
     Seq("doc_id", "media_type", "kind", "src_w", "src_h", "c0",
       "grid_digest"), "doc_id")
 
+  // ---- MM4: perceptual-hash image near-duplicate detection ---------------
+  /** 64-bit average-hash (aHash) of any payload: 8×8 grayscale resize
+    * ([[resizeGrid]] — real PNG decode), bit i set iff cell i sits above
+    * the grid mean. The comparison is exact integer (cell·64 > Σcells),
+    * so the hash is bit-deterministic across JVMs and partitionings; WAV
+    * and opaque payloads hash their RMS/histogram grids through the same
+    * rule (near-dup-by-content works per modality because [[resizeGrid]]
+    * already normalizes each to a 64-cell content summary).
+    */
+  def aHash64(payload: Array[Byte]): (Int, Long) = {
+    val (kind, _, _, grid) = resizeGrid(payload, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += grid(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (grid(i).toLong * 64 > sum) h |= (1L << i)
+      i += 1
+    }
+    (kind, h)
+  }
+
+  /** [[makePng]] of the FAMILY id with one member-determined pixel
+    * painted white — visually-near-identical variants of a shared base
+    * image (members whose perturbed coordinate coincides are exact
+    * duplicates; the rest are near-dups a perceptual hash must catch).
+    */
+  private[graft] def makePngVariant(family: Long, member: Long): Array[Byte] = {
+    val w = 4 + (family % 13).toInt
+    val h = 4 + (family % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (mix(family * 1000003L + y * 131L + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB((member % w).toInt, (member % h).toInt, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table with PLANTED near-dup families: consecutive doc_ids in
+    * groups of `familySize` share a base image, each member perturbing
+    * one pixel ([[makePngVariant]]). The testdata ships no image blobs,
+    * much less near-duplicate ones, so the dup structure is synthesized —
+    * the detection pipeline (decode → hash → band → verify) never sees
+    * the family ids.
+    */
+  def synthesizeNearDupMedia(docs: DataFrame, familySize: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map(id =>
+          MediaRow(id, makePngVariant(id / familySize, id), "image/png"))
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest")).as("meta"))
+  }
+
+  private val hashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", IntegerType),
+    StructField("phash", LongType)))
+
+  /** Near-duplicate pairs by perceptual hash: partition-wise decode+hash
+    * (payloads never leave their input split), then the d3 simhash
+    * banding discipline on the 8-BYTE hashes — 4 bands × 16 bits, pairs
+    * sharing any band value verify by exact hamming distance. hamming ≤ 3
+    * is recall-1 by pigeonhole; wider dups surface when any band
+    * survives, the standard LSH trade. Scale: only (doc_id, band, value)
+    * slivers and bare id pairs ride shuffles — never pixels; candidate
+    * dedup happens on ids before the hamming check (the x7 bare-ID
+    * discipline).
+    */
+  def phashNearDups(spark: SparkSession, media: DataFrame,
+      hammingMax: Int = 12): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(hashSchema)
+    val hashes = media.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (k, h) = aHash64(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("doc_id"), k, h)
+        }
+      }(enc)
+    // posexplode keeps (band index, value) in one pass
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), 16 * b)
+          .bitwiseAND(lit(0xffffL))): _*)).as(Seq("band", "bv")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= hammingMax)
+      .select(col("a"), col("b"), col("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** MM4 registered: planted near-dup image families → decode → aHash →
+    * banded LSH → hamming verify. DuckDB cannot decode PNGs, so the
+    * oracle replays frozen rows keyed by corpus content
+    * ([[graft.util.OracleFixtures]]); the pipeline is deterministic per
+    * doc_id, so the frozen pair list is a hard gate on synthesis, decode,
+    * hashing, banding and the verify threshold at once.
+    */
+  private def mm4PhashNearDup(s: SparkSession, d: String): DataFrame =
+    graft.util.OracleFixtures.withCorpusKey(
+      phashNearDups(s, synthesizeNearDupMedia(Tables.documents(s, d))), s, d)
+      .orderBy(col("a"), col("b"))
+
+  private val mm4Sql = graft.util.OracleFixtures.sql("mm4_phash_neardup",
+    Seq("a", "b", "hamming"), "a, b")
+
   val qs: Seq[(String, Q)] = Seq(
     "mm1_media_features" -> Q(mm1Features, Some(mm1Sql)),
     "mm2_frame_sample"   -> Q(mm2FrameSample, Some(mm2Sql)),
     "mm3_resize"         -> Q(mm3Resize, Some(mm3Sql)),
+    "mm4_phash_neardup"  -> Q(mm4PhashNearDup, Some(mm4Sql)),
   )
 }

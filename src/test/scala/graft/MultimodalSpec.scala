@@ -165,4 +165,36 @@ class MultimodalSpec extends SparkSpec {
         want.exceptAll(got).count() === 0,
         "mm1 drifted from the frozen decode fixture")
     }
+
+  // ---- mm4 perceptual-hash near-dup -------------------------------------
+
+  test("mm4: aHash is a content hash — stable, near for variants, far across bases") {
+    val a = MultimodalOps.aHash64(MultimodalOps.makePngVariant(3L, 1L))
+    val b = MultimodalOps.aHash64(MultimodalOps.makePngVariant(3L, 1L))
+    assert(a == b, "same payload must hash identically")
+    assert(a._1 == 1, "PNG must take the image decode path")
+    val near = MultimodalOps.aHash64(MultimodalOps.makePngVariant(3L, 2L))
+    assert(java.lang.Long.bitCount(a._2 ^ near._2) <= 12,
+      "one perturbed pixel must stay inside the near-dup radius")
+    val far = MultimodalOps.aHash64(MultimodalOps.makePngVariant(4L, 1L))
+    assert(java.lang.Long.bitCount(a._2 ^ far._2) > 12,
+      "different base images must hash apart")
+  }
+
+  test("mm4: planted families pair up, exact dups at hamming 0, no cross-family leaks") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val pairs = MultimodalOps.phashNearDups(spark,
+        MultimodalOps.synthesizeNearDupMedia(docs)).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("hamming")))
+    // family 0 has w = h = 4: members 4 apart perturb the SAME pixel →
+    // byte-different PNGs of identical pixels → hamming 0
+    for (p <- Seq((0L, 4L), (1L, 5L), (2L, 6L), (3L, 7L)))
+      assert(pairs.exists(t => (t._1, t._2) == p && t._3 == 0L),
+        s"missing exact-dup pair $p")
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(t => t._1 / 8 == t._2 / 8),
+      "cross-family pair leaked through the hamming gate")
+    assert(pairs.forall(_._3 <= 12))
+  }
 }

@@ -101,7 +101,8 @@ object ScaleSweep {
     val tail = Seq("d10_editdist_neardup", "x7_knn_join", "fm1_assoc_rules",
       "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh",
       "e16_stream_upsert_mv", "mm3_resize", "x4_cosine_topk_ivf",
-      "x8_cosine_topk_ivfsq")
+      "x8_cosine_topk_ivfsq", "t17_bm25", "e19_gapfill",
+      "mm4_phash_neardup")
     for (q <- tail) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
@@ -145,5 +146,27 @@ object ScaleSweep {
     val kSmall = time(graft.mining.MiningOps.kmeans(p0, iters = 3).collect())
     val kBig = time(graft.mining.MiningOps.kmeans(p10, iters = 3).collect())
     println(f"[scalesweep] km1_kmeans(10x points)   sf0.1 $kSmall%6.1fs  sf1 $kBig%7.1fs  ratio ${kBig / kSmall}%5.1f")
+    // pr3 on 10 SHIFTED copies of the co-purchase edge list — plain fact
+    // duplication (the $Out lineitem) would DENSIFY the graph instead:
+    // degree ×10 ⇒ wedges ×100, a different asymptotic object than
+    // corpus growth. Shifted copies grow nodes+edges at constant degree,
+    // the realistic direction; 12M edges also overflow the broadcast cap,
+    // so this measures the shuffle-closure fallback path.
+    val items0 = Tables.lineitem(s, Src)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val ec0 = items0.as("a").join(items0.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint(true)
+    val cSpan = ec0.agg(greatest(max(col("u")), max(col("v")))).head()
+      .getLong(0) + 1L
+    val ec10 = (0 until Copies).map(k =>
+        ec0.select((col("u") + lit(k * cSpan)).as("u"),
+          (col("v") + lit(k * cSpan)).as("v")))
+      .reduce(_ unionByName _)
+    val tSmall = time(graft.mining.MiningOps.triangleCount(ec0).collect())
+    val tBig = time(graft.mining.MiningOps.triangleCount(ec10).collect())
+    println(f"[scalesweep] pr3_triangles(10x edges) sf0.1 $tSmall%6.1fs  sf1 $tBig%7.1fs  ratio ${tBig / tSmall}%5.1f")
   }
 }
