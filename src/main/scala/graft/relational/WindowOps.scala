@@ -100,8 +100,46 @@ object WindowOps {
       |               ORDER BY o_totalprice DESC, o_orderkey)
       |) WHERE dr <= 50 ORDER BY o_orderstatus, dr, o_orderkey""".stripMargin
 
+  // ---- W5: top-k per group as a bounded-state AGGREGATE ------------------
+  /** Same result contract as w1 (top-3 orders per customer, w1's exact
+    * tie rule), but computed by the custom `topk_pairs_k`
+    * TypedImperativeAggregate ([[graft.functions.TopKPairsAgg]]) instead
+    * of sort + row_number: an aggregate with bounded per-group state gets
+    * Spark's partial/final split for free, so each map partition ships at
+    * most k rows per group into the exchange — w1's window form shuffles
+    * and sorts EVERY row. At 100 TB that is the difference between
+    * shuffling the fact table and shuffling k·groups slivers; locally the
+    * plan shows `partial_topk_pairs_3` under ObjectHashAggregate
+    * (spec-asserted). Money ranks as exact cents (Det doctrine); the
+    * cents↔totalprice order is identical because prices are 2-decimal
+    * doubles.
+    */
+  private def w5TopKAgg(s: SparkSession, d: String): DataFrame = {
+    val fn = graft.functions.TopKPairsAgg.ensure(s, 3)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(call_function(fn, col("cents"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"),
+        posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+        col("kv.payload").as("o_orderkey"), col("kv.key").as("price_cents"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val w5Sql =
+    """SELECT o_custkey, rn, o_orderkey, price_cents FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "w1_topk_per_group" -> Q(w1TopKPerGroup, Some(w1Sql)),
+    "w5_topk_agg"       -> Q(w5TopKAgg, Some(w5Sql)),
     "w4_rank_family"    -> Q(w4RankFamily, Some(w4Sql)),
     "w2_running_sum"    -> Q(w2RunningSum, Some(w2Sql)),
     "w3_lag_delta"      -> Q(w3LagDelta, Some(w3Sql)),
