@@ -70,7 +70,74 @@ object Scd {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_from)
       |ORDER BY o_custkey, effective_from""".stripMargin
 
+  // ---- CDC2: SCD type-1 MERGE (upsert + delete) --------------------------
+  /** The batch MERGE INTO shape — base dimension ⟕⟖ change batch on the
+    * key, with the three-way action logic every CDC sink executes:
+    * matched+D drops the row, matched+U (or an unmatched U — upsert
+    * semantics) takes the new value, unmatched base rows carry forward.
+    * Spark has no MERGE INTO against raw parquet, so the full-outer-join
+    * + conditional projection IS the engine-level plan a table format
+    * (Delta/Iceberg) would generate; expressing it directly keeps the
+    * semantics under the oracle.
+    *
+    * Scale: ONE shuffle keyed by the dimension key on each side (the
+    * change batch pre-aggregates to one row per key with map-side
+    * partials first). No windows, no skew risk beyond the key itself; a
+    * production target would be bucketed on the key (j6's layout) making
+    * the merge exchange-free. All values are exact integer cents.
+    */
+  def scd1Merge(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("k").as("c_custkey"),
+        when(col("op").isNull, "kept")
+          .when(col("bal").isNull, "inserted")
+          .otherwise("updated").as("action"),
+        when(col("op").isNull, col("bal")).otherwise(col("val"))
+          .as("bal_cents"))
+      .orderBy(col("c_custkey"))
+
+  private def cdc2Scd1(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"))
+    val chg0 = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("val"))
+      .select(col("k"),
+        when(col("k") % 17 === 0, "D").otherwise("U").as("op"), col("val"))
+    val chg = chg0.unionByName(
+      chg0.filter(col("k") % 29 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+          col("val")))
+    scd1Merge(base, chg)
+  }
+
+  private val cdc2Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 17 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val
+      |  FROM orders GROUP BY o_custkey),
+      |chg AS (
+      |  SELECT k, op, val FROM chg0
+      |  UNION ALL
+      |  SELECT k + 10000000, 'I', val FROM chg0 WHERE k % 29 = 0)
+      |SELECT COALESCE(b.k, c.k) AS c_custkey,
+      |  CASE WHEN c.op IS NULL THEN 'kept'
+      |       WHEN b.bal IS NULL THEN 'inserted'
+      |       ELSE 'updated' END AS action,
+      |  CASE WHEN c.op IS NULL THEN b.bal ELSE c.val END AS bal_cents
+      |FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "cdc1_scd2_history" -> Q(cdc1Scd2, Some(cdc1Sql)),
+    "cdc2_scd1_merge"   -> Q(cdc2Scd1, Some(cdc2Sql)),
   )
 }

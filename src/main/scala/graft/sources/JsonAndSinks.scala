@@ -194,11 +194,65 @@ object JsonAndSinks {
        |FROM supplier WHERE s_acctbal > 0.0
        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ---- S15: dynamic partition overwrite ----------------------------------
+  private val dynDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** S15: `partitionOverwriteMode=dynamic` — the in-place partition
+    * replacement every incremental lakehouse load relies on. Phase 1
+    * lands the full events table partitioned by event_type; phase 2
+    * overwrites ONLY the partitions present in a corrective batch (the
+    * 'click' partition, refiltered to value > 50) while every other
+    * partition must survive untouched. Under the default STATIC mode
+    * phase 2 would have dropped the four other partitions entirely — the
+    * oracle (original counts for non-click types, filtered counts +
+    * exact decimal sums for click) fails loudly in that world, so the
+    * overwrite SEMANTICS are what's gated, not just the write API.
+    *
+    * Scale: dynamic overwrite commits per-partition — the rewrite cost
+    * is proportional to the CHANGED partitions, not the table; that is
+    * the entire point at 100 TB where a daily correction touches one of
+    * thousands of date partitions. The conf is scoped-and-restored
+    * around the one write that needs it (the e9 state-partition
+    * discipline). Landed once per source version; reps measure the
+    * read-back aggregate.
+    */
+  private def s15DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = tempLandingDir(dynDirs, mtimeKey(d, "events") + "|dyn",
+      "graft_dynover")
+    val done = dir.resolve("_GRAFT_DYN_DONE")
+    if (!java.nio.file.Files.exists(done)) {
+      val ev = Tables.events(s, d)
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try ev.filter(col("event_type") === "click" && col("value") > 50.0)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(dir.toString)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      java.nio.file.Files.createFile(done)
+    }
+    s.read.parquet(dir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val s15Sql =
+    s"""WITH eff AS (
+       |  SELECT * FROM events
+       |  WHERE event_type <> 'click' OR value > CAST(50.0 AS DOUBLE))
+       |SELECT event_type, COUNT(*) AS n,
+       |  ${graft.util.Det.sqlDsum("value")} AS sum_value
+       |FROM eff GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s6_json_extract"     -> Q(s6JsonExtract, Some(s6Sql)),
     "s7_partitioned_sink" -> Q(s7PartitionedSink, Some(s7Sql)),
     "s9_orc_roundtrip"    -> Q(s9OrcRoundtrip, Some(s9Sql)),
     "s10_schema_merge"    -> Q(s10SchemaMerge, Some(s10Sql)),
     "s14_xml_roundtrip"   -> Q(s14XmlRoundtrip, Some(s14Sql)),
+    "s15_dynamic_overwrite" -> Q(s15DynamicOverwrite, Some(s15Sql)),
   )
 }

@@ -191,4 +191,15 @@ class WarehouseOpsSpec extends SparkSpec {
     val r = ext.EventOps.funnelCounts(ev).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 1L, 1L)))
   }
+
+  test("cdc2: merge actions — delete drops, update wins, insert lands, " +
+      "absent-key delete no-ops") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "bal")
+    val chg = Seq((1L, "D", 99L), (2L, "U", 200L), (4L, "I", 400L),
+      (5L, "D", 500L)).toDF("k", "op", "val")
+    val out = relational.Scd.scd1Merge(base, chg).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((2L, "updated", 200L), (3L, "kept", 30L),
+      (4L, "inserted", 400L)))
+  }
 }
