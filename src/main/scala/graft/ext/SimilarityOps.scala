@@ -154,6 +154,12 @@ object SimilarityOps {
     */
   private[graft] val X2ProbeFlips = 3
 
+  /** x10b recall floor — RecallProbe aggregate 0.66/0.78 at the two SFs
+    * with the 2× filtered-probe widening (0.38/0.36 without it), minus
+    * the 0.13 regen slack (CLAUDE.md discipline).
+    */
+  private[graft] val X10bFloor = 0.50
+
   private[graft] def x2LshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     lshTopK(emb, emb.filter(col("vec_id") < 5), 10, bits = 4,
@@ -744,11 +750,28 @@ object SimilarityOps {
       graft.util.Landing.planVersionKey(corpus) + s"|sample:$fitSample")(
       unitSample(corpus, fitSample))
 
+  /** With `matchLabel = true` the candidate set is additionally
+    * restricted to corpus rows sharing the query's `label` — filtered
+    * vector search, the metadata-predicate + top-k shape every vector
+    * store serves. The filter applies AT THE PROBE JOIN (before any
+    * scoring), so non-matching candidates in a probed cell cost nothing
+    * but the hash lookup; the index itself is label-agnostic (one IVF
+    * serves every predicate — the post-filter strategy; per-label
+    * partitioned indexes are the 100 TB alternative when one label
+    * dominates the query mix).
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 0, nProbe: Int = 0, fitSample: Int = 0): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 0, fitSample: Int = 0,
+      matchLabel: Boolean = false): DataFrame = {
     val s = corpus.sparkSession
-    val (cells, probe) = ivfGeometry(
+    val (cells, probe0) = ivfGeometry(
       if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
+    // Selectivity-aware probe widening (the ACORN insight): a filter
+    // that keeps 1/|labels| of each cell starves the candidate pool, so
+    // filtered search probes deeper — scoring cost stays (probed
+    // fraction)/|labels|, still far under the plain-IVF budget, and
+    // recall recovers (measured 0.36→0.56+ at 2×).
+    val probe = if (matchLabel) math.min(cells, probe0 * 2) else probe0
     // Direction cells suit the cosine metric, and argmax-dot assignment
     // is scale-invariant, so raw embeddings need no normalize pass.
     val sampleUnit = memoUnitSample(corpus, ivfFitSample(fitSample, cells))
@@ -757,29 +780,34 @@ object SimilarityOps {
       math.min(cells, sampleUnit.length), 5)
     // argmax dot is scale-invariant, so assignment runs on the raw
     // embedding (single struct use — getField directly)
+    val cLabel = if (matchLabel) Seq(col("label").as("c_label")) else Nil
     val assigned = corpus
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      .select(Seq(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         VecOps.fnorm(s, col("embedding")).as("c_norm"),
         VecOps.centroidArgmax(s, col("embedding"), cents)
-          .getField("cell").as("cell"))
+          .getField("cell").as("cell")) ++ cLabel: _*)
 
     // query → its nProbe nearest cells, via distance to the centroid table
     // (tiny: nCells rows, crossJoin + top-k window)
     import s.implicits._
     val centDf = cents.toIndexedSeq.map(_.toSeq).zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-    val q = withNorm(s, queries, "q")
+    val qLabel = if (matchLabel) Seq(col("label").as("q_label")) else Nil
+    val q = queries.select(Seq(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      VecOps.fnorm(s, col("embedding")).as("q_norm")) ++ qLabel: _*)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist"), col("cell"))
     val probes = q.crossJoin(broadcast(centDf))
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"),
-        (-VecOps.fdot(s, col("q_emb"), col("centroid"))).as("cdist"))
+      .withColumn("cdist", -VecOps.fdot(s, col("q_emb"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= probe)
-      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
+      .drop("cdist", "pr", "centroid")
 
+    val matchCond =
+      if (matchLabel) col("q_label") === col("c_label") else lit(true)
     val scored = assigned.join(broadcast(probes), "cell")
-      .filter(col("q_id") =!= col("c_id"))
+      .filter(col("q_id") =!= col("c_id") && matchCond)
       .select(col("q_id"), col("c_id"),
         (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
           (col("q_norm") * col("c_norm"))).as("sim"))
@@ -1123,8 +1151,105 @@ object SimilarityOps {
       |         AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---- X10: metadata-filtered vector search ------------------------------
+  /** Exact filtered top-k: candidates restricted to rows sharing the
+    * query's label — the metadata-predicate + ANN shape every vector
+    * store serves (filtered search). The predicate is an EQUI-join
+    * condition, so the broadcast hash join prunes non-matching
+    * candidates before any dot product is computed; at 100 TB the same
+    * plan holds with the label as a partition/bucket column and the scan
+    * pruned to matching partitions.
+    */
+  def filteredBruteTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val s = corpus.sparkSession
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      VecOps.fnorm(s, col("embedding")).as("q_norm"),
+      col("label").as("q_label"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"),
+      VecOps.fnorm(s, col("embedding")).as("c_norm"),
+      col("label").as("c_label"))
+    val scored = c.join(broadcast(q),
+        col("q_label") === col("c_label") && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("q_label").as("label"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def x10FilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    filteredBruteTopK(emb, emb.filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("label"), col("c_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val x10Sql =
+    """WITH q AS (SELECT vec_id AS q_id, label,
+      |            CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS c_id, label,
+      |        CAST(embedding AS DOUBLE[]) AS c_emb
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT q.q_id, q.label, c.c_id,
+      |    list_cosine_similarity(q_emb, c_emb) AS raw
+      |  FROM q JOIN c ON q.label = c.label AND q.q_id <> c.c_id),
+      |ranked AS (
+      |  SELECT q_id, label, c_id, raw,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY raw DESC, c_id) AS "rank"
+      |  FROM scored)
+      |SELECT q_id, "rank", label, c_id, round(raw, 6) AS sim
+      |FROM ranked WHERE "rank" <= 10 ORDER BY q_id, "rank"""".stripMargin
+
+  /** x10b: the same filtered search through the IVF index (post-filter
+    * strategy — one label-agnostic index serves every predicate; the
+    * filter prunes candidates at the probe join). Registered as a
+    * bounded recall gate against the exact filtered top-k: filtering
+    * cuts per-cell candidate counts ~|labels|-fold, so recall at a fixed
+    * probe fraction is the number under test, not an afterthought.
+    * Floors (measured via RecallProbe, regen slack −0.13): see the
+    * floors block above [[x2Gate]].
+    */
+  private def x10bGate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    recallGate(
+      ivfTopK(emb, q5, 10, matchLabel = true),
+      memoExact(s, d, "probe5k10filt")(filteredBruteTopK(emb, q5, 10)),
+      X10bFloor)
+  }
+
+  private val x10bGateSql =
+    """WITH q AS (SELECT vec_id AS q_id, label,
+      |            CAST(embedding AS DOUBLE[]) AS q_emb
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS c_id, label,
+      |        CAST(embedding AS DOUBLE[]) AS c_emb
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT q.q_id, c.c_id,
+      |    list_cosine_similarity(q_emb, c_emb) AS raw
+      |  FROM q JOIN c ON q.label = c.label AND q.q_id <> c.c_id),
+      |ranked AS (
+      |  SELECT q_id, raw,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY raw DESC, c_id) AS rn
+      |  FROM scored)
+      |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+      |  round(min(raw), 6) AS kth_sim, TRUE AS recall_ok
+      |FROM ranked WHERE rn <= 10 GROUP BY q_id ORDER BY q_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
+    "x10_filtered_topk"    -> Q(x10FilteredTopK, Some(x10Sql)),
+    "x10b_filtered_ivf"    -> Q(x10bGate, Some(x10bGateSql)),
     "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2Gate, Some(annGateSql(10))),
     "x7_knn_join"          -> Q(x7Gate, Some(x7GateSql)),

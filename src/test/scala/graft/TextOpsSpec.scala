@@ -105,6 +105,26 @@ class TextOpsSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall $recall too low")
   }
 
+  test("x10: filtered search never crosses labels, exact or through the IVF") {
+    val emb = Tables.embeddings(spark, Sf0001).cache()
+    val q = emb.filter(col("vec_id") < 10)
+    val lab = emb.select(col("vec_id"), col("label"))
+    def crossLabel(df: org.apache.spark.sql.DataFrame): Long = df
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("ql")), "q_id")
+      .join(lab.select(col("vec_id").as("c_id"), col("label").as("cl")), "c_id")
+      .filter(col("ql") =!= col("cl")).count()
+    val exact = SimilarityOps.filteredBruteTopK(emb, q, 5)
+    val ivf = SimilarityOps.ivfTopK(emb, q, 5, matchLabel = true)
+    assert(crossLabel(exact.select("q_id", "c_id")) === 0)
+    assert(crossLabel(ivf.select("q_id", "c_id")) === 0)
+    // the filtered index keeps useful recall vs the filtered exact
+    val ex = exact.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ap = ivf.select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ex & ap).size.toDouble / ex.size > 0.3)
+  }
+
   test("t17: BM25 matches the hand-computed formula on a tiny corpus") {
     import spark.implicits._
     // 3 docs, all length 4 → avgdl = 4, length norm = 1.0 everywhere

@@ -34,6 +34,13 @@ object RecallProbe {
           (exact.filter(_._1 == q) & ap).size / 10.0)
         println(s"[recall] $dir $nm per-query: ${per.mkString(", ")}")
       }
+      // x10b: filtered search through the IVF index vs exact filtered
+      val exF = filteredBruteTopK(emb, q5, 10).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val apF = ivfTopK(emb, q5, 10, matchLabel = true).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] $dir x10b aggregate: ${(exF & apF).size.toDouble / exF.size}%.4f" +
+        s" per-query: ${(0L until 5L).map(q => (exF.filter(_._1 == q) & apF).size.toDouble / math.max(1, exF.count(_._1 == q))).mkString(", ")}")
       val exall = bruteForceTopK(emb, emb, 3).select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val kj = knnJoin(emb, 3).select("q_id", "c_id")
