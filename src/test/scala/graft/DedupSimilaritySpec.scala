@@ -267,6 +267,51 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d11: semantic dedup labels every vector, edges share a keeper, " +
+      "keepers are component minima") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val edges = SimilarityOps.cosinePairsExact(emb, 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val res = SparkEntry.queries("d11_semdedup")(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    val rep = res.map { case (id, (rp, _)) => id -> rp }.toMap
+    // total: every corpus vector gets a decision row
+    assert(res.length === emb.count())
+    // kept ⇔ self-representative, and a keeper's rep is itself
+    res.foreach { case (id, (rp, kept)) =>
+      assert(kept === (id == rp))
+      assert(rp <= id)
+      assert(rep(rp) === rp, s"rep of keeper $rp must be itself")
+    }
+    // the collapse is consistent with the pair graph: both endpoints of
+    // every above-threshold edge map to one keeper
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(rep(a) === rep(b), s"edge ($a,$b) split across components")
+    }
+  }
+
+  test("x11: empty delta reduces to the plain IVF; un-refitted delta " +
+      "rows are searchable") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val none = emb.filter(col("vec_id") < 0)
+    // same base count → same auto geometry; same deterministic fit sample
+    // → identical centroids → identical search
+    assert(keys(SimilarityOps.ivfTopKIncremental(emb, none, q5, 10)) ===
+      keys(SimilarityOps.ivfTopK(emb, q5, 10)))
+    // the registered 90/10 split: delta members must be reachable through
+    // the base-fitted cells (the whole point of incremental maintenance)
+    val inc = keys(SimilarityOps.ivfTopKIncremental(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), q5, 10))
+    assert(inc.exists { case (_, c) => c % 10 == 0 },
+      "no delta vector ever surfaced in the top-k")
+  }
+
   test("SQ8 kernels: quantization round-trip error bounded, qdot matches") {
     import graft.functions.VecKernels
     import org.apache.spark.sql.catalyst.util.GenericArrayData

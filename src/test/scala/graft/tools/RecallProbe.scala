@@ -27,7 +27,9 @@ object RecallProbe {
           "x4" -> ivfTopK(emb, q5, 10),
           "x5" -> sq8TopK(emb, q5, 10),
           "x8" -> ivfSq8TopK(emb, q5, 10),
-          "x9" -> pqTopK(emb, q5, 10))) {
+          "x9" -> pqTopK(emb, q5, 10),
+          "x11" -> ivfTopKIncremental(emb.filter(col("vec_id") % 10 =!= 0),
+            emb.filter(col("vec_id") % 10 === 0), q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val per = (0L until 5L).map(q =>
