@@ -286,6 +286,15 @@ object SimilarityOps {
       ivfTopKIncremental(emb.filter(col("vec_id") % 10 =!= 0),
         emb.filter(col("vec_id") % 10 === 0), q5, 10))
 
+  /** x12's registered shape serves the same search as x4 but through the
+    * LANDED partition-pruned index — identical fit, geometry, and
+    * candidates (spec-asserted), so the floor is x4's 0.37; the gate here
+    * guards the serve path (a pruning bug that drops cells is a recall
+    * collapse the flag catches).
+    */
+  private def x12Gate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, 0.37)((emb, q5) => ivfPersistedTopK(s, d, q5, 10))
+
   /** x7's gate samples 100 queries by the m3 md5 rank (engine-portable,
     * so DuckDB derives the identical sample) and measures the kNN join's
     * recall against exact top-3 on that sample.
@@ -725,6 +734,68 @@ object SimilarityOps {
       |FROM embeddings v LEFT JOIN rep ON rep.id = v.vec_id
       |ORDER BY v.vec_id""".stripMargin
 
+  // ---- KM2: spherical k-means over the embedding corpus ------------------
+  /** Corpus clustering for curation — the step SemDeDup/mixture analysis
+    * runs BEFORE dedup or sampling: spherical (cosine) k-means, k = 8,
+    * fitted on the same bounded deterministic unit sample the IVF
+    * quantizer uses (shared memo family — one fit pass serves both),
+    * assignment one codegen argmax per row (map-only, the corpus never
+    * shuffles anything wider than (cluster, sims)). Per-vector frame for
+    * specs and downstream ops via [[km2Assigned]]; the REGISTERED shape
+    * is a bounded gate (the a7/a10 discipline): one row with an exact
+    * payload DuckDB recomputes (n, dim) plus flags —
+    *  - `argmax_gain_ok`: mean similarity-to-ASSIGNED-centroid ≥ the best
+    *    single-centroid mean. Mean-of-max ≥ max-of-means holds
+    *    mathematically, so the flag is deterministic truth; it flips on
+    *    an assignment bug (argmax broken, cluster column scrambled), not
+    *    on data drift.
+    *  - `multi_cluster`: ≥ 2 non-empty clusters — collapse detector.
+    */
+  private val Km2K = 8
+
+  private[graft] def km2Assigned(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, _) = ivfGeometry(memoCount(emb), 0, 0)
+    val sampleUnit = memoUnitSample(emb, ivfFitSample(0, cells))
+    require(sampleUnit.nonEmpty, s"empty embedding corpus at $d")
+    val cents = sphericalLloyd(sampleUnit,
+      math.min(Km2K, sampleUnit.length), 5)
+    val st = VecOps.centroidArgmax(s, col("embedding"), cents)
+    val norm = VecOps.fnorm(s, col("embedding"))
+    val simJ = cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      (VecOps.fdot(s, col("embedding"), typedLit(c.toSeq)) / norm)
+        .as(s"sim_$j")
+    }
+    emb.select(Seq(col("vec_id"), size(col("embedding")).as("dim"),
+      st.getField("cell").as("cluster"),
+      (st.getField("best") / norm).as("a_sim")) ++ simJ: _*)
+  }
+
+  private def km2Gate(s: SparkSession, d: String): DataFrame = {
+    val assigned = km2Assigned(s, d)
+    val nSim = assigned.columns.count(_.startsWith("sim_"))
+    val g = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("sz"),
+      Seq(sum(col("a_sim")).as("ssim"), max(col("dim")).as("dim")) ++
+        (0 until nSim).map(j => sum(col(s"sim_$j")).as(s"s_$j")): _*)
+    val bestSingle = greatest(
+      (0 until nSim).map(j => sum(col(s"s_$j")) / sum(col("sz"))): _*)
+    g.agg(sum(col("sz")).as("_n"), max(col("dim")).as("_dim"),
+        (sum(col("ssim")) / sum(col("sz"))).as("_ma"),
+        bestSingle.as("_bs"), count(lit(1)).as("_k"))
+      .select(col("_n").as("n"), col("_dim").as("dim"),
+        lit(Km2K).as("k"),
+        (col("_ma") >= col("_bs") - lit(1e-9)).as("argmax_gain_ok"),
+        (col("_k") >= 2).as("multi_cluster"))
+  }
+
+  private val km2Sql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(max(len(embedding)) AS INTEGER) AS dim,
+       |  CAST($Km2K AS INTEGER) AS k,
+       |  TRUE AS argmax_gain_ok, TRUE AS multi_cluster
+       |FROM embeddings""".stripMargin
+
   /** IVF (inverted-file) ANN: KMeans coarse quantizer over the corpus;
     * each query probes the nProbe nearest centroids and exact-reranks only
     * those cells. The scale path when the LSH bucket distribution is too
@@ -898,9 +969,16 @@ object SimilarityOps {
         VecOps.fnorm(s, col("embedding")).as("c_norm"),
         VecOps.centroidArgmax(s, col("embedding"), cents)
           .getField("cell").as("cell")) ++ cLabel: _*)
+    rerankProbed(s, assigned,
+      queryProbes(s, queries, cents, probe, matchLabel), k, matchLabel)
+  }
 
-    // query → its nProbe nearest cells, via distance to the centroid table
-    // (tiny: nCells rows, crossJoin + top-k window)
+  /** Query → its nProbe nearest cells, via distance to the centroid table
+    * (tiny: nCells rows, crossJoin + top-k window).
+    */
+  private def queryProbes(s: SparkSession, queries: DataFrame,
+      cents: Array[Array[Float]], probe: Int,
+      matchLabel: Boolean): DataFrame = {
     import s.implicits._
     val centDf = cents.toIndexedSeq.map(_.toSeq).zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
@@ -910,12 +988,18 @@ object SimilarityOps {
       VecOps.fnorm(s, col("embedding")).as("q_norm")) ++ qLabel: _*)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cdist"), col("cell"))
-    val probes = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("cdist", -VecOps.fdot(s, col("q_emb"), col("centroid")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= probe)
       .drop("cdist", "pr", "centroid")
+  }
 
+  /** Probe join + exact rerank shared by the in-memory and persisted
+    * index paths: `assigned` carries (c_id, c_emb, c_norm, cell).
+    */
+  private def rerankProbed(s: SparkSession, assigned: DataFrame,
+      probes: DataFrame, k: Int, matchLabel: Boolean): DataFrame = {
     val matchCond =
       if (matchLabel) col("q_label") === col("c_label") else lit(true)
     val scored = assigned.join(broadcast(probes), "cell")
@@ -925,6 +1009,78 @@ object SimilarityOps {
           (col("q_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // ---- X12: persisted IVF index (partition-pruned serve path) ------------
+  /** One landed index dir per embeddings VERSION (the stagedDirs /
+    * Compaction discipline): on insert, superseded versions of the same
+    * source evict and their dirs delete eagerly — a mid-JVM regen must
+    * not leave the old layout on disk for the session's life.
+    */
+  private val indexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def landedIndexDir(s: SparkSession, d: String,
+      cents: Array[Array[Float]]): String = {
+    val key = graft.util.Landing.mtimeKey(d, "embeddings") + "|ivfidx"
+    indexDirs.getOrElseUpdate(key, {
+      val fam = graft.util.Landing.frameFamily(key)
+      indexDirs.keySet
+        .filter(k2 => k2 != key && graft.util.Landing.frameFamily(k2) == fam)
+        .foreach { k2 =>
+          indexDirs.remove(k2).foreach { p =>
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverseIterator
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      val dir = graft.util.Landing.tempDirOnce("graft_ivfidx")
+      Tables.embeddings(s, d)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          VecOps.fnorm(s, col("embedding")).as("c_norm"),
+          VecOps.centroidArgmax(s, col("embedding"), cents)
+            .getField("cell").as("cell"))
+        // one shuffle at BUILD time so each cell lands as one file run,
+        // not one fragment per writer task (the compaction posture)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(dir.toString)
+      dir
+    }).toString
+  }
+
+  /** X12: the index ON DISK — cell assignments landed once per corpus
+    * version as a `partitionBy(cell)` parquet layout, so the serve path
+    * is a PARTITION-PRUNED SCAN of the probed cells plus the exact
+    * rerank; the corpus is never rescanned or reshuffled per query
+    * batch. The probed cell set is driver-known (it falls out of the
+    * centroid table, ≤1024 rows), so pruning is a static
+    * `cell IN (...)` partition filter — visible in the scan's
+    * PartitionFilters (spec-asserted), the same mechanism that serves a
+    * 100 TB corpus by reading nProbe/nCells of its files and skipping
+    * the rest at the FILE LISTING level, before any I/O. Same fit, same
+    * geometry, same candidates as x4's in-memory path (spec-asserted
+    * identical); build cost is amortized across the JVM like j6's
+    * bucketed landing — rep 1 pays the write, steady state measures the
+    * pruned scan.
+    */
+  def ivfPersistedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, probe) = ivfGeometry(memoCount(emb), 0, 0)
+    val sampleUnit = memoUnitSample(emb, ivfFitSample(0, cells))
+    if (sampleUnit.isEmpty) return bruteForceTopK(emb, queries, k)
+    val cents = sphericalLloyd(sampleUnit,
+      math.min(cells, sampleUnit.length), 5)
+    val landed = s.read.parquet(landedIndexDir(s, d, cents))
+    val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    rerankProbed(s,
+      landed.filter(col("cell").isin(probedCells: _*)),
+      probes, k, matchLabel = false)
   }
 
   /** x4's registered shape runs the AUTO geometry ([[ivfGeometry]]) —
@@ -1369,6 +1525,8 @@ object SimilarityOps {
     "d11_semdedup"         -> Q(d11SemDedup, Some(d11Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x11_ivf_incremental"  -> Q(x11Gate, Some(annGateSql(10))),
+    "x12_ivf_persisted"    -> Q(x12Gate, Some(annGateSql(10))),
+    "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),

@@ -312,6 +312,65 @@ class DedupSimilaritySpec extends SparkSpec {
       "no delta vector ever surfaced in the top-k")
   }
 
+  test("x12: persisted IVF ≡ in-memory IVF; serve path partition-prunes " +
+      "the landed scan") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical fit → identical geometry → identical candidate set
+    assert(keys(SimilarityOps.ivfPersistedTopK(spark, Sf0001, q5, 10)) ===
+      keys(SimilarityOps.ivfTopK(emb, q5, 10)))
+    // one query probes nProbe of nCells cells: the landed scan must carry
+    // a static cell IN (...) PARTITION filter and read only those cells
+    // (AQE scoped off so the executed scan stays traversable)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = SimilarityOps.ivfPersistedTopK(
+        spark, Sf0001, emb.filter(col("vec_id") === 0), 10)
+      one.collect()
+      val idx = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(idx.nonEmpty, "landed scan carries no partition filter")
+      val read = idx.map(_.metrics("numOutputRows").value).sum
+      assert(read > 0 && read < emb.count(),
+        s"pruned scan should read a strict subset of the corpus ($read rows)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("km2: every vector assigned to its argmax centroid; gate payload " +
+      "exact and flags true") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val a = SimilarityOps.km2Assigned(spark, Sf0001)
+    assert(a.count() === emb.count())
+    // per-row argmax property: assigned sim is the max over all centroid
+    // sims (same double accumulation order in both kernels; tolerance
+    // covers the division-by-norm reassociation only)
+    val simCols = a.columns.filter(_.startsWith("sim_"))
+    a.collect().foreach { r =>
+      val aSim = r.getDouble(r.fieldIndex("a_sim"))
+      val best = simCols.map(c => r.getDouble(r.fieldIndex(c))).max
+      assert(aSim >= best - 1e-9, s"row ${r.getLong(0)}: $aSim < $best")
+    }
+    // deterministic: the fit sample and Lloyd are pure functions of the
+    // corpus version, so two runs agree exactly
+    val c1 = a.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val c2 = SimilarityOps.km2Assigned(spark, Sf0001)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(c1 === c2)
+    val row = SparkEntry.queries("km2_embedding_kmeans")(spark, Sf0001)
+      .collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(row(0).fieldIndex("n")) === emb.count())
+    assert(row(0).getBoolean(row(0).fieldIndex("argmax_gain_ok")))
+    assert(row(0).getBoolean(row(0).fieldIndex("multi_cluster")))
+  }
+
   test("SQ8 kernels: quantization round-trip error bounded, qdot matches") {
     import graft.functions.VecKernels
     import org.apache.spark.sql.catalyst.util.GenericArrayData
