@@ -559,7 +559,13 @@ object SimilarityOps {
     // the corpus is big enough to need it.
     if (sample.length < fitSample)
       return simPairs(side(unit, "a").join(broadcast(side(unit, "b"))))
-    val cents = sphericalLloyd(sample, math.min(nCells, sample.length), 5)
+    // the sample collect doubles as the size probe above, so it stays
+    // per-call; the Lloyd fit over it is deterministic per corpus version
+    // and memoizes like the IVF quantizer fits
+    val cents = memoVersioned(fitCents,
+      graft.util.Landing.planVersionKey(corpus) +
+        s"|centspairs:c$nCells:f$fitSample")(
+      sphericalLloyd(sample, math.min(nCells, sample.length), 5))
     val k = cents.length
     // struct evaluated once per row (two-step select), then split into
     // cell + bound distance
@@ -756,10 +762,8 @@ object SimilarityOps {
   private[graft] def km2Assigned(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val (cells, _) = ivfGeometry(memoCount(emb), 0, 0)
-    val sampleUnit = memoUnitSample(emb, ivfFitSample(0, cells))
-    require(sampleUnit.nonEmpty, s"empty embedding corpus at $d")
-    val cents = sphericalLloyd(sampleUnit,
-      math.min(Km2K, sampleUnit.length), 5)
+    val cents = memoCentroids(emb, ivfFitSample(0, cells), Km2K)
+    require(cents.nonEmpty, s"empty embedding corpus at $d")
     val st = VecOps.centroidArgmax(s, col("embedding"), cents)
     val norm = VecOps.fnorm(s, col("embedding"))
     val simJ = cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
@@ -778,13 +782,19 @@ object SimilarityOps {
       count(lit(1)).as("sz"),
       Seq(sum(col("a_sim")).as("ssim"), max(col("dim")).as("dim")) ++
         (0 until nSim).map(j => sum(col(s"sim_$j")).as(s"s_$j")): _*)
-    val bestSingle = greatest(
-      (0 until nSim).map(j => sum(col(s"s_$j")) / sum(col("sz"))): _*)
+    // greatest() requires ≥ 2 args — a degenerate single-centroid fit
+    // (one usable sample vector) falls back to that centroid's mean.
+    // `k` reports the FITTED centroid count (= nSim); on every real
+    // corpus the sample covers Km2K so the oracle's literal holds.
+    val bestSingle =
+      if (nSim == 1) sum(col("s_0")) / sum(col("sz"))
+      else greatest(
+        (0 until nSim).map(j => sum(col(s"s_$j")) / sum(col("sz"))): _*)
     g.agg(sum(col("sz")).as("_n"), max(col("dim")).as("_dim"),
         (sum(col("ssim")) / sum(col("sz"))).as("_ma"),
         bestSingle.as("_bs"), count(lit(1)).as("_k"))
       .select(col("_n").as("n"), col("_dim").as("dim"),
-        lit(Km2K).as("k"),
+        lit(nSim).as("k"),
         (col("_ma") >= col("_bs") - lit(1e-9)).as("argmax_gain_ok"),
         (col("_k") >= 2).as("multi_cluster"))
   }
@@ -862,7 +872,8 @@ object SimilarityOps {
     * and their recall gates hit the same keys, so a Verify/Bench run fits
     * each corpus once. Values are deterministic, so memoization is
     * value-transparent; payload is bounded (count: 8 bytes; sample:
-    * ≤16k × 64-float unit vectors ≈ 4 MB) and one version per family
+    * ≤16k × 64-float unit vectors ≈ 4 MB; centroids ≤ 1024×64 floats
+    * ≈ 256 KB; PQ books m×ks sub-centroids) and one version per family
     * stays cached — a regenerated corpus evicts the superseded entry
     * (the frameLanding discipline); different corpora are different
     * families (the key's path segment survives numeric stripping).
@@ -871,6 +882,10 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[String, Long]
   private val fitSamples =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+  private val fitCents =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+  private val fitBooks =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
 
   private def memoVersioned[A](memo: scala.collection.concurrent.TrieMap[String, A],
       key: String)(build: => A): A = {
@@ -901,6 +916,28 @@ object SimilarityOps {
       graft.util.Landing.planVersionKey(corpus) + s"|sample:$fitSample$tag")(
       unitSample(corpus, fitSample))
 
+  /** FITTED centroids memoized per corpus version, completing the
+    * index-build memo chain (count → sample → centroids): the round-10
+    * state memoized the sample but re-ran the driver Lloyd at every call
+    * site — ~0.2-0.4 s single-threaded per query at the auto geometry and
+    * "a few seconds" PER CALL at the 1024-cell cap, where the `:813`
+    * scaladoc promises one-time. The fit is a deterministic function of
+    * the memoized sample and (k), so memoization stays value-transparent;
+    * `k` rides in the key's non-numeric family segment (`k$k` — km2's
+    * k=8 and x4's k=cells over one corpus are different families, they
+    * must not thrash-evict), and a regen still evicts via the standalone
+    * mtime segment. Payload ≤ 1024×64 floats ≈ 256 KB per family.
+    */
+  private def memoCentroids(corpus: DataFrame, fitSample: Int, k: Int,
+      tag: String = ""): Array[Array[Float]] = {
+    val sampleUnit = memoUnitSample(corpus, fitSample, tag)
+    if (sampleUnit.isEmpty) Array.empty
+    else memoVersioned(fitCents,
+      graft.util.Landing.planVersionKey(corpus) +
+        s"|cents:f$fitSample:k$k$tag")(
+      sphericalLloyd(sampleUnit, math.min(k, sampleUnit.length), 5))
+  }
+
   /** With `matchLabel = true` the candidate set is additionally
     * restricted to corpus rows sharing the query's `label` — filtered
     * vector search, the metadata-predicate + top-k shape every vector
@@ -924,10 +961,8 @@ object SimilarityOps {
     val probe = if (matchLabel) math.min(cells, probe0 * 2) else probe0
     // Direction cells suit the cosine metric, and argmax-dot assignment
     // is scale-invariant, so raw embeddings need no normalize pass.
-    val sampleUnit = memoUnitSample(corpus, ivfFitSample(fitSample, cells))
-    if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
-    val cents = sphericalLloyd(sampleUnit,
-      math.min(cells, sampleUnit.length), 5)
+    val cents = memoCentroids(corpus, ivfFitSample(fitSample, cells), cells)
+    if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
     ivfSearch(corpus, queries, k, cents, probe, matchLabel)
   }
 
@@ -944,12 +979,10 @@ object SimilarityOps {
   def ivfTopKIncremental(base: DataFrame, delta: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val (cells, probe) = ivfGeometry(memoCount(base, tag = ":base"), 0, 0)
-    val sampleUnit =
-      memoUnitSample(base, ivfFitSample(0, cells), tag = ":base")
-    if (sampleUnit.isEmpty)
+    val cents =
+      memoCentroids(base, ivfFitSample(0, cells), cells, tag = ":base")
+    if (cents.isEmpty)
       return bruteForceTopK(base.unionByName(delta), queries, k)
-    val cents = sphericalLloyd(sampleUnit,
-      math.min(cells, sampleUnit.length), 5)
     ivfSearch(base.unionByName(delta), queries, k, cents, probe)
   }
 
@@ -1070,10 +1103,8 @@ object SimilarityOps {
       k: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val (cells, probe) = ivfGeometry(memoCount(emb), 0, 0)
-    val sampleUnit = memoUnitSample(emb, ivfFitSample(0, cells))
-    if (sampleUnit.isEmpty) return bruteForceTopK(emb, queries, k)
-    val cents = sphericalLloyd(sampleUnit,
-      math.min(cells, sampleUnit.length), 5)
+    val cents = memoCentroids(emb, ivfFitSample(0, cells), cells)
+    if (cents.isEmpty) return bruteForceTopK(emb, queries, k)
     val landed = s.read.parquet(landedIndexDir(s, d, cents))
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
     val probedCells = probes.select(col("cell")).distinct()
@@ -1184,10 +1215,8 @@ object SimilarityOps {
     val s = corpus.sparkSession
     val (cells, probe) = ivfGeometry(
       if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
-    val sampleUnit = memoUnitSample(corpus, ivfFitSample(fitSample, cells))
-    if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
-    val cents = sphericalLloyd(sampleUnit,
-      math.min(cells, sampleUnit.length), 5)
+    val cents = memoCentroids(corpus, ivfFitSample(fitSample, cells), cells)
+    if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
     val qp = VecOps.qparams8(s, col("embedding"))
     val assigned = corpus.select(col("vec_id").as("c_id"),
       VecOps.fnorm(s, col("embedding")).as("c_norm"),
@@ -1282,7 +1311,12 @@ object SimilarityOps {
     val s = corpus.sparkSession
     val sampleUnit = memoUnitSample(corpus, fitSample)
     if (sampleUnit.isEmpty) return bruteForceTopK(corpus, queries, k)
-    val books = pqTrain(sampleUnit, m, ks, iters = 8)
+    // codebooks follow the centroid-memo discipline: deterministic on the
+    // memoized sample, fitted once per corpus version
+    val books = memoVersioned(fitBooks,
+      graft.util.Landing.planVersionKey(corpus) +
+        s"|pqbooks:m$m:ks$ks:f$fitSample")(
+      pqTrain(sampleUnit, m, ks, iters = 8))
     // encode on unit vectors: norm hoisted OUTSIDE the transform lambda
     // (interpreted-HOF doctrine), codes are one codegen kernel call
     val c = corpus
