@@ -154,11 +154,12 @@ object SimilarityOps {
     */
   private[graft] val X2ProbeFlips = 3
 
-  /** x10b recall floor — RecallProbe aggregate 0.66/0.78 at the two SFs
-    * with the 2× filtered-probe widening (0.38/0.36 without it), minus
-    * the 0.13 regen slack (CLAUDE.md discipline).
+  /** x10b recall floor — RecallProbe aggregate 0.80/0.84 at the two SFs
+    * with the 2× filtered-probe widening plus budgeted boundary spill
+    * (0.66/0.78 before spill, 0.38/0.36 unwidened), minus the 0.13 regen
+    * slack (CLAUDE.md discipline).
     */
-  private[graft] val X10bFloor = 0.50
+  private[graft] val X10bFloor = 0.67
 
   private[graft] def x2LshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -251,40 +252,63 @@ object SimilarityOps {
       memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)), floor)
   }
 
-  // Floors sit under the RecallProbe minima at sf0.01 AND sf0.1, with
-  // slack for the recall drift each driver testdata regeneration brings
-  // (2026-08-14 regen moved several aggregates by ~0.05 without any code
-  // change — floors must survive a regen, not just today's corpus):
-  // x2 measured 0.88/0.90 aggregate at 3-flip multi-probe (0.20-0.38
-  // single-probe, 0.68/0.60 at 2 flips — the 0.50 floor trips on a
-  // partial regression, not just collapse), x4/x8 0.50/0.62 at the
-  // round-10 AUTO geometry (≤25% of the corpus scanned — 5/23 cells at
-  // sf0.01, 11/45 at sf0.1; the old fixed 8-of-16 probe scanned HALF the
-  // corpus for 0.88/0.78 — recall bought by not pruning is not an index;
-  // floor 0.37 = 0.50 − 0.13 regen slack), x5 1.0 (floor 0.90), x9
-  // 1.0/0.82 at expand=32 (floor 0.55 — a PQ/ADC regression lands ≤0.2,
-  // drift observed ≲0.1), x7 0.84-0.86 (floor 0.60).
+  // Floor discipline (one constant NEXT to each gate, measured value in
+  // its comment): floors sit under the RecallProbe minima at sf0.01 AND
+  // sf0.1 minus ~0.13 slack for the recall drift each driver testdata
+  // regeneration brings (the 2026-08-14 regen moved aggregates ~0.05
+  // with zero code change). Re-run `Test/runMain graft.tools.RecallProbe`
+  // at BOTH SFs before moving any floor.
+
+  /** x2 measured 0.88/0.90 aggregate at 3-flip multi-probe (0.20-0.38
+    * single-probe, 0.68/0.60 at 2 flips — the floor trips on a partial
+    * regression, not just collapse).
+    */
+  private[graft] val X2Floor = 0.50
   private def x2Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.50)((emb, q5) =>
+    fiveProbeGate(s, d, X2Floor)((emb, q5) =>
       lshTopK(emb, q5, 10, bits = 4, probeFlips = X2ProbeFlips))
+
+  /** x4 measured 0.52/0.74 at the auto geometry (≤25% scanned) with
+    * budgeted boundary spill (0.50/0.62 before spill); floor 0.39 =
+    * 0.52 − 0.13. The sf0.01 value is routing-bound: the 500-vector
+    * synthetic corpus is near-uniform, so neighbors spread over many
+    * cells and even a 1.9× spill only reaches 0.76 (SpillProbe sweep) —
+    * recall past that at fixed probe counts would mean scanning, not
+    * indexing.
+    */
+  private[graft] val X4Floor = 0.39
   private def x4Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.37)((emb, q5) =>
+    fiveProbeGate(s, d, X4Floor)((emb, q5) =>
       ivfTopK(emb, q5, 10))
+
+  /** x5 measured 1.0/1.0 (SQ8 error ≪ similarity scale at expand=4). */
+  private[graft] val X5Floor = 0.90
   private def x5Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.90)((emb, q5) => sq8TopK(emb, q5, 10))
+    fiveProbeGate(s, d, X5Floor)((emb, q5) => sq8TopK(emb, q5, 10))
 
   /** x11's registered shape: 90% of the corpus is the indexed base, the
     * `vec_id % 10 = 0` tenth arrives as the un-refitted delta; recall is
     * gated against the exact top-k over the FULL corpus, so the gate
     * fails both on a broken union (delta unsearchable) and on centroid
-    * geometry that degrades past the drift bound. Measured 0.60/0.52
-    * aggregate — within noise of x4's full-refit 0.50/0.62, which is the
-    * point — floor = x4's 0.37 (0.52 − 0.13 regen slack ≈ 0.39 ≥ 0.37).
+    * geometry that degrades past the drift bound. Measured with spill
+    * 0.62/0.68 — within noise of x4's full-refit 0.52/0.74, which is the
+    * point; floor 0.49 = 0.62 − 0.13.
     */
+  private[graft] val X11Floor = 0.49
   private def x11Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.37)((emb, q5) =>
+    fiveProbeGate(s, d, X11Floor)((emb, q5) =>
       ivfTopKIncremental(emb.filter(col("vec_id") % 10 =!= 0),
         emb.filter(col("vec_id") % 10 === 0), q5, 10))
+
+  /** x11b gates the full composition (landed base + appended delta +
+    * partition-pruned serve) against the exact top-k over the FULL
+    * corpus — it fails on a broken append (delta unsearchable), a
+    * pruning bug, and geometry drift alike. Same measured recall family
+    * as x4/x11 (shared fit and spill).
+    */
+  private[graft] val X11bFloor = 0.49
+  private def x11bGate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, X11bFloor)((emb, q5) => ivfAppendedTopK(s, d, q5, 10))
 
   /** x12's registered shape serves the same search as x4 but through the
     * LANDED partition-pruned index — identical fit, geometry, and
@@ -292,20 +316,24 @@ object SimilarityOps {
     * guards the serve path (a pruning bug that drops cells is a recall
     * collapse the flag catches).
     */
+  private[graft] val X12Floor = 0.39
   private def x12Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.37)((emb, q5) => ivfPersistedTopK(s, d, q5, 10))
+    fiveProbeGate(s, d, X12Floor)((emb, q5) => ivfPersistedTopK(s, d, q5, 10))
 
   /** x7's gate samples 100 queries by the m3 md5 rank (engine-portable,
     * so DuckDB derives the identical sample) and measures the kNN join's
     * recall against exact top-3 on that sample.
     */
+  /** x7 measured 0.84-0.86 on the 100-query md5 sample. */
+  private[graft] val X7Floor = 0.60
   private def x7Gate(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val sample = emb.orderBy(
       md5(concat_ws("|", col("vec_id").cast("string"), lit("42"))),
       col("vec_id")).limit(100)
     recallGate(knnJoin(emb, 3).select("q_id", "c_id"),
-      memoExact(s, d, "md5sample100k3")(bruteForceTopK(emb, sample, 3)), 0.60)
+      memoExact(s, d, "md5sample100k3")(bruteForceTopK(emb, sample, 3)),
+      X7Floor)
   }
 
   private val x7GateSql =
@@ -938,6 +966,44 @@ object SimilarityOps {
       sphericalLloyd(sampleUnit, math.min(k, sampleUnit.length), 5))
   }
 
+  private val fitSpillThresholds =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Margin threshold realizing [[IvfSpillBudget]]: the budget-quantile
+    * of best-vs-second centroid dot margins over the memoized unit fit
+    * sample — driver-local (sample × cells dots, microseconds next to
+    * one scan), deterministic on memoized inputs, memoized per corpus
+    * version like the centroids it derives from. Sample vectors are
+    * unit, so the threshold is in cosine units and compares against
+    * `(best − best2) / ‖v‖` on raw corpus rows.
+    */
+  private def memoSpillThreshold(corpus: DataFrame, fitSample: Int,
+      cents: Array[Array[Float]], tag: String = ""): Double =
+    memoVersioned(fitSpillThresholds,
+      graft.util.Landing.planVersionKey(corpus) +
+        s"|spillq:f$fitSample:k${cents.length}$tag") {
+      val sample = memoUnitSample(corpus, fitSample, tag)
+      if (sample.isEmpty || cents.length < 2) 0.0
+      else {
+        val margins = sample.map { p =>
+          var best = Double.NegativeInfinity
+          var sec = Double.NegativeInfinity
+          var c = 0
+          while (c < cents.length) {
+            val ct = cents(c)
+            val n = math.min(p.length, ct.length)
+            var d = 0.0; var i = 0
+            while (i < n) { d += p(i).toDouble * ct(i); i += 1 }
+            if (d > best) { sec = best; best = d } else if (d > sec) sec = d
+            c += 1
+          }
+          best - sec
+        }.sorted
+        margins(math.min(margins.length - 1,
+          (margins.length * IvfSpillBudget).toInt))
+      }
+    }
+
   /** With `matchLabel = true` the candidate set is additionally
     * restricted to corpus rows sharing the query's `label` — filtered
     * vector search, the metadata-predicate + top-k shape every vector
@@ -950,7 +1016,8 @@ object SimilarityOps {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 0, nProbe: Int = 0, fitSample: Int = 0,
-      matchLabel: Boolean = false): DataFrame = {
+      matchLabel: Boolean = false,
+      spillMargin: Double = -1.0): DataFrame = {
     val (cells, probe0) = ivfGeometry(
       if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
     // Selectivity-aware probe widening (the ACORN insight): a filter
@@ -961,9 +1028,13 @@ object SimilarityOps {
     val probe = if (matchLabel) math.min(cells, probe0 * 2) else probe0
     // Direction cells suit the cosine metric, and argmax-dot assignment
     // is scale-invariant, so raw embeddings need no normalize pass.
-    val cents = memoCentroids(corpus, ivfFitSample(fitSample, cells), cells)
+    val fs = ivfFitSample(fitSample, cells)
+    val cents = memoCentroids(corpus, fs, cells)
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
-    ivfSearch(corpus, queries, k, cents, probe, matchLabel)
+    val margin =
+      if (spillMargin >= 0) spillMargin
+      else memoSpillThreshold(corpus, fs, cents)
+    ivfSearch(corpus, queries, k, cents, probe, matchLabel, margin)
   }
 
   /** X11: incremental index maintenance — the production append path. The
@@ -979,29 +1050,74 @@ object SimilarityOps {
   def ivfTopKIncremental(base: DataFrame, delta: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val (cells, probe) = ivfGeometry(memoCount(base, tag = ":base"), 0, 0)
-    val cents =
-      memoCentroids(base, ivfFitSample(0, cells), cells, tag = ":base")
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(base, fs, cells, tag = ":base")
     if (cents.isEmpty)
       return bruteForceTopK(base.unionByName(delta), queries, k)
-    ivfSearch(base.unionByName(delta), queries, k, cents, probe)
+    ivfSearch(base.unionByName(delta), queries, k, cents, probe,
+      matchLabel = false,
+      spillMargin = memoSpillThreshold(base, fs, cents, tag = ":base"))
+  }
+
+  /** IVF boundary multi-assignment (cell spill) BUDGET: the fraction of
+    * corpus vectors assigned to BOTH their best and second-best cell —
+    * the ones with the smallest best-vs-second cosine margin, i.e. the
+    * Voronoi-boundary vectors a near-miss routing loses. The margin
+    * THRESHOLD realizing the budget is the budget-quantile of margins
+    * over the memoized fit sample ([[memoSpillThreshold]]), so storage
+    * expansion is ≤ 1 + budget by construction at every corpus size and
+    * distribution — a fixed-τ margin had no such bound (measured 1.09×
+    * at sf0.01 but 1.9× at τ large enough to matter). Probe counts are
+    * unchanged; spill pays at index-build time, which amortizes per
+    * corpus version. Measured lift at this budget (RecallProbe): x4/x8
+    * aggregate 0.50/0.62 → 0.52/0.74, x11 0.62/0.68, filtered x10b
+    * 0.66/0.78 → 0.80/0.84 — the sf0.01 plain-IVF value is bounded on
+    * this deliberately near-uniform synthetic corpus by routing
+    * diffusion (neighbors spread over many cells; SpillProbe measures
+    * 0.76 even at 1.9× expansion; docs/SCALING.md discusses the
+    * clustered real-embedding case where boundary spill is the
+    * standard lever).
+    */
+  private[graft] val IvfSpillBudget = 0.25
+
+  /** Cell assignment with boundary spill: one argmax2 kernel pass, then
+    * an explode over 1 or 2 cells per vector — map-only, no shuffle; the
+    * payload columns ride the explode. Zero-norm vectors never spill
+    * (margin 0 < 0·τ is false) and carry their argmax cell.
+    */
+  private def spillAssigned(s: SparkSession, corpus: DataFrame,
+      cents: Array[Array[Float]],
+      payload: Seq[(String, Column)],
+      margin: Double): DataFrame = {
+    // struct evaluated once per row (two-step select), argmax dot is
+    // scale-invariant so assignment runs on the raw embedding
+    val am = VecOps.centroidArgmax2(s, col("embedding"), cents)
+    corpus
+      .select(Seq(col("vec_id").as("c_id"), am.as("_am"),
+        VecOps.fnorm(s, col("embedding")).as("_nrm")) ++
+        payload.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("c_id"),
+        explode(when(
+          col("_am.best") - col("_am.best2") <
+            lit(margin) * col("_nrm"),
+          array(col("_am.cell"), col("_am.cell2")))
+          .otherwise(array(col("_am.cell")))).as("cell")) ++
+        payload.map { case (n, _) => col(n) }: _*)
   }
 
   /** Shared IVF search phase: assign the corpus to the given centroids
-    * map-side, probe the `probe` nearest cells per query, exact-rerank
-    * within probed cells.
+    * map-side (with boundary spill), probe the `probe` nearest cells per
+    * query, exact-rerank within probed cells.
     */
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: Array[Array[Float]], probe: Int,
-      matchLabel: Boolean = false): DataFrame = {
+      matchLabel: Boolean, spillMargin: Double): DataFrame = {
     val s = corpus.sparkSession
-    // argmax dot is scale-invariant, so assignment runs on the raw
-    // embedding (single struct use — getField directly)
-    val cLabel = if (matchLabel) Seq(col("label").as("c_label")) else Nil
-    val assigned = corpus
-      .select(Seq(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        VecOps.fnorm(s, col("embedding")).as("c_norm"),
-        VecOps.centroidArgmax(s, col("embedding"), cents)
-          .getField("cell").as("cell")) ++ cLabel: _*)
+    val cLabel = if (matchLabel) Seq("c_label" -> col("label")) else Nil
+    val assigned = spillAssigned(s, corpus, cents,
+      Seq("c_emb" -> col("embedding"),
+        "c_norm" -> VecOps.fnorm(s, col("embedding"))) ++ cLabel,
+      spillMargin)
     rerankProbed(s, assigned,
       queryProbes(s, queries, cents, probe, matchLabel), k, matchLabel)
   }
@@ -1035,11 +1151,17 @@ object SimilarityOps {
       probes: DataFrame, k: Int, matchLabel: Boolean): DataFrame = {
     val matchCond =
       if (matchLabel) col("q_label") === col("c_label") else lit(true)
+    // a spilled vector probed via both of its cells appears twice — the
+    // groupBy collapses duplicates (sim is identical, max is a no-op on
+    // values) AND puts an Aggregate under the Window, the x7-proven safe
+    // topology; it exchanges only bounded candidate rows
     val scored = assigned.join(broadcast(probes), "cell")
       .filter(col("q_id") =!= col("c_id") && matchCond)
       .select(col("q_id"), col("c_id"),
         (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
           (col("q_norm") * col("c_norm"))).as("sim"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("sim")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -1053,9 +1175,27 @@ object SimilarityOps {
   private val indexDirs =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
-  private def landedIndexDir(s: SparkSession, d: String,
-      cents: Array[Array[Float]]): String = {
-    val key = graft.util.Landing.mtimeKey(d, "embeddings") + "|ivfidx"
+  /** Spill-assigned (c_id, cell, c_emb, c_norm) projection of `part` —
+    * the persisted layouts land exactly what [[ivfSearch]]'s in-memory
+    * assignment computes (including boundary spill), so the serve-path
+    * candidates stay spec-identical to x4's.
+    */
+  private[graft] def assignedForLanding(s: SparkSession, part: DataFrame,
+      cents: Array[Array[Float]], margin: Double): DataFrame =
+    spillAssigned(s, part, cents, Seq(
+      "c_emb" -> col("embedding"),
+      "c_norm" -> VecOps.fnorm(s, col("embedding"))), margin)
+
+  /** Land `build(dir)` once per `key` version (partitionBy(cell) layout);
+    * superseded same-family versions evict with their dirs deleted.
+    * Synchronized: the side-effecting builder ran inside TrieMap.
+    * getOrElseUpdate, which does NOT guarantee once-only execution —
+    * concurrent callers could double-write and eagerly delete a dir a
+    * third caller was mid-scan on (round-10 advice). Registered queries
+    * run sequentially today; the lock makes the contract hold regardless.
+    */
+  private def landedCellLayout(key: String, prefix: String)(
+      build: String => Unit): String = indexDirs.synchronized {
     indexDirs.getOrElseUpdate(key, {
       val fam = graft.util.Landing.frameFamily(key)
       indexDirs.keySet
@@ -1069,20 +1209,23 @@ object SimilarityOps {
             finally walk.close()
           }
         }
-      val dir = graft.util.Landing.tempDirOnce("graft_ivfidx")
-      Tables.embeddings(s, d)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          VecOps.fnorm(s, col("embedding")).as("c_norm"),
-          VecOps.centroidArgmax(s, col("embedding"), cents)
-            .getField("cell").as("cell"))
+      val dir = graft.util.Landing.tempDirOnce(prefix)
+      build(dir.toString)
+      dir
+    }).toString
+  }
+
+  private def landedIndexDir(s: SparkSession, d: String,
+      cents: Array[Array[Float]], margin: Double): String =
+    landedCellLayout(graft.util.Landing.mtimeKey(d, "embeddings") + "|ivfidx",
+      "graft_ivfidx") { dir =>
+      assignedForLanding(s, Tables.embeddings(s, d), cents, margin)
         // one shuffle at BUILD time so each cell lands as one file run,
         // not one fragment per writer task (the compaction posture)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(dir.toString)
-      dir
-    }).toString
-  }
+        .parquet(dir)
+    }
 
   /** X12: the index ON DISK — cell assignments landed once per corpus
     * version as a `partitionBy(cell)` parquet layout, so the serve path
@@ -1099,19 +1242,139 @@ object SimilarityOps {
     * bucketed landing — rep 1 pays the write, steady state measures the
     * pruned scan.
     */
-  def ivfPersistedTopK(s: SparkSession, d: String, queries: DataFrame,
+  /** Shared partition-pruned serve path over a landed cell layout: the
+    * probed cell set is driver-known (≤1024 centroids), so pruning is a
+    * static `cell IN (...)` partition filter — file-listing-level
+    * skipping, before any I/O.
+    */
+  private def servePersisted(s: SparkSession, dir: String,
+      queries: DataFrame, cents: Array[Array[Float]], probe: Int,
       k: Int): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val (cells, probe) = ivfGeometry(memoCount(emb), 0, 0)
-    val cents = memoCentroids(emb, ivfFitSample(0, cells), cells)
-    if (cents.isEmpty) return bruteForceTopK(emb, queries, k)
-    val landed = s.read.parquet(landedIndexDir(s, d, cents))
+    val landed = s.read.parquet(dir)
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq.sorted
     rerankProbed(s,
       landed.filter(col("cell").isin(probedCells: _*)),
       probes, k, matchLabel = false)
+  }
+
+  def ivfPersistedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, probe) = ivfGeometry(memoCount(emb), 0, 0)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(emb, fs, cells)
+    if (cents.isEmpty) return bruteForceTopK(emb, queries, k)
+    val margin = memoSpillThreshold(emb, fs, cents)
+    servePersisted(s, landedIndexDir(s, d, cents, margin), queries, cents,
+      probe, k)
+  }
+
+  // ---- X11b: incremental append into the persisted index -----------------
+  /** Once-per-version append markers: the delta assignment job runs once
+    * per (base, delta) version; same lock discipline as the layouts.
+    */
+  private val appendedKeys =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** X11b: incremental append INTO the persisted index — x11's no-refit
+    * delta assignment composed with x12's partition-pruned serving
+    * layout, closing the gap between the two (round-10 verdict: x11's
+    * in-memory union still re-assigned the BASE on every search). Build:
+    * the base corpus lands once per version under `partitionBy(cell)`
+    * with the quantizer fitted on it (shared `:base` memo family with
+    * x11). Append: ONLY the delta is scanned and assigned map-side — its
+    * rows commit as NEW files inside the existing cell partitions; the
+    * base's files are untouched (spec-asserted byte-for-byte: same file
+    * set, sizes, and mtimes before/after the append). Serve: the same
+    * partition-pruned scan as x12 over base+delta files. At 100 TB this
+    * is the production append: a day's vectors cost one map-only job
+    * over the delta plus a file commit — the index is never rebuilt,
+    * rescanned, or reshuffled; quantizer refit stays an offline
+    * compaction decision.
+    */
+  /** The x11b base/delta split and the base-fitted quantizer state —
+    * shared by the build, append, and serve stages (all memoized per
+    * corpus version through the `:base` family).
+    */
+  private def x11bState(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Array[Array[Float]], Int, Double) = {
+    val emb = Tables.embeddings(s, d)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val (cells, probe) = ivfGeometry(memoCount(base, tag = ":base"), 0, 0)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(base, fs, cells, tag = ":base")
+    val margin =
+      if (cents.isEmpty) 0.0
+      else memoSpillThreshold(base, fs, cents, tag = ":base")
+    (base, delta, cents, probe, margin)
+  }
+
+  /** The exact frame the append job lands: delta rows only, assigned to
+    * the BASE-fitted cells. Exposed for the spec that pins the append
+    * contract — its plan reads the delta alone (one file relation, the
+    * `% 10 = 0` filter pushed), never a union with the base.
+    */
+  private[graft] def x11bDeltaFrame(s: SparkSession, d: String): DataFrame = {
+    val (_, delta, cents, _, margin) = x11bState(s, d)
+    assignedForLanding(s, delta, cents, margin)
+  }
+
+  /** Build-and-append: lands the base layout once per version, then
+    * commits the assigned delta as new files inside the existing cell
+    * partitions — also once per version. Returns the layout dir.
+    */
+  private[graft] def x11bLayoutDir(s: SparkSession, d: String): String = {
+    val (base, _, cents, _, margin) = x11bState(s, d)
+    val verKey = graft.util.Landing.mtimeKey(d, "embeddings")
+    val dir = landedCellLayout(verKey + "|ivfapnd", "graft_ivfapnd") { p =>
+      assignedForLanding(s, base, cents, margin)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+    appendedKeys.synchronized {
+      appendedKeys.getOrElseUpdate(verKey + "|ivfapnd:delta", {
+        val fam = graft.util.Landing.frameFamily(verKey + "|ivfapnd:delta")
+        appendedKeys.keySet.filter(k2 =>
+          k2 != verKey + "|ivfapnd:delta" &&
+            graft.util.Landing.frameFamily(k2) == fam)
+          .foreach(appendedKeys.remove)
+        // the append job's ONLY data-sized input is the delta scan — one
+        // map-only assignment, one file commit into existing partitions
+        x11bDeltaFrame(s, d)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(dir)
+        dir
+      })
+    }
+    dir
+  }
+
+  def ivfAppendedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (_, _, cents, probe, _) = x11bState(s, d)
+    if (cents.isEmpty)
+      return bruteForceTopK(Tables.embeddings(s, d), queries, k)
+    servePersisted(s, x11bLayoutDir(s, d), queries, cents, probe, k)
+  }
+
+  /** Measured storage expansion of boundary spill (RecallProbe): spilled
+    * assignment rows / corpus rows at the auto geometry.
+    */
+  private[graft] def spillExpansion(corpus: DataFrame,
+      margin: Double = -1.0): Double = {
+    val s = corpus.sparkSession
+    val n = memoCount(corpus)
+    val (cells, _) = ivfGeometry(n, 0, 0)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(corpus, fs, cells)
+    if (cents.isEmpty || n == 0L) 1.0
+    else {
+      val m = if (margin >= 0) margin else memoSpillThreshold(corpus, fs, cents)
+      spillAssigned(s, corpus, cents, Nil, m).count().toDouble / n
+    }
   }
 
   /** x4's registered shape runs the AUTO geometry ([[ivfGeometry]]) —
@@ -1215,16 +1478,18 @@ object SimilarityOps {
     val s = corpus.sparkSession
     val (cells, probe) = ivfGeometry(
       if (nCells > 0 && nProbe > 0) 0L else memoCount(corpus), nCells, nProbe)
-    val cents = memoCentroids(corpus, ivfFitSample(fitSample, cells), cells)
+    val fs = ivfFitSample(fitSample, cells)
+    val cents = memoCentroids(corpus, fs, cells)
     if (cents.isEmpty) return bruteForceTopK(corpus, queries, k)
     val qp = VecOps.qparams8(s, col("embedding"))
-    val assigned = corpus.select(col("vec_id").as("c_id"),
-      VecOps.fnorm(s, col("embedding")).as("c_norm"),
-      element_at(qp, 1).cast("double").as("vmin"),
-      element_at(qp, 2).cast("double").as("step"),
-      VecOps.quantize8(s, col("embedding")).as("qb"),
-      VecOps.centroidArgmax(s, col("embedding"), cents)
-        .getField("cell").as("cell"))
+    // spill-assigned like ivfSearch — the SQ8 payload (codes + qparams)
+    // rides the explode instead of the float embedding
+    val assigned = spillAssigned(s, corpus, cents, Seq(
+        "c_norm" -> VecOps.fnorm(s, col("embedding")),
+        "vmin" -> element_at(qp, 1).cast("double"),
+        "step" -> element_at(qp, 2).cast("double"),
+        "qb" -> VecOps.quantize8(s, col("embedding"))),
+        memoSpillThreshold(corpus, fs, cents))
       .filter(col("c_norm") > 0)
     import s.implicits._
     val centDf = cents.toIndexedSeq.map(_.toSeq).zipWithIndex
@@ -1250,6 +1515,9 @@ object SimilarityOps {
         ((col("vmin") * col("q_sum") +
           col("step") * VecOps.qdot8(s, col("qb"), col("q_emb"))) /
           (col("c_norm") * col("q_norm"))).as("approx_sim"))
+      // spill dedup (identical scores; Aggregate-under-Window topology)
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("approx_sim")).as("approx_sim"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_sim").desc, col("c_id"))
     val cands = approx.withColumn("r", row_number().over(wA))
@@ -1279,8 +1547,12 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** x8 shares x4's routing (and so its spill lift) — measured with
+    * spill 0.52/0.74; floor = x4's.
+    */
+  private[graft] val X8Floor = 0.39
   private def x8Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.37)((emb, q5) =>
+    fiveProbeGate(s, d, X8Floor)((emb, q5) =>
       ivfSq8TopK(emb, q5, 10))
 
   // ---- X9: product-quantized top-k (ADC) ---------------------------------
@@ -1407,8 +1679,9 @@ object SimilarityOps {
 
   // RecallProbe aggregate: 1.0 at sf0.01, 0.82 at sf0.1 (expand=32;
   // was 0.90/0.68 at 16 — the floor keeps 0.27 of regen-drift margin)
+  private[graft] val X9Floor = 0.55
   private def x9Gate(s: SparkSession, d: String): DataFrame =
-    fiveProbeGate(s, d, 0.55)((emb, q5) => pqTopK(emb, q5, 10))
+    fiveProbeGate(s, d, X9Floor)((emb, q5) => pqTopK(emb, q5, 10))
 
   // ---- X6: per-label centroids (vector aggregation) ----------------------
   /** Elementwise mean embedding per label — the vector-aggregation shape
@@ -1559,6 +1832,7 @@ object SimilarityOps {
     "d11_semdedup"         -> Q(d11SemDedup, Some(d11Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x11_ivf_incremental"  -> Q(x11Gate, Some(annGateSql(10))),
+    "x11b_ivf_append"      -> Q(x11bGate, Some(annGateSql(10))),
     "x12_ivf_persisted"    -> Q(x12Gate, Some(annGateSql(10))),
     "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),

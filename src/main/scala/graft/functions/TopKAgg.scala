@@ -43,10 +43,13 @@ final class TopKPairsBuffer(val k: Int) {
     while (i < o.size) { insert(o.keys(i), o.pays(i)); i += 1 }
   }
 
-  /** Pairs in rank order (key DESC, payload ASC). */
+  /** Pairs in rank order (key DESC, payload ASC) — ordered by the same
+    * [[beats]] predicate as insertion: negating the key would overflow at
+    * Long.MinValue and sort that key as best instead of worst.
+    */
   def sorted: Array[(Long, Long)] = {
     val out = Array.tabulate(size)(i => (keys(i), pays(i)))
-    out.sortBy { case (key, pay) => (-key, pay) }
+    out.sortWith { case ((ak, ap), (bk, bp)) => beats(ak, ap, bk, bp) }
   }
 }
 

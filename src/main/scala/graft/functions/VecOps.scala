@@ -346,6 +346,77 @@ case class CentroidArgmax(child: Expression, cents: Seq[Seq[Float]])
     copy(child = newChild)
 }
 
+/** Top-2 variant of [[CentroidArgmax]]: struct(best dot, argmax cell,
+  * second-best dot, runner-up cell) in one kernel pass — the IVF
+  * boundary-multi-assignment (cell spill) input: a vector whose
+  * best/second margin is small sits near the Voronoi boundary, and
+  * assigning it to BOTH cells lifts recall at unchanged probe counts
+  * (~1.2× storage). With a single centroid, best2 = -Inf and cell2 =
+  * cell — an infinite margin that never spills. Ties resolve to the
+  * lowest index on both ranks (total, deterministic).
+  */
+case class CentroidArgmax2(child: Expression, cents: Seq[Seq[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("best", DoubleType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("best2", DoubleType, nullable = false),
+    StructField("cell2", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"centroid_argmax2 expects array<float>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val mat: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+
+  /** Public for generated code. Accumulation left-to-right double —
+    * bit-identical to [[CentroidArgmax]] on the winning cell.
+    */
+  def kernelEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var bestI = 0
+    var bestD = Double.NegativeInfinity
+    var secI = 0
+    var secD = Double.NegativeInfinity
+    var c = 0
+    while (c < mat.length) {
+      val cent = mat(c)
+      val n = math.min(dim, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { d += arr.getFloat(i).toDouble * cent(i); i += 1 }
+      if (d > bestD) {
+        secD = bestD; secI = bestI; bestD = d; bestI = c
+      } else if (d > secD) { secD = d; secI = c }
+      c += 1
+    }
+    if (mat.length < 2) { secD = Double.NegativeInfinity; secI = bestI }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestI, secD, secI))
+  }
+
+  override protected def nullSafeEval(a: Any): Any = kernelEval(a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidArgmax2", this,
+      classOf[CentroidArgmax2].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.InternalRow) $ref.kernelEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane sign signature: bit b = (dot(v, plane_b) > 0).
   * Same rationale as [[CentroidArgmax]] — the per-bit
   * fdot-against-literal-array form embeds bits·dim literals in generated
@@ -774,6 +845,18 @@ object VecOps {
     val name = s"centroid_argmax_${(centSeq.hashCode & Int.MaxValue).toHexString}"
     KernelRegistry.ensureTransient(spark, name)(
       exprs => CentroidArgmax(exprs(0), centSeq))
+    call_function(name, emb)
+  }
+
+  /** struct(best, cell, best2, cell2) top-2 variant (boundary spill) —
+    * state-hashed name, use-immediately contract as [[centroidArgmax]].
+    */
+  def centroidArgmax2(spark: SparkSession, emb: Column,
+      cents: Array[Array[Float]]): Column = {
+    val centSeq: Seq[Seq[Float]] = cents.toIndexedSeq.map(_.toIndexedSeq)
+    val name = s"centroid_argmax2_${(centSeq.hashCode & Int.MaxValue).toHexString}"
+    KernelRegistry.ensureTransient(spark, name)(
+      exprs => CentroidArgmax2(exprs(0), centSeq))
     call_function(name, emb)
   }
 

@@ -101,6 +101,12 @@ object Scd {
   private def cdc2Scd1(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
       round(col("c_acctbal") * 100).cast("long").as("bal"))
+    // synthetic insert keys offset past max(c_custkey), not a fixed
+    // constant: c_custkey reaches 10M around SF 67, where a fixed 10M
+    // offset would collide with real base keys and silently demote the
+    // planted inserts to updates. One scalar agg (the S4 first() shape);
+    // the oracle derives the identical offset.
+    val off = base.agg(max(col("k")).cast("long")).first().getLong(0) + 1L
     val chg0 = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("k"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("val"))
@@ -108,7 +114,7 @@ object Scd {
         when(col("k") % 17 === 0, "D").otherwise("U").as("op"), col("val"))
     val chg = chg0.unionByName(
       chg0.filter(col("k") % 29 === 0)
-        .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+        .select((col("k") + lit(off)).as("k"), lit("I").as("op"),
           col("val")))
     scd1Merge(base, chg)
   }
@@ -126,7 +132,8 @@ object Scd {
       |chg AS (
       |  SELECT k, op, val FROM chg0
       |  UNION ALL
-      |  SELECT k + 10000000, 'I', val FROM chg0 WHERE k % 29 = 0)
+      |  SELECT k + (SELECT CAST(max(c_custkey) AS BIGINT) + 1 FROM customer),
+      |         'I', val FROM chg0 WHERE k % 29 = 0)
       |SELECT COALESCE(b.k, c.k) AS c_custkey,
       |  CASE WHEN c.op IS NULL THEN 'kept'
       |       WHEN b.bal IS NULL THEN 'inserted'

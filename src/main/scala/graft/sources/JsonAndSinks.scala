@@ -224,9 +224,19 @@ object JsonAndSinks {
     if (!java.nio.file.Files.exists(done)) {
       val ev = Tables.events(s, d)
       ev.write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)
+      val corrective =
+        ev.filter(col("event_type") === "click" && col("value") > 50.0)
+      // an EMPTY corrective batch touches no partitions under dynamic
+      // overwrite, so the click partition would keep its original rows
+      // while the oracle expects the filtered set — fail loudly (with the
+      // regen pointer) instead of surfacing as a confusing hash mismatch
+      require(!corrective.isEmpty,
+        s"s15: corrective batch (click, value > 50) is empty at $d — " +
+          "testdata regen changed the value distribution; revisit the " +
+          "filter threshold and the s15 oracle together")
       val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try ev.filter(col("event_type") === "click" && col("value") > 50.0)
+      try corrective
         .write.mode("overwrite").partitionBy("event_type")
         .parquet(dir.toString)
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

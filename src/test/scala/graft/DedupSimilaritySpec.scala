@@ -341,6 +341,76 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("x11b: append composes into the persisted index — candidates ≡ " +
+      "in-memory incremental, delta-only append job, stable files, " +
+      "pruned serve") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the append job's frame reads the DELTA alone: exactly one file
+    // relation, the % 10 = 0 split filter present, no union with base —
+    // appending must never rescan or rebuild the indexed corpus
+    val deltaPlan = SimilarityOps.x11bDeltaFrame(spark, Sf0001)
+      .queryExecution.analyzed
+    val rels = deltaPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rels.size === 1, s"append frame reads ${rels.size} relations")
+    assert(deltaPlan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "append frame unions the base")
+    val hasSplitFilter = deltaPlan.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.find(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Remainder])
+          .isDefined => f
+    }.isDefined
+    assert(hasSplitFilter, "append frame lost the delta split filter")
+    // serve ≡ the in-memory incremental path (same fit, same spill, same
+    // probes) — proves base AND delta are both searchable through files
+    val served = SimilarityOps.ivfAppendedTopK(spark, Sf0001, q5, 10)
+    assert(keys(served) === keys(SimilarityOps.ivfTopKIncremental(
+      emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), q5, 10)))
+    // steady state: a second serve touches no files (append is once per
+    // version — the layout is amortized, not rebuilt per query)
+    def snapshot(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally walk.close()
+    }
+    val dir = SimilarityOps.x11bLayoutDir(spark, Sf0001)
+    val before = snapshot(dir)
+    assert(before.nonEmpty)
+    SimilarityOps.ivfAppendedTopK(spark, Sf0001, q5, 10).collect()
+    assert(snapshot(dir) === before,
+      "steady-state serve rewrote or re-appended index files")
+    // every delta vector is present (searchable) in the landed layout
+    val landedIds = spark.read.parquet(dir).select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val deltaIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(landedIds), "appended delta ids missing")
+    // serve path partition-prunes like x12
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = SimilarityOps.ivfAppendedTopK(
+        spark, Sf0001, emb.filter(col("vec_id") === 0), 10)
+      one.collect()
+      val idx = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(idx.nonEmpty, "appended-index scan carries no partition filter")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("km2: every vector assigned to its argmax centroid; gate payload " +
       "exact and flags true") {
     val emb = Tables.embeddings(spark, Sf0001)

@@ -29,7 +29,9 @@ object RecallProbe {
           "x8" -> ivfSq8TopK(emb, q5, 10),
           "x9" -> pqTopK(emb, q5, 10),
           "x11" -> ivfTopKIncremental(emb.filter(col("vec_id") % 10 =!= 0),
-            emb.filter(col("vec_id") % 10 === 0), q5, 10))) {
+            emb.filter(col("vec_id") % 10 === 0), q5, 10),
+          "x11b" -> ivfAppendedTopK(s, dir, q5, 10),
+          "x12" -> ivfPersistedTopK(s, dir, q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val per = (0L until 5L).map(q =>
@@ -48,6 +50,7 @@ object RecallProbe {
       val kj = knnJoin(emb, 3).select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[recall] $dir x7 aggregate: ${(exall & kj).size.toDouble / exall.size}%.4f")
+      println(f"[spill] $dir storage expansion: ${spillExpansion(emb)}%.4f")
       emb.unpersist()
     }
   }
