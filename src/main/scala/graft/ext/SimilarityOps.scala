@@ -533,9 +533,19 @@ object SimilarityOps {
     * and this operator's contract is exactness.
     */
   def cosinePairsExact(corpus: DataFrame, minSim: Double,
-      nCells: Int = 16, fitSample: Int = 4096): DataFrame = {
+      nCells: Int = 0, fitSample: Int = 0): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
+    // AUTO cell count (round 11): cells ≈ √n via the shared ivfGeometry,
+    // so per-cell width — and with it the blocked pair-join's
+    // Σ|cell_i|·|cell_j| candidate volume — stays ~n·√n-bounded instead
+    // of (n/16)²-quadratic at a frozen demo-scale constant. Exactness is
+    // untouched: pruning is triangle-inequality lossless at ANY cell
+    // count, only the pruning power moves. Fit sample scales with the
+    // cell count exactly like the IVF fit.
+    val cells =
+      if (nCells > 0) nCells else ivfGeometry(memoCount(corpus), 0, 0)._1
+    val sampleCap = ivfFitSample(fitSample, cells)
     // Epsilon slack: the pruning bound is evaluated over float32-rounded
     // unit vectors (≤ ~sqrt(dim)·eps_f32 perturbation per distance); the
     // slack keeps "never discards a qualifying pair" true through it.
@@ -561,7 +571,7 @@ object SimilarityOps {
     // prediction UDF is not codegen — this path is all codegen over a
     // ≤fitSample·dim local fit.
     val sample = unit
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(fitSample)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
       .select(col("u")).collect()
       .map(_.getSeq[Float](0).toArray)
     if (sample.isEmpty)
@@ -585,15 +595,15 @@ object SimilarityOps {
     // product beats any blocking (no extra stats pass, no blocking jobs)
     // and the broadcast is trivially safe. Blocking engages exactly when
     // the corpus is big enough to need it.
-    if (sample.length < fitSample)
+    if (sample.length < sampleCap)
       return simPairs(side(unit, "a").join(broadcast(side(unit, "b"))))
     // the sample collect doubles as the size probe above, so it stays
     // per-call; the Lloyd fit over it is deterministic per corpus version
     // and memoizes like the IVF quantizer fits
     val cents = memoVersioned(fitCents,
       graft.util.Landing.planVersionKey(corpus) +
-        s"|centspairs:c$nCells:f$fitSample")(
-      sphericalLloyd(sample, math.min(nCells, sample.length), 5))
+        s"|centspairs:c$cells:f$sampleCap")(
+      sphericalLloyd(sample, math.min(cells, sample.length), 5))
     val k = cents.length
     // struct evaluated once per row (two-step select), then split into
     // cell + bound distance

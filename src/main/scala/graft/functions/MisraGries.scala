@@ -49,4 +49,28 @@ object MisraGries {
       if (n - dec > 0) decremented.updated(item, n - dec) else decremented
     }
   }
+
+  /** The same update step over a MUTABLE map — the streaming hot path
+    * (`EventStream.heavyHitterSketches`) folds one of these per EVENT,
+    * and the immutable form allocated a fresh k-entry map each time;
+    * this variant allocates one map per micro-batch group and mutates
+    * in place. Step-identical to [[addCount]] for the same arrival
+    * order (property-pinned in MisraGriesProps), so the sketch
+    * guarantee is unchanged.
+    */
+  def addCountMutable[K](b: scala.collection.mutable.Map[K, Long],
+      item: K, n: Long, k: Int): Unit =
+    b.get(item) match {
+      case Some(c) => b(item) = c + n
+      case None if b.size < k => b(item) = n
+      case None =>
+        val dec = math.min(n, b.values.min)
+        val dead = scala.collection.mutable.ArrayBuffer.empty[K]
+        b.foreach { case (kk, c) =>
+          val nc = c - dec
+          if (nc > 0) b(kk) = nc else dead += kk
+        }
+        dead.foreach(b.remove)
+        if (n - dec > 0) b(item) = n - dec
+    }
 }

@@ -522,12 +522,17 @@ object EventStream {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (b: Int, evs: Iterator[BucketEv], state: GroupState[MgState]) =>
           val prev = state.getOption.getOrElse(MgState(0L, Map.empty))
-          var m = prev.counts
+          // one mutable map per micro-batch group, converted once at
+          // state.update — the immutable fold allocated a fresh k-entry
+          // map per EVENT on the hot path (step-identical results;
+          // MisraGriesProps pins the equivalence)
+          val m = scala.collection.mutable.Map.empty[Long, Long] ++=
+            prev.counts
           evs.foreach(e =>
-            m = graft.functions.MisraGries.addCount(m, e.user_id, 1L, k))
-          val next = MgState(prev.ver + 1, m)
+            graft.functions.MisraGries.addCountMutable(m, e.user_id, 1L, k))
+          val next = MgState(prev.ver + 1, m.toMap)
           state.update(next)
-          m.iterator.map { case (u, c) => BucketHH(b, next.ver, u, c) }
+          next.counts.iterator.map { case (u, c) => BucketHH(b, next.ver, u, c) }
       }
       .toDF()
   }

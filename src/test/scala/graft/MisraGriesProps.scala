@@ -47,6 +47,15 @@ object MisraGriesProps extends Properties("MisraGries") {
     sketch(toks).size <= k
   }
 
+  property("mutable hot-path step is identical to the immutable fold") =
+    Prop.forAll(streamGen) { toks =>
+      val imm = toks.foldLeft(Map.empty[String, Long])(
+        (b, t) => MisraGries.addCount(b, t, 1L, k))
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      toks.foreach(t => MisraGries.addCountMutable(m, t, 1L, k))
+      m.toMap == imm
+    }
+
   property("merge of split streams preserves the heavy-hitter guarantee") =
     Prop.forAll(streamGen, Gen.choose(0.0, 1.0)) { (toks, frac) =>
       val cut = (toks.size * frac).toInt

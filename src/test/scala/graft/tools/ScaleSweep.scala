@@ -28,6 +28,7 @@ import graft.{SparkEntry, SparkSpec, Tables}
 object ScaleSweep {
   private val Src = "/root/testdata/sf0.1"
   private val Out = "/tmp/graft_sf1"
+  private val OutFlip = "/tmp/graft_sf1_flip"
   private val Copies = 10
   private val SrcTables =
     Seq("documents", "embeddings", "lineitem", "part", "events")
@@ -40,11 +41,13 @@ object ScaleSweep {
     // instead of silently serving stale ratios.
     val stamp = new java.io.File(s"$Out/_source_mtime")
     val cur = graft.util.Landing.sourceMtime(Src, SrcTables).toString
-    if (stamp.exists() && {
+    if (stamp.exists() &&
+        new java.io.File(s"$OutFlip/embeddings.parquet").exists() && {
           val src = scala.io.Source.fromFile(stamp)
           try src.mkString.trim == cur finally src.close()
         }) return
     new java.io.File(Out).mkdirs()
+    new java.io.File(OutFlip).mkdirs()
 
     def shifted(df: DataFrame, idCol: String)(mangle: DataFrame => DataFrame)
         : DataFrame = {
@@ -81,6 +84,28 @@ object ScaleSweep {
       .coalesce(8).write.mode("overwrite").parquet(s"$Out/events.parquet")
     // dimensions ride along unscaled (the realistic fact-only scale-up)
     Tables.part(s, Src).write.mode("overwrite").parquet(s"$Out/part.parquet")
+
+    // SIGN-FLIPPED embeddings dir for d11 (the pr1 shifted-input
+    // discipline, adapted to vectors): copy k applies a deterministic
+    // per-(copy, dim) coordinate reflection s_i(k) ∈ {±1}. A reflection
+    // is an ISOMETRY, so every within-copy pair similarity — and with it
+    // the copy's near-dup pair set and cell structure — is EXACTLY the
+    // sf0.1 original (true pairs scale exactly linearly), while
+    // cross-copy sims decorrelate to ≈0 (Σ aᵢbᵢsᵢ, random signs) and
+    // stay far under the 0.35 threshold. Byte-identical duplication
+    // (the $Out embeddings, kept for x7's adversarial hot-bucket case)
+    // would instead multiply the OUTPUT ×45 — a different object.
+    shifted(Tables.embeddings(s, Src), "vec_id") { d =>
+      d.withColumn("embedding",
+        when(col("_copy") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(
+              pmod(xxhash64(col("_copy"), i), lit(2)) === 0, x)
+              .otherwise(-x))))
+    }.coalesce(4).write.mode("overwrite")
+      .parquet(s"$OutFlip/embeddings.parquet")
+
     java.nio.file.Files.write(stamp.toPath, cur.getBytes("UTF-8"))
     println(s"[scalesweep] built $Out")
   }
@@ -102,10 +127,19 @@ object ScaleSweep {
       "d7_dup_clusters", "t14_quality_buckets", "b3_smote_lsh",
       "e16_stream_upsert_mv", "mm3_resize", "x4_cosine_topk_ivf",
       "x8_cosine_topk_ivfsq", "t17_bm25", "e19_gapfill",
-      "mm4_phash_neardup")
+      "mm4_phash_neardup", "x10b_filtered_ivf", "x11_ivf_incremental",
+      "x11b_ivf_append", "x12_ivf_persisted")
     for (q <- tail) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
+      println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
+    }
+    // d11 runs on the sign-flipped dir (see build): within-copy pair
+    // structure identical to sf0.1 ⇒ true near-dup volume exactly 10×,
+    // cross-copy sims decorrelated under the threshold
+    for (q <- Seq("d11_semdedup")) {
+      val small = time(SparkEntry.queries(q)(s, Src).collect())
+      val big = time(SparkEntry.queries(q)(s, OutFlip).collect())
       println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
     }
     // pr1-shaped graph, 10 shifted copies of the distinct edge list
