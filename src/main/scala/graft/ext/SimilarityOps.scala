@@ -778,6 +778,174 @@ object SimilarityOps {
       |FROM embeddings v LEFT JOIN rep ON rep.id = v.vec_id
       |ORDER BY v.vec_id""".stripMargin
 
+  // ---- D12: within-cell SemDeDup (the linear approximate variant) --------
+  /** SemDeDup as the literature actually runs it at corpus scale (Abbas
+    * et al. 2023 §3: cluster with k-means FIRST, compare pairs only
+    * WITHIN a cluster): d11's exact global contract costs Θ(n²)
+    * verification on corpora the triangle bound cannot prune — the
+    * measured 17× sweep row on the isotropic flip corpus — while the
+    * within-cell variant bounds candidate volume at Σ|cell|² ≈
+    * 4·width·n (top-2 spill, cells = ⌈n/width⌉ — see [[D12CellWidth]]):
+    * LINEAR in the corpus by construction, however unprunable the data.
+    * The trade is recall: a near-dup pair whose endpoints share none of
+    * their top-2 cells is not collapsed.
+    *
+    * Registered as a bounded gate (a7/recallGate discipline) because the
+    * cell assignment is Lloyd-fitted and not SQL-expressible; the
+    * payload IS oracle-recomputable and the approximation quality is a
+    * measured-floor flag:
+    *  - `n`, `n_paired`: corpus size and the number of vectors with ≥ 1
+    *    EXACT near-dup (DuckDB recomputes via list_cosine_similarity).
+    *  - `dedup_sound`: every vector d12 drops has an exact near-dup —
+    *    within-cell pairs are a SUBSET of exact pairs, so this is
+    *    mathematical truth; it flips on plumbing bugs (cell scramble,
+    *    join key drift), not on data drift.
+    *  - `coverage_ok`: the fraction of exact near-dup pairs whose
+    *    endpoints share one of their TOP-2 cells ≥ [[D12CoverageFloor]]
+    *    — the quality knob measured like an ANN recall gate. At
+    *    SemDeDup's usual operating point (τ ≥ 0.9) pairs are nearly
+    *    parallel and co-locate on their argmax alone; this corpus has
+    *    no pairs above 0.6, and at τ=0.35 single-assignment coverage is
+    *    0.17–0.37 — boundary spill (the IVF serving lever, reused) is
+    *    what makes the approximation usable here (0.75–0.81).
+    */
+  private[graft] val D12Tau = 0.35
+
+  /** d12's budget knob is the target CELL WIDTH, not a cell count: the
+    * cluster count grows with the corpus at fixed expected width
+    * (cells = ⌈n / width⌉, floor 8 — SemDeDup itself ran 11k clusters
+    * over 5B documents), so candidate volume is
+    * cells · (2·width)² ≈ 4·width·n — LINEAR in n by construction,
+    * where a frozen cell count would be n²/cells-quadratic (the first
+    * sweep cut measured d12 SLOWER than exact d11 at 10× for exactly
+    * that reason). Per-cell width is an expectation; a production run
+    * additionally caps actual width x7-style (split/salt) against
+    * skewed clusters. Width trades coverage for cost: wider cells see
+    * more of the exact pair set (τ=0.35 pairs sit ~70° apart and
+    * straddle narrow cells — at the √n IVF geometry single-assignment
+    * coverage was 0.17–0.32).
+    */
+  private[graft] val D12CellWidth = 250
+
+  private[graft] def d12Cells(n: Long): Int =
+    math.max(8, math.ceil(n.toDouble / D12CellWidth).toInt)
+
+  /** Measured intra-top2-cell coverage with boundary spill (SpillProbe
+    * grid; the width-derived cell count resolves to 8 at all three
+    * driver SFs): 0.81/0.79/0.75 (vs 0.37/0.36/0.32 single-assignment
+    * — the same boundary-spill mechanism the IVF serving path uses,
+    * applied to the dedup clustering); floor = 0.75 − 0.13 regen slack.
+    */
+  private[graft] val D12CoverageFloor = 0.61
+
+  /** The operational path: cells → within-cell exact pairs → components
+    * → decision table (vec_id, rep_id, kept). Kept separate from the
+    * gate so specs and sweeps exercise exactly what production runs.
+    */
+  private[graft] def d12CellDecisions(s: SparkSession, d: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cells = d12Cells(memoCount(emb))
+    val cents = memoCentroids(emb, ivfFitSample(0, cells), cells)
+    require(cents.nonEmpty, s"empty embedding corpus at $d")
+    // TOP-2 (boundary-spill) assignment for PAIR GENERATION: a τ=0.35
+    // pair sits far from parallel, so single-cell assignment misses
+    // most of them (measured 0.32–0.37 coverage vs 0.75–0.81 with the
+    // spill). The decision table itself still partitions — spill only
+    // widens which pairs are SEEN; duplicate sightings collapse at the
+    // distinct before components.
+    val am = VecOps.centroidArgmax2(s, col("embedding"), cents)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        VecOps.fnorm(s, col("embedding")).as("_n"), am.as("_am"))
+      .filter(col("_n") > 0)
+      .select(col("vec_id"), col("embedding"), col("_n"),
+        explode(array_distinct(
+          array(col("_am.cell"), col("_am.cell2")))).as("cell"))
+    def side(sfx: String): DataFrame = assigned.select(col("cell"),
+      col("vec_id").as(s"id_$sfx"), col("embedding").as(s"e_$sfx"),
+      col("_n").as(s"n_$sfx"))
+    val pairs = side("a").join(side("b"), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VecOps.fdot(s, col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b"))).as("sim"))
+      .filter(col("sim") >= D12Tau)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val comps = DedupOps.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("label").as("rep_id"))
+    emb.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", col("vec_id") === col("rep_id"))
+  }
+
+  /** 1-row (_cov): intra-cell fraction of the EXACT near-dup pair set
+    * under the same single assignment the decision path uses — the
+    * measured quantity behind [[D12CoverageFloor]] (RecallProbe prints
+    * it at both SFs).
+    */
+  private[graft] def d12CoverageFrame(s: SparkSession, d: String,
+      nCells: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val exactPairs = cosinePairsExact(emb, D12Tau)
+      .select(col("id_a"), col("id_b"))
+    val cells =
+      if (nCells > 0) nCells else d12Cells(memoCount(emb))
+    val cents = memoCentroids(emb, ivfFitSample(0, cells), cells)
+    val am = VecOps.centroidArgmax2(s, col("embedding"), cents)
+    val cellOf = emb.select(col("vec_id"), am.as("_am"))
+      .select(col("vec_id"), col("_am.cell").as("cell"),
+        col("_am.cell2").as("cell2"))
+    exactPairs
+      .join(cellOf.select(col("vec_id").as("id_a"),
+        col("cell").as("ca1"), col("cell2").as("ca2")), "id_a")
+      .join(cellOf.select(col("vec_id").as("id_b"),
+        col("cell").as("cb1"), col("cell2").as("cb2")), "id_b")
+      .agg(coalesce(avg(when(
+        col("ca1") === col("cb1") || col("ca1") === col("cb2") ||
+          col("ca2") === col("cb1") || col("ca2") === col("cb2"), 1.0)
+        .otherwise(0.0)), lit(1.0)).as("_cov"))
+  }
+
+  private def d12Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dec = d12CellDecisions(s, d)
+    val exactPairs = cosinePairsExact(emb, D12Tau)
+      .select(col("id_a"), col("id_b"))
+    val paired = exactPairs.select(col("id_a").as("vec_id"))
+      .unionByName(exactPairs.select(col("id_b").as("vec_id")))
+      .distinct()
+    val nTot = dec.agg(count(lit(1)).as("n"))
+    val nPaired = paired.agg(count(lit(1)).as("n_paired"))
+    val unsound = dec.filter(!col("kept"))
+      .join(paired, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("_bad"))
+    nTot.crossJoin(broadcast(nPaired)).crossJoin(broadcast(unsound))
+      .crossJoin(broadcast(d12CoverageFrame(s, d)))
+      .select(col("n"), col("n_paired"),
+        (col("_bad") === 0).as("dedup_sound"),
+        (col("_cov") >= D12CoverageFloor).as("coverage_ok"))
+  }
+
+  private val d12Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  WHERE list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                           CAST(embedding AS DOUBLE[])) > 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35),
+      |paired AS (
+      |  SELECT id_a AS vec_id FROM pairs
+      |  UNION SELECT id_b FROM pairs)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM paired) AS n_paired,
+      |  TRUE AS dedup_sound, TRUE AS coverage_ok""".stripMargin
+
   // ---- KM2: spherical k-means over the embedding corpus ------------------
   /** Corpus clustering for curation — the step SemDeDup/mixture analysis
     * runs BEFORE dedup or sampling: spherical (cosine) k-means, k = 8,
@@ -1840,6 +2008,7 @@ object SimilarityOps {
     "x7_knn_join"          -> Q(x7Gate, Some(x7GateSql)),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "d11_semdedup"         -> Q(d11SemDedup, Some(d11Sql)),
+    "d12_semdedup_cells"   -> Q(d12Gate, Some(d12Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x11_ivf_incremental"  -> Q(x11Gate, Some(annGateSql(10))),
     "x11b_ivf_append"      -> Q(x11bGate, Some(annGateSql(10))),

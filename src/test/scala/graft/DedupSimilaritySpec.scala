@@ -292,6 +292,54 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d12: within-cell semdedup is sound (drops only exact near-dups) " +
+      "and its pairs are a subset of the exact pair graph") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val exact = SimilarityOps.cosinePairsExact(emb, 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairedIds = exact.flatMap { case (a, b) => Seq(a, b) }
+    val dec = SimilarityOps.d12CellDecisions(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+    val rep = dec.map { case (id, (rp, _)) => id -> rp }.toMap
+    // total coverage + well-formed decisions (the d11 invariants)
+    assert(dec.length === emb.count())
+    dec.foreach { case (id, (rp, kept)) =>
+      assert(kept === (id == rp))
+      assert(rp <= id)
+      assert(rep(rp) === rp)
+    }
+    // soundness: every dropped vector has an EXACT near-dup — within-cell
+    // pairs are a subset of the exact pair set, so approximation can
+    // under-collapse but never over-collapse
+    dec.filter { case (_, (_, kept)) => !kept }.foreach { case (id, _) =>
+      assert(pairedIds.contains(id),
+        s"d12 dropped $id which has no exact near-dup")
+    }
+    // a dropped vector's keeper must be reachable in the exact graph
+    // restricted to its component — weaker but checkable: keeper shares
+    // at least the pair graph's connectivity (same-component via exact
+    // edges union-find)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    dec.foreach { case (id, (rp, kept)) =>
+      if (!kept) assert(find(id) === find(rp),
+        s"$id collapsed to $rp across exact components")
+    }
+    // the gate's flags hold and its payload matches the exact pair graph
+    val g = SparkEntry.queries("d12_semdedup_cells")(spark, Sf0001).head()
+    assert(g.getLong(0) === emb.count())
+    assert(g.getLong(1) === pairedIds.size)
+    assert(g.getBoolean(2) && g.getBoolean(3))
+  }
+
   test("x11: empty delta reduces to the plain IVF; un-refitted delta " +
       "rows are searchable") {
     val emb = Tables.embeddings(spark, Sf0001)

@@ -51,6 +51,7 @@ object RecallProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[recall] $dir x7 aggregate: ${(exall & kj).size.toDouble / exall.size}%.4f")
       println(f"[spill] $dir storage expansion: ${spillExpansion(emb)}%.4f")
+      println(f"[d12] $dir intra-cell coverage: ${d12CoverageFrame(s, dir).head().getDouble(0)}%.4f")
       emb.unpersist()
     }
   }

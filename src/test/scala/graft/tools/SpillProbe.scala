@@ -15,6 +15,10 @@ import graft.ext.SimilarityOps._
 object SpillProbe {
   def main(args: Array[String]): Unit = {
     val s = SparkSpec.session
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"); k <- Seq(4, 8, 16, 0))
+      println(f"[d12cov] $dir cells=$k intra-cell coverage: " +
+        f"${d12CoverageFrame(s, dir, k).head().getDouble(0)}%.4f")
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val emb = Tables.embeddings(s, dir).cache()
       val q5 = emb.filter(col("vec_id") < 5)
