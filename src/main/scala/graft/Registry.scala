@@ -35,6 +35,7 @@ object Registry {
       ext.TextOps.qs ++
       ext.DedupOps.qs ++
       ext.SimilarityOps.qs ++
+      ext.RetrievalOps.qs ++
       ext.EventOps.qs ++
       ext.Curation.qs ++
       mining.MiningOps.qs ++

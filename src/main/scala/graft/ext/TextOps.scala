@@ -727,13 +727,14 @@ object TextOps {
     * textual order (conditional MAX per term — each (doc, term) is unique
     * — then left-to-right addition), rounded to 6.
     */
-  private val Bm25Terms = Seq("hash", "join", "spark")
+  private[graft] val Bm25Terms = Seq("hash", "join", "spark")
 
   /** BM25 over any (doc_id, text) frame — exposed so specs can score a
     * hand-computable corpus. Terms assemble in their Seq order (fixed
     * addition order = deterministic double result).
     */
-  private[graft] def bm25Score(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private[graft] def bm25Score(docs: DataFrame, terms: Seq[String],
+      limitN: Int = 20): DataFrame = {
     val tk = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -757,7 +758,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_terms"),
         round(terms.map(tw).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+      .limit(limitN)
   }
 
   private def t17Bm25(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{RetrievalOps, SimilarityOps, TextOps}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tinyRankDesc: row_number semantics — score desc, ties broken by id") {
+    val df = Seq((10L, 0.5), (11L, 0.9), (12L, 0.5), (13L, 0.1))
+      .toDF("doc_id", "score")
+    val got = RetrievalOps.tinyRankDesc(df, "score", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(11L -> 1L, 10L -> 2L, 12L -> 3L, 13L -> 4L))
+  }
+
+  test("rrfFuse: hand-computed reciprocal-rank fusion, absent side = 0") {
+    val bm = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "r")
+    val dn = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "r")
+    val rows = RetrievalOps.rrfFuse(bm, dn).collect()
+    // doc 2 is in both lists (1/62 + 1/61) and must outrank the singles
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 1L, 3L))
+    val byId = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byId(2L) === ((2L, 1L,
+      BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(byId(1L) === ((1L, 0L,
+      BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(byId(3L) === ((0L, 2L,
+      BigDecimal(1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("x13: fused ranks agree with the standalone BM25 and dense rankings") {
+    val out = SparkEntry.queries("x13_hybrid_rrf")(spark, Sf0001).collect()
+    assert(out.length === RetrievalOps.FusedTopK)
+    // rrf non-increasing in emitted order; doc_id ascending within ties
+    val rrfs = out.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // recompute both candidate rankings independently and check every
+    // emitted (r_bm25, r_dense, rrf) triple against them
+    val docs = Tables.documents(spark, Sf0001)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val bmRank = TextOps
+      .bm25Score(docs, TextOps.Bm25Terms, RetrievalOps.CandDepth)
+      .orderBy(col("score").desc, col("doc_id"))
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val dnRank = SimilarityOps
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        RetrievalOps.CandDepth)
+      .select(col("c_id"), col("rank")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    out.foreach { r =>
+      val (id, rb, rd, rrf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rb === bmRank.getOrElse(id, 0L), s"bm rank of $id")
+      assert(rd === dnRank.getOrElse(id, 0L), s"dense rank of $id")
+      val expect = (if (rb > 0) 1.0 / (RetrievalOps.RrfK + rb) else 0.0) +
+        (if (rd > 0) 1.0 / (RetrievalOps.RrfK + rd) else 0.0)
+      assert(rrf === BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"rrf of $id")
+      assert(rb > 0 || rd > 0, s"$id in fused output but in neither list")
+    }
+    // a doc present in BOTH lists at best ranks must beat every
+    // single-list doc whose one rank is not better than both
+    val both = out.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(both.nonEmpty, "fusion never saw a doc in both lists")
+  }
+}
