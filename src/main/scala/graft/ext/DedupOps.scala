@@ -907,6 +907,107 @@ object DedupOps {
       |WHERE levenshtein(a.pfx, b.pfx) <= 5
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- D13: exact-substring (repeated-span) removal ----------------------
+  /** Span window for D13: 8 consecutive tokens (the "dup span" unit). */
+  private[graft] val SpanLen = 8
+
+  /** Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): REMOVE every token span
+    * that occurs verbatim more than once anywhere in the corpus, instead
+    * of dropping whole documents. The paper builds a corpus-wide suffix
+    * array — inherently single-node; the distributed re-expression is
+    * n-gram coverage: a repeated span of length L ≥ `SpanLen` has all of
+    * its length-`SpanLen` windows repeated too, so marking every token
+    * covered by a duplicated `SpanLen`-gram removes exactly the maximal
+    * repeated spans (plus length-`SpanLen` chance collisions, which the
+    * paper's ≥2-occurrence threshold also removes).
+    *
+    * Scale shape: the occurrence stream (doc_id, start, gram) is built
+    * MAP-SIDE from each document (no window functions, no self-join); the
+    * only corpus-sized shuffle keys on the gram for the ≥2-occurrence
+    * count — at 100 TB the gram string is replaced by a 16-byte hash pair
+    * (xxhash64 × 2 seeds) so the exchange carries fixed-width keys, and
+    * the kept-text reassembly becomes a doc_id-bucketed join. Here the
+    * covered-starts table (≤ one small int-array row per affected doc) is
+    * explicitly broadcast, so document text never rides any exchange
+    * except the final ordered output. The per-row HOF span filter is
+    * interpreted (not codegen) but bounded by tokens-per-doc; the
+    * TextKernels pattern is the codegen path at scale.
+    */
+  def substringDedup(docs: DataFrame): DataFrame = {
+    val docToks = docs.withColumn("toks", split(col("text"), " "))
+    // Map-side SpanLen-gram occurrences, start is 1-based.
+    val occ = docToks
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("toks")) >= SpanLen,
+            transform(sequence(lit(1), size(col("toks")) - (SpanLen - 1)),
+              i => array_join(slice(col("toks"), i, lit(SpanLen)), " ")))
+            .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
+    val dup = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("gram"))
+    val covered = occ.join(dup, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    val joined = docToks.join(broadcast(covered), Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("starts"), array().cast("array<int>")))
+    val keptPos = filter(
+      sequence(lit(1), size(col("toks"))),
+      j => !exists(col("ss"), s => j >= s && j <= s + (SpanLen - 1)))
+    joined
+      .withColumn("kp", keptPos)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("ss")).cast("long").as("n_dup_spans"),
+        size(col("kp")).cast("long").as("n_kept"),
+        array_join(transform(col("kp"), j => element_at(col("toks"), j)), " ")
+          .as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def d13Substring(s: SparkSession, d: String): DataFrame =
+    substringDedup(Tables.documents(s, d))
+
+  private val d13Sql =
+    """WITH d AS (
+      |  SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+      |pos AS (
+      |  SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS i
+      |  FROM d WHERE len(arr) >= 8),
+      |occ AS (
+      |  SELECT doc_id, i AS start,
+      |         array_to_string(arr[i:i+7], ' ') AS gram
+      |  FROM pos),
+      |dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.start
+      |  FROM occ o JOIN dup USING (gram)),
+      |tk AS (
+      |  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS j
+      |  FROM d),
+      |kept AS (
+      |  SELECT t.doc_id, t.j, t.tok FROM tk t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |    WHERE c.doc_id = t.doc_id AND t.j BETWEEN c.start AND c.start + 7)),
+      |ka AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY j) AS kept_text
+      |  FROM kept GROUP BY doc_id),
+      |cs AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+      |  FROM cov GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(d.arr) AS BIGINT) AS n_tokens,
+      |  COALESCE(cs.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(ka.n_kept, 0) AS n_kept,
+      |  COALESCE(ka.kept_text, '') AS kept_text
+      |FROM d LEFT JOIN cs USING (doc_id) LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, Some(d2Sql)),
@@ -919,5 +1020,6 @@ object DedupOps {
     "d8b_incremental_indexed" -> Q(d8bIncrementalIndexed, Some(d8Sql)),
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
     "d10_editdist_neardup" -> Q(d10EditDist, Some(d10Sql)),
+    "d13_substring_dedup" -> Q(d13Substring, Some(d13Sql)),
   )
 }

@@ -837,4 +837,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bigProbe.toDouble / bigCells <= 0.02,
       "past the probe cap the fraction must shrink well below the bound")
   }
+
+  // ---- d13 exact-substring (repeated-span) removal ----
+
+  private def spanCorpus = Seq(
+    // docs 1+2 share the 12-token span a1..a12 (5 duplicated 8-gram
+    // windows); everything else is unique.
+    (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 u1 u2 u3"),
+    (2L, "v1 v2 a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 w1"),
+    (3L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),              // unique, untouched
+    (4L, "s1 s2 s3"),                                     // < SpanLen: no grams
+    // within-doc repetition: the 8-gram r1..r8 occurs at starts 1 and 10
+    (5L, "r1 r2 r3 r4 r5 r6 r7 r8 x0 r1 r2 r3 r4 r5 r6 r7 r8"),
+  ).toDF("doc_id", "text")
+
+  test("substringDedup removes exactly the maximal repeated spans") {
+    val out = DedupOps.substringDedup(spanCorpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1: span covers positions 1..12 → kept tail only
+    assert(out(1L) === ((15L, 5L, 3L, "u1 u2 u3")))
+    // doc 2: same span at positions 3..14 → kept prefix + suffix
+    assert(out(2L) === ((15L, 5L, 3L, "v1 v2 w1")))
+    // doc 3: nothing repeated, byte-identical passthrough
+    assert(out(3L) === ((10L, 0L, 10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")))
+    // doc 4: shorter than the span window — no grams, passthrough
+    assert(out(4L) === ((3L, 0L, 3L, "s1 s2 s3")))
+    // doc 5: BOTH within-doc occurrences removed (starts 1 and 10)
+    assert(out(5L) === ((17L, 2L, 1L, "x0")))
+  }
+
+  test("substringDedup: a repeated span longer than the window is fully " +
+    "covered by its duplicated 8-gram windows") {
+    import org.apache.spark.sql.functions.col
+    // 20-token repeated span across two docs → 13 duplicated windows,
+    // covered positions collapse to the full 20-token span on each side.
+    val long = (1 to 20).map(i => s"c$i").mkString(" ")
+    val df = Seq((1L, s"$long z1 z2"), (2L, s"y1 $long")).toDF("doc_id", "text")
+    val out = DedupOps.substringDedup(df)
+      .select(col("doc_id"), col("n_dup_spans"), col("kept_text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((13L, "z1 z2")))
+    assert(out(2L) === ((13L, "y1")))
+  }
 }
