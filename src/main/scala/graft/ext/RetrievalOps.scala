@@ -3,6 +3,19 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.functions.VecOps
+
+/** One (candidate, partner) edge of the MMR input: `a_rel` is the
+  * candidate's (rounded) relevance to the query, `psim` its (rounded)
+  * cosine to partner `b_id`; self rows (a_id == b_id, psim 0) keep every
+  * candidate present even without partners.
+  */
+private[ext] case class MmrEdge(a_id: Long, a_rel: Double, b_id: Long,
+    psim: Double)
+
+/** One greedy MMR selection. */
+private[ext] case class MmrPick(sel_rank: Long, doc_id: Long, rel: Double,
+    mmr_score: Double)
 
 /** Hybrid (sparse + dense) retrieval — the fusion layer of a production
   * search/curation stack: t17's BM25 lexical ranking and the x-family's
@@ -166,7 +179,133 @@ object RetrievalOps {
       |  doc_id
       |LIMIT 20""".stripMargin
 
+  // ---- X14: MMR diversified re-ranking ------------------------------------
+
+  /** MMR trade-off weights (Carbonell–Goldstein SIGIR 1998): score =
+    * λ·rel − γ·max-sim-to-selected. γ is a SEPARATE literal, not 1−λ —
+    * `1 - 0.7` is 0.30000000000000004 in IEEE, while both engines parse
+    * the literal `0.3` to the same double; deriving it would desync the
+    * oracle arithmetic.
+    */
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrGamma = 0.3
+  private[graft] val MmrK = 10
+
+  /** Maximal Marginal Relevance re-ranking: greedily build a k-list where
+    * each pick maximizes λ·rel(q,d) − γ·max_{s∈selected} sim(d,s) — the
+    * standard redundancy-vs-relevance diversifier applied after retrieval
+    * (and, in training-data curation, the "diverse exemplar selection"
+    * primitive). Sequential-state op, so it follows the c4 discipline:
+    * the greedy fold runs in `flatMapGroups` over ONE group whose size is
+    * O(depth²) BY CONSTRUCTION (depth = candidate-list length, fixed at
+    * `CandDepth` — never corpus-sized), and its DuckDB oracle is a
+    * recursive CTE carrying the selected-id list, re-picking the same
+    * argmax per step.
+    *
+    * Engine parity: relevance and pairwise cosines are rounded to 6 dp
+    * BEFORE the greedy on both sides (the x1/x3 gates prove rounded
+    * cosines cross-engine identical), so every downstream comparison and
+    * the emitted λ·rel − γ·div doubles are bit-identical IEEE ops over
+    * identical inputs — no further rounding needed. Ties break on doc_id
+    * (ascending scan + strict improvement ≡ ORDER BY score DESC, id).
+    */
+  def mmrRerank(emb: DataFrame, queryId: Long, depth: Int, k: Int)
+      : DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cands = SimilarityOps
+      .bruteForceTopK(emb, emb.filter(col("vec_id") === queryId), depth)
+      .select(col("c_id"), round(col("sim"), 6).as("rel"))
+    val ce = cands
+      .join(emb.select(col("vec_id").as("c_id"), col("embedding")), Seq("c_id"))
+      // ≤ depth rows; the self-join below would otherwise re-derive the
+      // corpus-sized top-k lineage once per side (the x13 lesson).
+      .localCheckpoint(true)
+    val a = ce.select(col("c_id").as("a_id"), col("rel").as("a_rel"),
+      col("embedding").as("a_emb"),
+      VecOps.fnorm(s, col("embedding")).as("a_norm"))
+    val b = ce.select(col("c_id").as("b_id"), col("embedding").as("b_emb"),
+      VecOps.fnorm(s, col("embedding")).as("b_norm"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_rel"), col("b_id"),
+        round(VecOps.fdot(s, col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm")), 6).as("psim"))
+    val selfRows = ce.select(col("c_id").as("a_id"), col("rel").as("a_rel"),
+      col("c_id").as("b_id"), lit(0.0).as("psim"))
+    pairs.unionByName(selfRows).as[MmrEdge]
+      .groupByKey(_ => true)
+      .flatMapGroups { (_, it) =>
+        val rel = collection.mutable.HashMap.empty[Long, Double]
+        val psim = collection.mutable.HashMap.empty[(Long, Long), Double]
+        it.foreach { e =>
+          rel(e.a_id) = e.a_rel
+          if (e.a_id != e.b_id) psim((e.a_id, e.b_id)) = e.psim
+        }
+        val ids = rel.keys.toArray.sorted
+        val selected = collection.mutable.ArrayBuffer.empty[Long]
+        val out = collection.mutable.ArrayBuffer.empty[MmrPick]
+        while (out.size < k && selected.size < ids.length) {
+          var best = -1L
+          var bestScore = Double.NegativeInfinity
+          for (c <- ids if !selected.contains(c)) {
+            val div =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sd => psim.getOrElse((c, sd), 0.0)).max
+            val sc = MmrLambda * rel(c) - MmrGamma * div
+            if (sc > bestScore) { best = c; bestScore = sc }
+          }
+          out += MmrPick(out.size + 1L, best, rel(best), bestScore)
+          selected += best
+        }
+        out.iterator
+      }
+      .toDF()
+      .orderBy(col("sel_rank"))
+  }
+
+  private def x14Mmr(s: SparkSession, d: String): DataFrame =
+    mmrRerank(Tables.embeddings(s, d), queryId = 0L, depth = CandDepth,
+      k = MmrK)
+
+  private val x14Sql =
+    """WITH RECURSIVE
+      |q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+      |      WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT vec_id AS c_id,
+      |         list_cosine_similarity(CAST(embedding AS DOUBLE[]), q_emb)
+      |           AS sim,
+      |         CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |cand AS (
+      |  SELECT c_id, ROUND(sim, 6) AS rel, emb
+      |  FROM scored ORDER BY sim DESC, c_id LIMIT 50),
+      |pair AS (
+      |  SELECT a.c_id AS a_id, b.c_id AS b_id,
+      |         ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS psim
+      |  FROM cand a JOIN cand b ON a.c_id <> b.c_id),
+      |sel AS (
+      |  SELECT CAST(1 AS BIGINT) AS sel_rank, [c_id] AS ids, c_id, rel,
+      |         CAST(0.7 AS DOUBLE) * rel AS mmr_score
+      |  FROM (SELECT c_id, rel FROM cand ORDER BY rel DESC, c_id LIMIT 1)
+      |  UNION ALL
+      |  SELECT s.sel_rank + 1, list_append(s.ids, x.c_id), x.c_id, x.rel,
+      |         x.mmr_score
+      |  FROM sel s, LATERAL (
+      |    SELECT c.c_id, c.rel,
+      |      CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+      |        (SELECT MAX(p.psim) FROM pair p
+      |         WHERE p.a_id = c.c_id AND list_contains(s.ids, p.b_id))
+      |        AS mmr_score
+      |    FROM cand c WHERE NOT list_contains(s.ids, c.c_id)
+      |    ORDER BY mmr_score DESC, c.c_id LIMIT 1) x
+      |  WHERE s.sel_rank < 10)
+      |SELECT sel_rank, c_id AS doc_id, rel, mmr_score FROM sel
+      |ORDER BY sel_rank""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "x13_hybrid_rrf" -> Q(x13Hybrid, Some(x13Sql)),
+    "x14_mmr_rerank" -> Q(x14Mmr, Some(x14Sql)),
   )
 }

@@ -66,4 +66,41 @@ class RetrievalSpec extends SparkSpec {
     val both = out.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
     assert(both.nonEmpty, "fusion never saw a doc in both lists")
   }
+
+  // ---- x14 MMR ----
+
+  test("mmrRerank demotes a near-duplicate below a diverse candidate") {
+    // query 0 = x-axis; 1 and 2 are IDENTICAL (rel 0.9, pair sim 1.0);
+    // 3 is less relevant (0.75) but diverse (sim to 1 ≈ 0.387).
+    // Step 2 scores: dup 2 → .7·.9 − .3·1 = .33; diverse 3 →
+    // .7·.75 − .3·.387 ≈ .409 → MMR picks 3 before 2.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.43589f, 0f)),
+      (2L, Array(0.9f, 0.43589f, 0f)),
+      (3L, Array(0.75f, -0.6614f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val rows = RetrievalOps.mmrRerank(emb, queryId = 0L, depth = 10, k = 10)
+      .collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L))
+    // greedy marginal scores are non-increasing (diversity penalty only
+    // grows as the selected set grows)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // first pick is pure λ·rel of the top-relevance candidate
+    assert(rows.head.getDouble(3) ===
+      RetrievalOps.MmrLambda * rows.head.getDouble(2))
+  }
+
+  test("mmrRerank caps output at k and never repeats a pick") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.3f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.1f, 0.9f)),
+    ).toDF("vec_id", "embedding")
+    val rows = RetrievalOps.mmrRerank(emb, queryId = 0L, depth = 10, k = 2)
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(1)).distinct.length === 2)
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
 }
