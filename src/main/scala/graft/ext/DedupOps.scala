@@ -952,6 +952,14 @@ object DedupOps {
     val covered = occ.join(dup, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("start"))).as("starts"))
+      // Materialize the (small) covered-starts table before the serving
+      // join: without this the broadcast side re-executes the whole
+      // exploded-gram lineage inside the serving query, and a fresh
+      // execution paid a ~10 s DATA-SIZE-INDEPENDENT cost (measured ~10 s
+      // at sf0.1 AND the 10× sweep dir; ~2.5 s once the lineage is cut
+      // here). Eager localCheckpoint: blocks freed by ContextCleaner, no
+      // session-lifetime pin.
+      .localCheckpoint(true)
     val joined = docToks.join(broadcast(covered), Seq("doc_id"), "left")
       .withColumn("ss", coalesce(col("starts"), array().cast("array<int>")))
     val keptPos = filter(

@@ -134,7 +134,12 @@ object ScaleSweep {
       "e16_stream_upsert_mv", "mm3_resize", "x4_cosine_topk_ivf",
       "x8_cosine_topk_ivfsq", "t17_bm25", "e19_gapfill",
       "mm4_phash_neardup", "x10b_filtered_ivf", "x11_ivf_incremental",
-      "x11b_ivf_append", "x12_ivf_persisted")
+      "x11b_ivf_append", "x12_ivf_persisted",
+      // round-11 newcomers: d13's only corpus-sized exchange keys on the
+      // 8-gram (the md5-prefix copies make every doc ~fully duplicated —
+      // the adversarial-but-linear everything-covered case); x13/x14 are
+      // O(candDepth) past their linear candidate scans.
+      "d13_substring_dedup", "x13_hybrid_rrf", "x14_mmr_rerank")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
