@@ -1345,13 +1345,6 @@ object SimilarityOps {
   }
 
   // ---- X12: persisted IVF index (partition-pruned serve path) ------------
-  /** One landed index dir per embeddings VERSION (the stagedDirs /
-    * Compaction discipline): on insert, superseded versions of the same
-    * source evict and their dirs delete eagerly — a mid-JVM regen must
-    * not leave the old layout on disk for the session's life.
-    */
-  private val indexDirs =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
 
   /** Spill-assigned (c_id, cell, c_emb, c_norm) projection of `part` —
     * the persisted layouts land exactly what [[ivfSearch]]'s in-memory
@@ -1365,33 +1358,13 @@ object SimilarityOps {
       "c_norm" -> VecOps.fnorm(s, col("embedding"))), margin)
 
   /** Land `build(dir)` once per `key` version (partitionBy(cell) layout);
-    * superseded same-family versions evict with their dirs deleted.
-    * Synchronized: the side-effecting builder ran inside TrieMap.
-    * getOrElseUpdate, which does NOT guarantee once-only execution —
-    * concurrent callers could double-write and eagerly delete a dir a
-    * third caller was mid-scan on (round-10 advice). Registered queries
-    * run sequentially today; the lock makes the contract hold regardless.
+    * superseded same-family versions evict with their dirs deleted —
+    * shared machinery in [[graft.util.Landing.landedLayout]] since t18's
+    * inverted-index landing adopted the same discipline.
     */
   private def landedCellLayout(key: String, prefix: String)(
-      build: String => Unit): String = indexDirs.synchronized {
-    indexDirs.getOrElseUpdate(key, {
-      val fam = graft.util.Landing.frameFamily(key)
-      indexDirs.keySet
-        .filter(k2 => k2 != key && graft.util.Landing.frameFamily(k2) == fam)
-        .foreach { k2 =>
-          indexDirs.remove(k2).foreach { p =>
-            import scala.jdk.CollectionConverters._
-            val walk = java.nio.file.Files.walk(p)
-            try walk.iterator().asScala.toSeq.reverseIterator
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-            finally walk.close()
-          }
-        }
-      val dir = graft.util.Landing.tempDirOnce(prefix)
-      build(dir.toString)
-      dir
-    }).toString
-  }
+      build: String => Unit): String =
+    graft.util.Landing.landedLayout(key, prefix)(build)
 
   private def landedIndexDir(s: SparkSession, d: String,
       cents: Array[Array[Float]], margin: Double): String =

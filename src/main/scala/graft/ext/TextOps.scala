@@ -729,20 +729,19 @@ object TextOps {
     */
   private[graft] val Bm25Terms = Seq("hash", "join", "spark")
 
-  /** BM25 over any (doc_id, text) frame — exposed so specs can score a
-    * hand-computable corpus. Terms assemble in their Seq order (fixed
-    * addition order = deterministic double result).
+  /** Tokenized (doc_id, tok) stream of a (doc_id, text) frame. */
+  private def bm25Tokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+    .filter(length(col("tok")) > 0)
+
+  /** Assemble BM25 scores from posting rows (doc_id, tok, tf, dl), the
+    * per-term df table, and the 1-row corpus stats (nd, tot). Shared
+    * VERBATIM by the per-query path (t17) and the landed-index serve path
+    * (t18): identical expression tree over identical exact-integer inputs
+    * ⇒ bit-identical doubles on both paths and both engines.
     */
-  private[graft] def bm25Score(docs: DataFrame, terms: Seq[String],
-      limitN: Int = 20): DataFrame = {
-    val tk = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
-    val tf = tk.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+  private def bm25FromPostings(post: DataFrame, dft: DataFrame,
+      st: DataFrame, terms: Seq[String], limitN: Int): DataFrame = {
     val avgdl = col("tot").cast("double") / col("nd").cast("double")
     val idf = log(lit(1) +
       ((col("nd") - col("df")).cast("double") + lit(0.5)) /
@@ -750,7 +749,7 @@ object TextOps {
     val w = idf * (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") +
         lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val wt = tf.join(broadcast(dft), "tok").join(dl, "doc_id")
+    val wt = post.join(broadcast(dft), "tok")
       .crossJoin(broadcast(st))
       .select(col("doc_id"), col("tok"), w.as("w"))
     def tw(t: String) = coalesce(max(when(col("tok") === t, col("w"))), lit(0.0))
@@ -761,8 +760,71 @@ object TextOps {
       .limit(limitN)
   }
 
+  /** BM25 over any (doc_id, text) frame — exposed so specs can score a
+    * hand-computable corpus. Terms assemble in their Seq order (fixed
+    * addition order = deterministic double result).
+    */
+  private[graft] def bm25Score(docs: DataFrame, terms: Seq[String],
+      limitN: Int = 20): DataFrame = {
+    val tk = bm25Tokens(docs)
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+    val tf = tk.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25FromPostings(tf.join(dl, "doc_id"), dft, st, terms, limitN)
+  }
+
   private def t17Bm25(s: SparkSession, d: String): DataFrame =
     bm25Score(Tables.documents(s, d), Bm25Terms)
+
+  // ---- T18: BM25 through a LANDED inverted index --------------------------
+  /** The standing-workload form of t17: t17 rebuilds its tf/dl frames per
+    * query because the term set IS the query; a production search stack
+    * instead lands the inverted index ONCE per corpus version and serves
+    * every query from it. This is x12's partition-layout discipline
+    * applied to text: full postings (doc_id, tf, dl) land
+    * `partitionBy(tok)` — one directory per term IS the posting list —
+    * plus a 1-row corpus-stats table, evicted per source version via
+    * [[graft.util.Landing.landedLayout]]. The serve path filters on the
+    * PARTITION column, so a query reads exactly its terms' posting files
+    * (PartitionFilters, file-listing-level skipping — spec-asserted) and
+    * never rescans or reshuffles the corpus; per-term df falls out of the
+    * pruned scan itself (COUNT over the posting list). Scores come from
+    * the same [[bm25FromPostings]] expression tree as t17 over the same
+    * exact-integer inputs, so the result is bit-identical to t17's and
+    * t17's DuckDB oracle gates it unchanged. At real vocabulary scale the
+    * partition column becomes a term BUCKET (d8b's digest-index shape) —
+    * same pruning mechanism, bounded directory count.
+    */
+  private[graft] def bm25IndexDir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "documents") + "|bm25idx",
+      "graft_bm25idx") { dir =>
+      val tk = bm25Tokens(Tables.documents(s, d))
+      val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      tf.join(dl, "doc_id")
+        .select(col("doc_id"), col("tf"), col("dl"), col("tok"))
+        // one shuffle at BUILD time so each term lands as one file run
+        // (the x12 compaction posture)
+        .repartition(col("tok"))
+        .write.mode("overwrite").partitionBy("tok").parquet(s"$dir/postings")
+      dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+    }
+
+  private[graft] def bm25Indexed(s: SparkSession, d: String,
+      terms: Seq[String], limitN: Int = 20): DataFrame = {
+    val dir = bm25IndexDir(s, d)
+    val post = s.read.parquet(s"$dir/postings")
+      .filter(col("tok").isin(terms: _*))
+    val dft = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25FromPostings(post, dft, s.read.parquet(s"$dir/stats"), terms, limitN)
+  }
+
+  private def t18Bm25Indexed(s: SparkSession, d: String): DataFrame =
+    bm25Indexed(s, d, Bm25Terms)
 
   private val t17Sql =
     """WITH tk AS (
@@ -798,6 +860,9 @@ object TextOps {
   val qs: Seq[(String, Q)] = Seq(
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
     "t17_bm25"           -> Q(t17Bm25, Some(t17Sql)),
+    // bit-identical to t17 by construction (same scoring tree over the
+    // landed postings), so t17's oracle gates the index round-trip too
+    "t18_bm25_indexed"   -> Q(t18Bm25Indexed, Some(t17Sql)),
     "t14_quality_buckets" -> Q(t14QualityBuckets, Some(t14Sql)),
     "t13_vocab_stats"    -> Q(t13VocabStats, Some(t13Sql)),
     "t1_text_stats"      -> Q(t1TextStats, Some(t1Sql)),

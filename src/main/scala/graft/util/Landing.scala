@@ -36,6 +36,38 @@ object Landing {
   def mtimeKey(src: String, table: String): String =
     s"$src|$table|${new java.io.File(s"$src/$table.parquet").lastModified()}"
 
+  /** One landed on-disk layout per `key` version (the x12/d8b index
+    * discipline): on insert, superseded versions of the same family
+    * evict and their dirs delete eagerly — a mid-JVM regen must not
+    * leave the old layout on disk for the session's life. Synchronized:
+    * the side-effecting builder ran inside TrieMap.getOrElseUpdate,
+    * which does NOT guarantee once-only execution — concurrent callers
+    * could double-write and eagerly delete a dir a third caller was
+    * mid-scan on (round-10 advice). Registered queries run sequentially
+    * today; the lock makes the contract hold regardless.
+    */
+  private val layoutDirs = TrieMap.empty[String, Path]
+  def landedLayout(key: String, prefix: String)(
+      build: String => Unit): String = layoutDirs.synchronized {
+    layoutDirs.getOrElseUpdate(key, {
+      val fam = frameFamily(key)
+      layoutDirs.keySet
+        .filter(k2 => k2 != key && frameFamily(k2) == fam)
+        .foreach { k2 =>
+          layoutDirs.remove(k2).foreach { p =>
+            import scala.jdk.CollectionConverters._
+            val walk = Files.walk(p)
+            try walk.iterator().asScala.toSeq.reverseIterator
+              .foreach(Files.deleteIfExists(_))
+            finally walk.close()
+          }
+        }
+      val dir = tempDirOnce(prefix)
+      build(dir.toString)
+      dir
+    }).toString
+  }
+
   /** Amortized DataFrame landing (the j6 production-accounting pattern
     * for derived FRAMES rather than written layouts): materialize `build`
     * once per (session, key) via an eager localCheckpoint and serve the

@@ -155,4 +155,37 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(out(1L) > out(2L))
   }
+
+  test("t18: landed inverted index serves bit-identical scores to t17 " +
+      "and the serve scan partition-prunes to the query terms") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaIndex = TextOps.bm25Indexed(spark, Sf0001, TextOps.Bm25Terms)
+    assert(rows(viaIndex) ===
+      rows(TextOps.bm25Score(Tables.documents(spark, Sf0001),
+        TextOps.Bm25Terms)))
+    // second call reuses the landed layout (once-per-version memo)
+    assert(TextOps.bm25IndexDir(spark, Sf0001) ===
+      TextOps.bm25IndexDir(spark, Sf0001))
+    // the postings scan must carry a static tok IN (...) PARTITION
+    // filter and read only those terms' posting lists
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = TextOps.bm25Indexed(spark, Sf0001, TextOps.Bm25Terms)
+      one.collect()
+      val pruned = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(pruned.nonEmpty, "postings scan carries no partition filter")
+      val total = spark.read
+        .parquet(s"${TextOps.bm25IndexDir(spark, Sf0001)}/postings").count()
+      val read = pruned.map(_.metrics("numOutputRows").value).sum
+      assert(read > 0 && read < total,
+        s"pruned scan should read a strict subset of the postings " +
+          s"($read of $total rows)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
