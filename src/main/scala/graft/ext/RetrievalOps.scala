@@ -102,15 +102,18 @@ object RetrievalOps {
         round(col("_rrf"), 6).as("rrf"))
   }
 
-  /** X13: hybrid search for one query — BM25 over t17's fixed term set,
-    * dense = exact cosine against doc 0's embedding (documents and
-    * embeddings share the id space), RRF-fused top-20.
+  /** X13: hybrid search for one query — BM25 over t17's fixed term set
+    * SERVED FROM t18's landed inverted index (bit-identical scores to the
+    * per-query path, so the oracle is unchanged — but the sparse
+    * candidate generator is now the partition-pruned posting-list scan,
+    * the shape that actually serves at 100 TB), dense = exact cosine
+    * against doc 0's embedding (documents and embeddings share the id
+    * space), RRF-fused top-20.
     */
   private def x13Hybrid(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
     val bm = tinyRankDesc(
-      TextOps.bm25Score(docs, TextOps.Bm25Terms, CandDepth)
+      TextOps.bm25Indexed(s, d, TextOps.Bm25Terms, CandDepth)
         .select(col("doc_id"), col("score")),
       "score", "doc_id")
     val dense = SimilarityOps
