@@ -1972,6 +1972,63 @@ object SimilarityOps {
       |  round(min(raw), 6) AS kth_sim, TRUE AS recall_ok
       |FROM ranked WHERE rn <= 10 GROUP BY q_id ORDER BY q_id""".stripMargin
 
+  // ---- D14: semantic decontamination --------------------------------------
+  /** Embedding-space train/eval decontamination — the semantic complement
+    * of d9's shingle containment: a paraphrased eval item shares few
+    * shingles with the training document that leaks it, but their
+    * embeddings sit at high cosine. Flag every (eval, train) pair at or
+    * above the threshold so the training side can be quarantined before
+    * the mix is assembled (the check LLM data teams run between every
+    * eval refresh and every training run).
+    *
+    * Scale shape: real eval sets are MBs against a 100 TB train side, so
+    * the eval vectors BROADCAST and contamination is one map-side scan of
+    * the training corpus — no shuffle at all until the ≤|pairs| result
+    * orders (d9 makes the same asymmetry argument for shingles). The dot
+    * product is the codegen VecOps kernel. Threshold parity: the filter
+    * compares the ROUNDED cosine (x1/x3 prove 6-dp cosines cross-engine
+    * identical), so a last-ulp disagreement at the boundary cannot flip a
+    * pair in or out.
+    */
+  def semanticContamination(train: DataFrame, eval_ : DataFrame,
+      minSim: Double): DataFrame = {
+    val s = train.sparkSession
+    val t = train.select(col("vec_id").as("train_id"),
+      col("embedding").as("t_emb"),
+      VecOps.fnorm(s, col("embedding")).as("t_norm"))
+    val e = eval_.select(col("vec_id").as("eval_id"),
+      col("embedding").as("e_emb"),
+      VecOps.fnorm(s, col("embedding")).as("e_norm"))
+    t.crossJoin(broadcast(e))
+      .select(col("eval_id"), col("train_id"),
+        round(VecOps.fdot(s, col("t_emb"), col("e_emb")) /
+          (col("t_norm") * col("e_norm")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** D14 query: even vec_ids play the training corpus, odd the eval set
+    * (d9's split convention on the embeddings table).
+    */
+  private def d14SemDecon(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    semanticContamination(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), minSim = 0.45)
+  }
+
+  private val d14Sql =
+    """WITH t AS (SELECT vec_id AS train_id,
+      |                  CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings WHERE vec_id % 2 = 1)
+      |SELECT e.eval_id, t.train_id,
+      |  ROUND(list_cosine_similarity(t.emb, e.emb), 6) AS sim
+      |FROM t, e
+      |WHERE ROUND(list_cosine_similarity(t.emb, e.emb), 6) >= 0.45
+      |ORDER BY eval_id, train_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
     "x10_filtered_topk"    -> Q(x10FilteredTopK, Some(x10Sql)),
@@ -1982,6 +2039,7 @@ object SimilarityOps {
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),
     "d11_semdedup"         -> Q(d11SemDedup, Some(d11Sql)),
     "d12_semdedup_cells"   -> Q(d12Gate, Some(d12Sql)),
+    "d14_semantic_decon"   -> Q(d14SemDecon, Some(d14Sql)),
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x11_ivf_incremental"  -> Q(x11Gate, Some(annGateSql(10))),
     "x11b_ivf_append"      -> Q(x11bGate, Some(annGateSql(10))),

@@ -867,6 +867,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) === ((17L, 2L, 1L, "x0")))
   }
 
+  test("d14: semantic decontamination flags high-cosine train/eval pairs " +
+    "only") {
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (0L, Array(1f, 0f, 0f)),       // leaked: identical to eval 1
+      (2L, Array(0.9f, 0.436f, 0f)), // near eval 1 (cos ≈ 0.9)
+      (4L, Array(0f, 0f, 1f)),       // orthogonal to both evals
+    ).toDF("vec_id", "embedding")
+    val eval_ = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticContamination(train, eval_, minSim = 0.85)
+      .select(col("eval_id"), col("train_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 0L), (1L, 2L)))
+    // raising the threshold past the near-match keeps only the exact leak
+    val strict = SimilarityOps
+      .semanticContamination(train, eval_, minSim = 0.95)
+      .select(col("eval_id"), col("train_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((1L, 0L)))
+  }
+
   test("substringDedup: a repeated span longer than the window is fully " +
     "covered by its duplicated 8-gram windows") {
     import org.apache.spark.sql.functions.col
