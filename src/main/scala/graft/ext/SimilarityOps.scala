@@ -310,6 +310,17 @@ object SimilarityOps {
   private def x11bGate(s: SparkSession, d: String): DataFrame =
     fiveProbeGate(s, d, X11bFloor)((emb, q5) => ivfAppendedTopK(s, d, q5, 10))
 
+  /** e20 serves byte-equivalent index CONTENT to x11b (same base landing,
+    * same delta assignment, committed through foreachBatch micro-batches
+    * instead of one batch job — spec-asserted candidate equality), so
+    * x11b's floor gates it unchanged; what the gate guards here is the
+    * streaming commit path (a lost or double-committed micro-batch is a
+    * recall/row anomaly the flags catch).
+    */
+  private[graft] val E20Floor = X11bFloor
+  private def e20Gate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, E20Floor)((emb, q5) => ivfStreamedTopK(s, d, q5, 10))
+
   /** x12's registered shape serves the same search as x4 but through the
     * LANDED partition-pruned index — identical fit, geometry, and
     * candidates (spec-asserted), so the floor is x4's 0.37; the gate here
@@ -1511,6 +1522,71 @@ object SimilarityOps {
     servePersisted(s, x11bLayoutDir(s, d), queries, cents, probe, k)
   }
 
+  // ---- E20: STREAMING index maintenance -----------------------------------
+  /** The x11b append job as a Structured Streaming sink — online vector
+    * ingest. Newly-arrived delta vectors stream in (staged as 3 files,
+    * `maxFilesPerTrigger=1` + AvailableNow → 3 micro-batches here), and
+    * `foreachBatch` runs the SAME map-side cell assignment the batch
+    * append uses and commits new files into the existing
+    * `partitionBy(cell)` layout — per micro-batch, exactly-once through
+    * the stream checkpoint. The index is a SET of assigned rows,
+    * invariant to micro-batch slicing, so the served candidates are
+    * IDENTICAL to x11b's batch append (spec-asserted) and the same
+    * recall floor gates it. At 100 TB this is the production online-
+    * ingest shape: a stream of new embeddings costs one map-only
+    * assignment per batch plus a file commit into existing partitions —
+    * no refit, no rescan, no shuffle of the base; quantizer refit stays
+    * an offline compaction decision (x12's note).
+    */
+  private val streamedKeys =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def e20LayoutDir(s: SparkSession, d: String): String = {
+    val (base, delta, cents, _, margin) = x11bState(s, d)
+    val verKey = graft.util.Landing.mtimeKey(d, "embeddings")
+    val dir = landedCellLayout(verKey + "|ivfstrm", "graft_ivfstrm") { p =>
+      assignedForLanding(s, base, cents, margin)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+    streamedKeys.synchronized {
+      streamedKeys.getOrElseUpdate(verKey + "|ivfstrm:delta", {
+        val fam = graft.util.Landing.frameFamily(verKey + "|ivfstrm:delta")
+        streamedKeys.keySet.filter(k2 =>
+          k2 != verKey + "|ivfstrm:delta" &&
+            graft.util.Landing.frameFamily(k2) == fam)
+          .foreach(streamedKeys.remove)
+        val stage = graft.util.Landing.tempDirOnce("graft_ivfstrm_stage")
+        val ckpt = graft.util.Landing.tempDirOnce("graft_ivfstrm_ckpt")
+        delta.repartition(3).write.mode("overwrite").parquet(stage.toString)
+        val schema = s.read.parquet(stage.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stage.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            assignedForLanding(s, batch, cents, margin)
+              .repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(dir)
+          }
+          .start()
+        q.awaitTermination()
+        dir
+      })
+    }
+    dir
+  }
+
+  def ivfStreamedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (_, _, cents, probe, _) = x11bState(s, d)
+    if (cents.isEmpty)
+      return bruteForceTopK(Tables.embeddings(s, d), queries, k)
+    servePersisted(s, e20LayoutDir(s, d), queries, cents, probe, k)
+  }
+
   /** Measured storage expansion of boundary spill (RecallProbe): spilled
     * assignment rows / corpus rows at the auto geometry.
     */
@@ -2043,6 +2119,7 @@ object SimilarityOps {
     "x4_cosine_topk_ivf"   -> Q(x4Gate, Some(annGateSql(10))),
     "x11_ivf_incremental"  -> Q(x11Gate, Some(annGateSql(10))),
     "x11b_ivf_append"      -> Q(x11bGate, Some(annGateSql(10))),
+    "e20_stream_index_append" -> Q(e20Gate, Some(annGateSql(10))),
     "x12_ivf_persisted"    -> Q(x12Gate, Some(annGateSql(10))),
     "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),

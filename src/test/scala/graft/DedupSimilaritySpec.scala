@@ -867,6 +867,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) === ((17L, 2L, 1L, "x0")))
   }
 
+  test("e20: streamed index append serves candidates identical to x11b's " +
+    "batch append") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the index is a SET of assigned rows — invariant to micro-batch
+    // slicing, so the streamed layout must serve exactly x11b's candidates
+    assert(keys(SimilarityOps.ivfStreamedTopK(spark, Sf0001, q5, 10)) ===
+      keys(SimilarityOps.ivfAppendedTopK(spark, Sf0001, q5, 10)))
+    // and hold exactly the same row count (base landing + all three
+    // micro-batch commits, no lost or doubled batch)
+    val streamed = spark.read
+      .parquet(SimilarityOps.e20LayoutDir(spark, Sf0001)).count()
+    val batch = spark.read
+      .parquet(SimilarityOps.x11bLayoutDir(spark, Sf0001)).count()
+    assert(streamed === batch, s"streamed layout $streamed rows vs $batch")
+  }
+
   test("d14: semantic decontamination flags high-cosine train/eval pairs " +
     "only") {
     import org.apache.spark.sql.functions.col
