@@ -1953,6 +1953,66 @@ object SimilarityOps {
       |         AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---- DQ4: embedding drift monitor ---------------------------------------
+  /** Per-label centroid drift between two corpus periods — the
+    * embedding-space complement of dq3's scalar PSI: a retrained encoder,
+    * an upstream scraper change, or topic shift moves a label's mean
+    * vector long before any scalar column distribution shifts. Reference
+    * period = even vec_ids, current = odd (the d9/d14 split convention);
+    * per (label, period) centroids come from [[labelCentroids]] (one scan
+    * + one (label × dim)-bounded exchange each — never corpus-sized), and
+    * the drift per label is the cosine between the two centroid vectors
+    * plus their L2 distance, both over the ROUNDED per-dim means (the x6
+    * discipline: rounded means are cross-engine identical, and the
+    * 64-term sums over them re-round to 6 safely — the stddev rule).
+    * Output is |labels| rows; at 100 TB the cost is two corpus scans and
+    * two tiny exchanges, and the period split is a partition predicate.
+    */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val ref = labelCentroids(emb.filter(col("vec_id") % 2 === 0))
+      .select(col("label"), col("dim"), col("n").as("n_ref"),
+        col("centroid").as("a"))
+    val cur = labelCentroids(emb.filter(col("vec_id") % 2 === 1))
+      .select(col("label"), col("dim"), col("n").as("n_cur"),
+        col("centroid").as("b"))
+    ref.join(cur, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("n_ref")).as("n_ref"),
+        max(col("n_cur")).as("n_cur"),
+        round(sum(col("a") * col("b")) /
+          (sqrt(sum(col("a") * col("a"))) * sqrt(sum(col("b") * col("b")))),
+          6).as("drift_cos"),
+        round(sqrt(sum(pow(col("a") - col("b"), lit(2)))), 6).as("l2_dist"))
+      .orderBy(col("label"))
+  }
+
+  private def dq4Drift(s: SparkSession, d: String): DataFrame =
+    embeddingDrift(Tables.embeddings(s, d))
+
+  private val dq4Sql =
+    """WITH cent AS (
+      |  SELECT vec_id % 2 = 0 AS is_ref, label,
+      |         CAST(unnest(range(0, len(embedding))) AS BIGINT) AS dim,
+      |         embedding
+      |  FROM embeddings),
+      |agg AS (
+      |  SELECT is_ref, label, dim,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         round(AVG(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)),
+      |               6) AS c
+      |  FROM cent GROUP BY is_ref, label, dim)
+      |SELECT r.label,
+      |  MAX(r.n) AS n_ref, MAX(c2.n) AS n_cur,
+      |  round(SUM(r.c * c2.c)
+      |        / (sqrt(SUM(r.c * r.c)) * sqrt(SUM(c2.c * c2.c))), 6)
+      |    AS drift_cos,
+      |  round(sqrt(SUM(POW(r.c - c2.c, 2))), 6) AS l2_dist
+      |FROM agg r JOIN agg c2
+      |  ON r.label = c2.label AND r.dim = c2.dim
+      | AND r.is_ref AND NOT c2.is_ref
+      |GROUP BY r.label ORDER BY r.label""".stripMargin
+
   // ---- X10: metadata-filtered vector search ------------------------------
   /** Exact filtered top-k: candidates restricted to rows sharing the
     * query's label — the metadata-predicate + ANN shape every vector
@@ -2110,6 +2170,7 @@ object SimilarityOps {
     "x10_filtered_topk"    -> Q(x10FilteredTopK, Some(x10Sql)),
     "x10b_filtered_ivf"    -> Q(x10bGate, Some(x10bGateSql)),
     "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
+    "dq4_embedding_drift"  -> Q(dq4Drift, Some(dq4Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2Gate, Some(annGateSql(10))),
     "x7_knn_join"          -> Q(x7Gate, Some(x7GateSql)),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),

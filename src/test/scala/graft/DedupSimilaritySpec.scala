@@ -867,6 +867,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) === ((17L, 2L, 1L, "x0")))
   }
 
+  test("dq4: planted drift — stable label reads cos 1/L2 0, flipped " +
+    "label reads cos -1") {
+    import org.apache.spark.sql.functions.col
+    // label 0: identical centroid both periods; label 1: current period
+    // is the exact negation of the reference
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),   // even=ref, odd=cur
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, -1f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.embeddingDrift(emb).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0) === ((1L, 1L, 1.0, 0.0)))
+    assert(out(1) === ((1L, 1L, -1.0, 2.0)))
+  }
+
   test("e20: streamed index append serves candidates identical to x11b's " +
     "batch append") {
     val emb = Tables.embeddings(spark, Sf0001)
