@@ -2143,22 +2143,25 @@ object SimilarityOps {
       .orderBy(col("eval_id"), col("train_id"))
   }
 
-  /** D14 query: even vec_ids play the training corpus, odd the eval set
-    * (d9's split convention on the embeddings table).
+  /** D14 query: vec_ids < 50 play the eval set, the rest the training
+    * corpus. The eval side is a BOUNDED CONSTANT, not a corpus fraction —
+    * eval sets do not grow with the training corpus, which is what makes
+    * the registered shape O(n·|eval|) = linear in corpus size (a
+    * fractional split would be quadratic).
     */
   private def d14SemDecon(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     semanticContamination(
-      emb.filter(col("vec_id") % 2 === 0),
-      emb.filter(col("vec_id") % 2 === 1), minSim = 0.45)
+      emb.filter(col("vec_id") >= 50),
+      emb.filter(col("vec_id") < 50), minSim = 0.45)
   }
 
   private val d14Sql =
     """WITH t AS (SELECT vec_id AS train_id,
       |                  CAST(embedding AS DOUBLE[]) AS emb
-      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |           FROM embeddings WHERE vec_id >= 50),
       |e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS emb
-      |      FROM embeddings WHERE vec_id % 2 = 1)
+      |      FROM embeddings WHERE vec_id < 50)
       |SELECT e.eval_id, t.train_id,
       |  ROUND(list_cosine_similarity(t.emb, e.emb), 6) AS sim
       |FROM t, e
