@@ -779,23 +779,43 @@ object TextOps {
     bm25Score(Tables.documents(s, d), Bm25Terms)
 
   // ---- T18: BM25 through a LANDED inverted index --------------------------
+  /** Term-bucket count for the t18 layout: bounds the directory count at
+    * ANY vocabulary size (one-directory-per-term measured its hazard on
+    * the sweep's md5-prefixed 10× dir — 50k distinct tokens = 50k
+    * directories; bucketing is d8b's digest-index shape).
+    */
+  private[graft] val Bm25Buckets = 64
+
+  /** Driver-side twin of the layout's `pmod(xxhash64(tok), Bm25Buckets)`
+    * bucket column (XXH64 seed 42 = Spark's xxhash64; CLAUDE.md).
+    */
+  private[graft] def bm25TokBucket(t: String): Int = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+    Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L),
+      Bm25Buckets.toLong).toInt
+  }
+
   /** The standing-workload form of t17: t17 rebuilds its tf/dl frames per
     * query because the term set IS the query; a production search stack
     * instead lands the inverted index ONCE per corpus version and serves
     * every query from it. This is x12's partition-layout discipline
-    * applied to text: full postings (doc_id, tf, dl) land
-    * `partitionBy(tok)` — one directory per term IS the posting list —
-    * plus a 1-row corpus-stats table, evicted per source version via
+    * applied to text: full postings (doc_id, tf, dl, tok) land
+    * `partitionBy(tok_b)` where tok_b is a TERM BUCKET (hash(tok) mod
+    * [[Bm25Buckets]] — d8b's digest-index shape, so the directory count
+    * is bounded whatever the vocabulary), plus a 1-row corpus-stats
+    * table, evicted per source version via
     * [[graft.util.Landing.landedLayout]]. The serve path filters on the
-    * PARTITION column, so a query reads exactly its terms' posting files
-    * (PartitionFilters, file-listing-level skipping — spec-asserted) and
-    * never rescans or reshuffles the corpus; per-term df falls out of the
-    * pruned scan itself (COUNT over the posting list). Scores come from
-    * the same [[bm25FromPostings]] expression tree as t17 over the same
+    * PARTITION column with the query terms' buckets (driver-computed
+    * from the same hash) plus an in-file residual on tok, so a query
+    * reads only its terms' bucket files (PartitionFilters,
+    * file-listing-level skipping — spec-asserted) and never rescans or
+    * reshuffles the corpus; per-term df falls out of the pruned scan
+    * itself (COUNT over the posting list). Scores come from the same
+    * [[bm25FromPostings]] expression tree as t17 over the same
     * exact-integer inputs, so the result is bit-identical to t17's and
-    * t17's DuckDB oracle gates it unchanged. At real vocabulary scale the
-    * partition column becomes a term BUCKET (d8b's digest-index shape) —
-    * same pruning mechanism, bounded directory count.
+    * t17's DuckDB oracle gates it unchanged.
     */
   private[graft] def bm25IndexDir(s: SparkSession, d: String): String =
     graft.util.Landing.landedLayout(
@@ -805,11 +825,12 @@ object TextOps {
       val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       tf.join(dl, "doc_id")
-        .select(col("doc_id"), col("tf"), col("dl"), col("tok"))
-        // one shuffle at BUILD time so each term lands as one file run
+        .select(col("doc_id"), col("tf"), col("dl"), col("tok"),
+          pmod(xxhash64(col("tok")), lit(Bm25Buckets)).as("tok_b"))
+        // one shuffle at BUILD time so each bucket lands as one file run
         // (the x12 compaction posture)
-        .repartition(col("tok"))
-        .write.mode("overwrite").partitionBy("tok").parquet(s"$dir/postings")
+        .repartition(col("tok_b"))
+        .write.mode("overwrite").partitionBy("tok_b").parquet(s"$dir/postings")
       dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tot"))
         .write.mode("overwrite").parquet(s"$dir/stats")
     }
@@ -817,8 +838,9 @@ object TextOps {
   private[graft] def bm25Indexed(s: SparkSession, d: String,
       terms: Seq[String], limitN: Int = 20): DataFrame = {
     val dir = bm25IndexDir(s, d)
+    val buckets = terms.map(bm25TokBucket).distinct
     val post = s.read.parquet(s"$dir/postings")
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok_b").isin(buckets: _*) && col("tok").isin(terms: _*))
     val dft = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     bm25FromPostings(post, dft, s.read.parquet(s"$dir/stats"), terms, limitN)
   }

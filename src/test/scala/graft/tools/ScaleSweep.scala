@@ -139,7 +139,12 @@ object ScaleSweep {
       // 8-gram (the md5-prefix copies make every doc ~fully duplicated —
       // the adversarial-but-linear everything-covered case); x13/x14 are
       // O(candDepth) past their linear candidate scans.
-      "d13_substring_dedup", "x13_hybrid_rrf", "x14_mmr_rerank")
+      "d13_substring_dedup", "x13_hybrid_rrf", "x14_mmr_rerank",
+      // t18 = amortized index landing + pruned serve; d14 = O(n·|eval|)
+      // broadcast scan; e20 = x11b's append as a stream (base landing +
+      // three micro-batch commits); dq4 = two x6-shaped scans.
+      "t18_bm25_indexed", "d14_semantic_decon", "e20_stream_index_append",
+      "dq4_embedding_drift")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
