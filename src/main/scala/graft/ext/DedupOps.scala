@@ -173,6 +173,25 @@ object DedupOps {
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** (doc_id, sig, band, bucket) rows of the portable md5-min sketch —
+    * signatures via the map-only kernel (one md5-minhash call per doc),
+    * band buckets as '|'-joined signature slices (string equality, never
+    * an engine hash). Shared by d2b's pair join and d15's landed index.
+    */
+  private def md5BandedSig(docs: DataFrame, w: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    docs.select(col("doc_id"),
+      graft.functions.TextKernelFns.md5MinhashSig(
+        docs.sparkSession, col("text"), w, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|",
+            slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   def minhashPortablePairs(docs: DataFrame, w: Int = 3, numHashes: Int = 8,
       bands: Int = 4, minJaccard: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
@@ -182,21 +201,12 @@ object DedupOps {
     require(numHashes >= 1 && numHashes <= 8 && bands >= 1 &&
       numHashes % bands == 0,
       s"need 1 <= numHashes <= 8 and bands | numHashes; got $numHashes/$bands")
-    val rowsPerBand = numHashes / bands
     // Signatures via the map-only kernel (one md5-minhash call per doc —
     // no shingle explode, no per-doc aggregation shuffle; 3.9 s → the
     // cost of one corpus scan at sf0.1). Values are identical to
     // [[md5SigExpressionForm]] (spec-asserted): portability lives in the
     // md5-slice VALUES the oracle recomputes, not in the plan shape.
-    val sig = docs.select(col("doc_id"),
-      graft.functions.TextKernelFns.md5MinhashSig(
-        docs.sparkSession, col("text"), w, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("|",
-          slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = md5BandedSig(docs, w, numHashes, bands)
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
@@ -1016,6 +1026,123 @@ object DedupOps {
       |FROM d LEFT JOIN cs USING (doc_id) LEFT JOIN ka USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- D15: near-dup SEARCH against a landed sketch index -----------------
+  /** The ingest-check form of near-dup dedup: "has this incoming document
+    * been (nearly) seen before?" — the question a standing pipeline asks
+    * of every arriving batch, where d2/d2b ask it of the whole corpus at
+    * once. The corpus's banded md5-min signatures (d2b's portable sketch,
+    * so the WHOLE pipeline stays plain-SQL-oracle-checkable) land once
+    * per corpus version under a `partitionBy(bkt)` layout with
+    * bkt = hash(band, bucket) mod 64 — the t18/d8b bucketed-index shape,
+    * directory count bounded at any corpus. Serving probes ONLY the
+    * query batch's bucket partitions: the probe set is |queries|×bands
+    * rows (bounded driver fetch), the pruned scan reads those partitions'
+    * files, candidates join on exact (band, bucket) string equality, and
+    * est_jaccard = matching-slices/8 (exact small-int division, identical
+    * cross-engine) thresholds the matches. Degenerate buckets (> 1000
+    * corpus members — boilerplate) are excluded at BUILD time, the d2b
+    * cap. At 100 TB: the index build is d2b's map-only signature scan +
+    * one bucket-keyed shuffle, amortized per version; each ingest check
+    * costs a partition-pruned read of ~|queries|×bands buckets, never a
+    * corpus scan.
+    */
+  private[graft] def neardupIndexDir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "documents") + "|nddx",
+      "graft_nddx") { dir =>
+      val banded = md5BandedSig(Tables.documents(s, d), 3, 8, 4)
+      val ok = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("c")).filter(col("c") <= 1000)
+        .select(col("band"), col("bucket"))
+      banded.join(ok, Seq("band", "bucket"))
+        .withColumn("bkt", pmod(xxhash64(col("band"), col("bucket")), lit(64)))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(dir)
+    }
+
+  /** Probe `queries` (doc_id, text) against the landed index; emits
+    * (q_id, match_id, est_jaccard ≥ minJaccard).
+    */
+  def neardupSearch(s: SparkSession, d: String, queries: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val dir = neardupIndexDir(s, d)
+    val qb = md5BandedSig(queries, 3, 8, 4)
+      .select(col("doc_id").as("q_id"), col("sig").as("q_sig"),
+        col("band"), col("bucket"),
+        pmod(xxhash64(col("band"), col("bucket")), lit(64)).as("bkt"))
+      // tiny (|queries|×bands rows); checkpoint so the bounded driver
+      // fetch below and the probe join don't re-derive the query scan
+      .localCheckpoint(true)
+    // bounded driver fetch: at most 64 distinct partition ids
+    val bkts = qb.select(col("bkt")).distinct().limit(65).collect()
+      .map(_.getLong(0))
+    val idx = s.read.parquet(dir).filter(col("bkt").isin(bkts.toIndexedSeq: _*))
+    val agree = (0 until 8).map { k =>
+      when(col("q_sig").getItem(k) === col("sig").getItem(k), 1).otherwise(0)
+    }.reduce(_ + _)
+    idx.join(broadcast(qb.drop("bkt")), Seq("band", "bucket"))
+      .select(col("q_id"), col("doc_id").as("match_id"),
+        (agree.cast("double") / lit(8)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .distinct()
+      .orderBy(col("q_id"), col("match_id"))
+  }
+
+  /** D15 query: the incoming batch is docs 0–4 perturbed by one appended
+    * token — a deterministic near-dup of its own source both engines can
+    * synthesize, so each probe provably finds its source (est_jaccard
+    * 7–8 of 8) without depending on where the corpus planted its dups.
+    */
+  private def d15NeardupSearch(s: SparkSession, d: String): DataFrame = {
+    val incoming = Tables.documents(s, d).filter(col("doc_id") < 5)
+      .select(col("doc_id"), concat(col("text"), lit(" zzzprobe")).as("text"))
+    neardupSearch(s, d, incoming)
+  }
+
+  private val d15Sql = {
+    val mins = (0 until 8).map(j =>
+      s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS m$j").mkString(", ")
+    def bandRows(src: String) = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, m${2 * b} || '|' || m${2 * b + 1} AS bucket, " +
+        (0 until 8).map(j => s"m$j").mkString(", ") + s" FROM $src")
+      .mkString(" UNION ALL ")
+    val agree = (0 until 8).map(j =>
+      s"CASE WHEN q.m$j = c.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ctoks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |cidx AS (
+       |  SELECT doc_id, t, unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
+       |  FROM ctoks),
+       |cshd AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS sh
+       |  FROM cidx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
+       |csig AS (SELECT doc_id, $mins FROM cshd GROUP BY doc_id),
+       |qtoks AS (
+       |  SELECT doc_id,
+       |         regexp_split_to_array(lower(text || ' zzzprobe'), '\\s+') AS t
+       |  FROM documents WHERE doc_id < 5),
+       |qidx AS (
+       |  SELECT doc_id, t, unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
+       |  FROM qtoks),
+       |qshd AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i+1:i+3], ' ') AS sh
+       |  FROM qidx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
+       |qsig AS (SELECT doc_id, $mins FROM qshd GROUP BY doc_id),
+       |cb AS (${bandRows("csig")}),
+       |ok AS (
+       |  SELECT band, bucket FROM cb
+       |  GROUP BY band, bucket HAVING count(*) <= 1000),
+       |qb AS (${bandRows("qsig")})
+       |SELECT DISTINCT q.doc_id AS q_id, c.doc_id AS match_id,
+       |  CAST($agree AS DOUBLE) / 8 AS est_jaccard
+       |FROM qb q
+       |JOIN cb c ON q.band = c.band AND q.bucket = c.bucket
+       |JOIN ok ON ok.band = c.band AND ok.bucket = c.bucket
+       |WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
+       |ORDER BY q_id, match_id""".stripMargin
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "d1_exact_dedup"    -> Q(d1Exact, Some(d1Sql)),
     "d2_minhash_pairs"  -> Q(d2Minhash, Some(d2Sql)),
@@ -1029,5 +1156,6 @@ object DedupOps {
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
     "d10_editdist_neardup" -> Q(d10EditDist, Some(d10Sql)),
     "d13_substring_dedup" -> Q(d13Substring, Some(d13Sql)),
+    "d15_neardup_search" -> Q(d15NeardupSearch, Some(d15Sql)),
   )
 }

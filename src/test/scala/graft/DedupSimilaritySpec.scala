@@ -867,6 +867,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) === ((17L, 2L, 1L, "x0")))
   }
 
+  test("d15: near-dup search finds each probe's source through the " +
+    "landed sketch index and partition-prunes the probe scan") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("d15_neardup_search")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each of the 5 perturbed probes must surface its own source with a
+    // near-1 sketch estimate
+    (0L until 5L).foreach { q =>
+      val self = out.find(r => r._1 == q && r._2 == q)
+      assert(self.nonEmpty, s"probe $q never matched its source in " +
+        out.take(10).mkString(", "))
+      assert(self.get._3 >= 0.75, s"probe $q est ${self.get._3}")
+    }
+    // layout memo: second call reuses the landed dir
+    assert(DedupOps.neardupIndexDir(spark, Sf0001) ===
+      DedupOps.neardupIndexDir(spark, Sf0001))
+    // the probe scan must carry a bkt IN (...) PARTITION filter and read
+    // a strict subset of the index
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, Sf0001)
+      val one = DedupOps.neardupSearch(spark, Sf0001,
+        docs.filter(col("doc_id") === 0)
+          .select(col("doc_id"), col("text")))
+      one.collect()
+      val pruned = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(pruned.nonEmpty, "index scan carries no partition filter")
+      val total = spark.read
+        .parquet(DedupOps.neardupIndexDir(spark, Sf0001)).count()
+      val read = pruned.map(_.metrics("numOutputRows").value).sum
+      assert(read > 0 && read < total,
+        s"pruned scan should read a strict subset ($read of $total rows)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("dq4: planted drift — stable label reads cos 1/L2 0, flipped " +
     "label reads cos -1") {
     import org.apache.spark.sql.functions.col
