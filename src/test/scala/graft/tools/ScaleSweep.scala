@@ -144,7 +144,10 @@ object ScaleSweep {
       // broadcast scan; e20 = x11b's append as a stream (base landing +
       // three micro-batch commits); dq4 = two x6-shaped scans.
       "t18_bm25_indexed", "d14_semantic_decon", "e20_stream_index_append",
-      "dq4_embedding_drift")
+      "dq4_embedding_drift",
+      // d15 = d2b's map-only signature scan + one bucket-keyed exchange
+      // at build, partition-pruned probe at serve (bkt bounded at 64)
+      "d15_neardup_search")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
