@@ -555,6 +555,44 @@ object MultimodalOps {
           sha2(col("payload"), 256).as("digest")).as("meta"))
   }
 
+  /** [[makeWav]] of the FAMILY id with one member-determined sample
+    * replaced by a scaled, member-parity-SIGNED value — audibly-near-
+    * identical variants of a shared base clip. The RMS frame grid squares
+    * samples, so the sign flip is inaudible to the hash (v² identical)
+    * while the bytes differ: the audio analogue of mm4's
+    * byte-different-same-pixels PNG discipline.
+    */
+  private[graft] def makeWavVariant(family: Long, member: Long): Array[Byte] = {
+    val bytes = makeWav(family)
+    val n = 64 + (family % 129).toInt
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val p = (member % n).toInt
+    val orig = bb.getShort(44 + 2 * p)
+    val scaled = (orig.toInt * 3 / 4).toShort
+    bb.putShort(44 + 2 * p,
+      if (member % 2 == 0) scaled else (-scaled).toShort)
+    bytes
+  }
+
+  /** Audio media table with PLANTED near-dup families: consecutive
+    * doc_ids in groups of `familySize` share a base clip, each member
+    * perturbing one sample ([[makeWavVariant]]) — the audio twin of
+    * [[synthesizeNearDupMedia]].
+    */
+  def synthesizeNearDupAudio(docs: DataFrame, familySize: Int = 8): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map(id =>
+          MediaRow(id, makeWavVariant(id / familySize, id), "audio/wav"))
+      }
+      .toDF()
+      .select(col("doc_id"), col("payload"),
+        struct(col("mime"), length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest")).as("meta"))
+  }
+
   private val hashSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", IntegerType),
@@ -626,10 +664,30 @@ object MultimodalOps {
   private val mm4Sql = graft.util.OracleFixtures.sql("mm4_phash_neardup",
     Seq("a", "b", "hamming"), "a, b")
 
+  /** MM5: the audio twin of mm4 — planted near-dup WAV families through
+    * the SAME decode → aHash → banded-LSH → hamming pipeline; what it
+    * additionally pins is the WAV path of [[resizeGrid]] (per-frame RMS):
+    * a one-sample perturbation moves one frame's RMS slightly and a sign
+    * flip not at all (v² is sign-blind), so family members hash within a
+    * few bits while unrelated clips do not band-collide. Same fixture-
+    * replay oracle discipline as mm4.
+    */
+  private def mm5AudioNearDup(s: SparkSession, d: String): DataFrame =
+    graft.util.OracleFixtures.withCorpusKey(
+      phashNearDups(s, synthesizeNearDupAudio(Tables.documents(s, d)),
+        landKey = Some((s,
+          graft.util.Landing.mtimeKey(d, "documents") + "|mm5_phash"))),
+      s, d)
+      .orderBy(col("a"), col("b"))
+
+  private val mm5Sql = graft.util.OracleFixtures.sql("mm5_audio_neardup",
+    Seq("a", "b", "hamming"), "a, b")
+
   val qs: Seq[(String, Q)] = Seq(
     "mm1_media_features" -> Q(mm1Features, Some(mm1Sql)),
     "mm2_frame_sample"   -> Q(mm2FrameSample, Some(mm2Sql)),
     "mm3_resize"         -> Q(mm3Resize, Some(mm3Sql)),
     "mm4_phash_neardup"  -> Q(mm4PhashNearDup, Some(mm4Sql)),
+    "mm5_audio_neardup"  -> Q(mm5AudioNearDup, Some(mm5Sql)),
   )
 }

@@ -197,4 +197,48 @@ class MultimodalSpec extends SparkSpec {
       "cross-family pair leaked through the hamming gate")
     assert(pairs.forall(_._3 <= 12))
   }
+
+  // ---- mm5 audio near-dup -------------------------------------------------
+
+  test("mm5: WAV aHash rides the RMS grid — sign-blind, near for " +
+    "variants, far across bases") {
+    val a = MultimodalOps.aHash64(MultimodalOps.makeWavVariant(3L, 24L))
+    assert(a._1 == 2, "WAV must take the audio decode path")
+    // same family, consecutive member: one perturbed sample stays inside
+    // the near-dup radius
+    val near = MultimodalOps.aHash64(MultimodalOps.makeWavVariant(3L, 25L))
+    assert(java.lang.Long.bitCount(a._2 ^ near._2) <= 12,
+      "one perturbed sample must stay inside the near-dup radius")
+    // the RMS grid squares samples, so a GLOBAL sign flip of the PCM
+    // data is invisible to the hash while every byte differs
+    val base = MultimodalOps.makeWavVariant(5L, 40L)
+    val flipped = base.clone()
+    val bb = java.nio.ByteBuffer.wrap(flipped)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 44
+    while (off + 1 < flipped.length) {
+      bb.putShort(off, (-bb.getShort(off)).toShort); off += 2
+    }
+    assert(!java.util.Arrays.equals(base, flipped))
+    assert(MultimodalOps.aHash64(base) == MultimodalOps.aHash64(flipped),
+      "sign flip must be invisible to the squared-RMS grid")
+    val far = MultimodalOps.aHash64(MultimodalOps.makeWavVariant(4L, 24L))
+    assert(java.lang.Long.bitCount(a._2 ^ far._2) > 12,
+      "different base clips must hash apart")
+  }
+
+  test("mm5: planted audio families pair up, no cross-family leaks") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val pairs = MultimodalOps.phashNearDups(spark,
+        MultimodalOps.synthesizeNearDupAudio(docs)).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(t => t._1 / 8 == t._2 / 8),
+      "cross-family pair leaked through the hamming gate")
+    assert(pairs.forall(_._3 <= 12))
+    // each family must surface most of its C(8,2)=28 member pairs
+    assert(pairs.count(t => t._1 / 8 == 0) >= 20,
+      s"family 0 underdetected: ${pairs.count(t => t._1 / 8 == 0)} pairs")
+  }
 }
