@@ -348,8 +348,76 @@ object Curation {
       |    AS INT) AS shard
       |FROM h ORDER BY doc_id""".stripMargin
 
+  // ---- PIPE4: curation v2 — span removal inside the pipeline --------------
+  /** The round-11 composition: quality gate → exact-substring SPAN REMOVAL
+    * (d13 — duplicated spans are cut from surviving documents, not just
+    * counted) → exact dedup of the CLEANED text (documents that differed
+    * only in boilerplate now collapse) → deterministic 1-in-5 sample. One
+    * declarative plan: Catalyst pushes the gate into the scan, d13's gram
+    * exchange runs over gated documents only, and the dedup groups the
+    * post-removal text — the order a production pipeline wants, because
+    * span removal BEFORE dedup is what makes boilerplate-wrapped
+    * duplicates visible to the exact pass. Uses [[DedupOps
+    * .substringDecision]] (the unordered core) so no wasted sort sits
+    * under the dedup's own exchange.
+    */
+  private def pipe4CurationV2(s: SparkSession, d: String): DataFrame = {
+    val gated = qualityFilter(Tables.documents(s, d))
+    DedupOps.substringDecision(gated)
+      .groupBy(col("kept_text"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_kept")).as("n_kept"))
+      .filter(col("keep_doc_id") % 5 === 0)
+      .select(col("keep_doc_id"), col("n_copies"), col("n_kept"))
+      .orderBy(col("keep_doc_id"))
+  }
+
+  private val pipe4Sql =
+    """WITH gated AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE n_chars BETWEEN 80 AND 520
+      |    AND LEN(STR_SPLIT(text, ' ')) >= 15
+      |    AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+      |        / LENGTH(text) < 0.05),
+      |d AS (SELECT doc_id, str_split(text, ' ') AS arr FROM gated),
+      |pos AS (
+      |  SELECT doc_id, arr, unnest(range(1, len(arr) - 6)) AS i
+      |  FROM d WHERE len(arr) >= 8),
+      |occ AS (
+      |  SELECT doc_id, i AS start,
+      |         array_to_string(arr[i:i+7], ' ') AS gram
+      |  FROM pos),
+      |dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(*) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.start
+      |  FROM occ o JOIN dup USING (gram)),
+      |tk AS (
+      |  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS j
+      |  FROM d),
+      |kept AS (
+      |  SELECT t.doc_id, t.j, t.tok FROM tk t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |    WHERE c.doc_id = t.doc_id AND t.j BETWEEN c.start AND c.start + 7)),
+      |ka AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         string_agg(tok, ' ' ORDER BY j) AS kept_text
+      |  FROM kept GROUP BY doc_id),
+      |cut AS (
+      |  SELECT d.doc_id,
+      |         COALESCE(ka.n_kept, 0) AS n_kept,
+      |         COALESCE(ka.kept_text, '') AS kept_text
+      |  FROM d LEFT JOIN ka USING (doc_id))
+      |SELECT MIN(doc_id) AS keep_doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |       MIN(n_kept) AS n_kept
+      |FROM cut GROUP BY kept_text
+      |HAVING MIN(doc_id) % 5 = 0
+      |ORDER BY keep_doc_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
+    "pipe4_curation_v2" -> Q(pipe4CurationV2, Some(pipe4Sql)),
     "c5_sharding" -> Q(c5Sharding, Some(c5Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
     "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),

@@ -944,7 +944,14 @@ object DedupOps {
     * interpreted (not codegen) but bounded by tokens-per-doc; the
     * TextKernels pattern is the codegen path at scale.
     */
-  def substringDedup(docs: DataFrame): DataFrame = {
+  def substringDedup(docs: DataFrame): DataFrame =
+    substringDecision(docs).orderBy(col("doc_id"))
+
+  /** [[substringDedup]] without the final output ordering — the form
+    * compositions consume (pipe4 feeds it straight into a dedup groupBy,
+    * where an inner sort would be a wasted exchange).
+    */
+  def substringDecision(docs: DataFrame): DataFrame = {
     val docToks = docs.withColumn("toks", split(col("text"), " "))
     // Map-side SpanLen-gram occurrences, start is 1-based.
     val occ = docToks
@@ -984,7 +991,6 @@ object DedupOps {
         size(col("kp")).cast("long").as("n_kept"),
         array_join(transform(col("kp"), j => element_at(col("toks"), j)), " ")
           .as("kept_text"))
-      .orderBy(col("doc_id"))
   }
 
   private def d13Substring(s: SparkSession, d: String): DataFrame =

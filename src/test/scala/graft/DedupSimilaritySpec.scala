@@ -867,6 +867,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) === ((17L, 2L, 1L, "x0")))
   }
 
+  test("pipe4: span removal BEFORE dedup collapses boilerplate-wrapped " +
+    "duplicates the exact pass alone cannot see") {
+    import org.apache.spark.sql.functions.col
+    // docs 10 and 15 share the 10-token boilerplate span b1..b10 AND the
+    // same remaining content in the same order — byte-DIFFERENT texts
+    // (different span placement) that become byte-identical once the
+    // duplicated span is cut; doc 20 is unique.
+    val core = "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    val span = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val docs = Seq(
+      (10L, s"$span $core"),
+      (15L, s"u1 u2 u3 u4 $span u5 u6 u7 u8 u9"),
+      (20L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDecision(docs)
+      .groupBy(col("kept_text"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keep"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(10L -> 2L, 20L -> 1L),
+      s"boilerplate-wrapped dup did not collapse: $out")
+  }
+
   test("d15: near-dup search finds each probe's source through the " +
     "landed sketch index and partition-prunes the probe scan") {
     import org.apache.spark.sql.functions.col
