@@ -37,35 +37,112 @@ object Landing {
     s"$src|$table|${new java.io.File(s"$src/$table.parquet").lastModified()}"
 
   /** One landed on-disk layout per `key` version (the x12/d8b index
-    * discipline): on insert, superseded versions of the same family
-    * evict and their dirs delete eagerly — a mid-JVM regen must not
-    * leave the old layout on disk for the session's life. Synchronized:
-    * the side-effecting builder ran inside TrieMap.getOrElseUpdate,
-    * which does NOT guarantee once-only execution — concurrent callers
-    * could double-write and eagerly delete a dir a third caller was
-    * mid-scan on (round-10 advice). Registered queries run sequentially
-    * today; the lock makes the contract hold regardless.
+    * discipline): on insert, superseded COMPLETED versions of the same
+    * family evict and their dirs delete eagerly — a mid-JVM regen must
+    * not leave the old layout on disk for the session's life. Once-only
+    * execution is guaranteed by a per-key future claimed with
+    * `putIfAbsent` (TrieMap.getOrElseUpdate alone does not guarantee it);
+    * the distributed `build` runs OUTSIDE any global lock, so a slow
+    * build of one layout family no longer serializes unrelated families
+    * behind a single JVM lock (round-11 advice). Only the family-eviction
+    * bookkeeping holds a short lock; an in-flight superseded build is
+    * dropped from the memo but its dir is left to the JVM-exit cleanup
+    * hook rather than deleted under a concurrent writer.
     */
-  private val layoutDirs = TrieMap.empty[String, Path]
+  private val layoutDirs =
+    TrieMap.empty[String, java.util.concurrent.CompletableFuture[Path]]
   def landedLayout(key: String, prefix: String)(
-      build: String => Unit): String = layoutDirs.synchronized {
-    layoutDirs.getOrElseUpdate(key, {
-      val fam = frameFamily(key)
-      layoutDirs.keySet
-        .filter(k2 => k2 != key && frameFamily(k2) == fam)
-        .foreach { k2 =>
-          layoutDirs.remove(k2).foreach { p =>
-            import scala.jdk.CollectionConverters._
-            val walk = Files.walk(p)
-            try walk.iterator().asScala.toSeq.reverseIterator
-              .foreach(Files.deleteIfExists(_))
-            finally walk.close()
+      build: String => Unit): String = {
+    val mine = new java.util.concurrent.CompletableFuture[Path]
+    layoutDirs.putIfAbsent(key, mine) match {
+      case Some(existing) => existing.get().toString
+      case None =>
+        try {
+          layoutDirs.synchronized {
+            val fam = frameFamily(key)
+            layoutDirs.keySet
+              .filter(k2 => k2 != key && frameFamily(k2) == fam)
+              .foreach { k2 =>
+                layoutDirs.remove(k2).foreach { f =>
+                  if (f.isDone && !f.isCompletedExceptionally) {
+                    import scala.jdk.CollectionConverters._
+                    val walk = Files.walk(f.get())
+                    try walk.iterator().asScala.toSeq.reverseIterator
+                      .foreach(Files.deleteIfExists(_))
+                    finally walk.close()
+                  }
+                }
+              }
           }
+          val dir = tempDirOnce(prefix)
+          build(dir.toString)
+          mine.complete(dir)
+          dir.toString
+        } catch {
+          case t: Throwable =>
+            layoutDirs.remove(key, mine)
+            mine.completeExceptionally(t)
+            throw t
         }
-      val dir = tempDirOnce(prefix)
-      build(dir.toString)
-      dir
-    }).toString
+    }
+  }
+
+  /** Idempotent micro-batch append into an existing `partitionBy` parquet
+    * layout (the e20 streaming-sink commit): foreachBatch is AT-LEAST-ONCE
+    * — a failed-then-retried micro-batch re-runs the sink function with
+    * the same batchId — so the commit must converge on replay instead of
+    * duplicating rows. Protocol (every step replay-safe):
+    *   1. `_batch_<id>_committed` marker present → already fully
+    *      committed, return;
+    *   2. stage the batch under `.stage_batch_<id>` with mode(overwrite)
+    *      — a retried stage write self-cleans;
+    *   3. delete any `batch<id>_*` files a crashed publish left inside
+    *      the partition dirs;
+    *   4. move the staged files into their partitions under
+    *      batchId-prefixed names;
+    *   5. drop the stage, then create the marker (atomic file create).
+    * A crash anywhere before step 5 makes the replay redo 2–4 and
+    * converge on exactly the restaged file set; after step 5 the replay
+    * is a no-op. Spark's partition discovery ignores the dot-prefixed
+    * stage and the underscore-prefixed marker, so a reader concurrent
+    * with a commit sees either none or all of the batch's files only
+    * after the marker — and at minimum never a torn stage.
+    */
+  def idempotentAppend(df: org.apache.spark.sql.DataFrame, dir: String,
+      batchId: Long, partCol: String): Unit = {
+    val root = new java.io.File(dir)
+    val marker = new java.io.File(root, s"_batch_${batchId}_committed")
+    if (marker.exists()) return
+    val stage = new java.io.File(root, s".stage_batch_$batchId")
+    df.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    val prefix = s"batch${batchId}_"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .foreach { pd =>
+        Option(pd.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(prefix))
+          .foreach(f => Files.deleteIfExists(f.toPath))
+      }
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .foreach { pd =>
+        val target = new java.io.File(root, pd.getName)
+        target.mkdirs()
+        Option(pd.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            Files.move(f.toPath,
+              new java.io.File(target, prefix + f.getName).toPath)
+          }
+      }
+    locally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(stage.toPath)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    Files.createFile(marker.toPath)
   }
 
   /** Amortized DataFrame landing (the j6 production-accounting pattern
