@@ -323,9 +323,9 @@ object SimilarityOps {
 
   /** x12's registered shape serves the same search as x4 but through the
     * LANDED partition-pruned index — identical fit, geometry, and
-    * candidates (spec-asserted), so the floor is x4's 0.37; the gate here
-    * guards the serve path (a pruning bug that drops cells is a recall
-    * collapse the flag catches).
+    * candidates (spec-asserted), so [[X12Floor]] tracks x4's measured
+    * family; the gate here guards the serve path (a pruning bug that
+    * drops cells is a recall collapse the flag catches).
     */
   private[graft] val X12Floor = 0.39
   private def x12Gate(s: SparkSession, d: String): DataFrame =
@@ -1253,9 +1253,11 @@ object SimilarityOps {
     * the ones with the smallest best-vs-second cosine margin, i.e. the
     * Voronoi-boundary vectors a near-miss routing loses. The margin
     * THRESHOLD realizing the budget is the budget-quantile of margins
-    * over the memoized fit sample ([[memoSpillThreshold]]), so storage
-    * expansion is ≤ 1 + budget by construction at every corpus size and
-    * distribution — a fixed-τ margin had no such bound (measured 1.09×
+    * over the memoized fit sample ([[memoSpillThreshold]]), so expected
+    * storage expansion ≈ 1 + budget (exact on the fit sample; a corpus
+    * whose margin distribution differs from the ≤16k sample can exceed
+    * it — [[spillExpansion]] measures the realized value) — a fixed-τ
+    * margin had no such handle at all (measured 1.09×
     * at sf0.01 but 1.9× at τ large enough to matter). Probe counts are
     * unchanged; spill pays at index-build time, which amortizes per
     * corpus version. Measured lift at this budget (RecallProbe): x4/x8
@@ -1528,8 +1530,13 @@ object SimilarityOps {
     * `maxFilesPerTrigger=1` + AvailableNow → 3 micro-batches here), and
     * `foreachBatch` runs the SAME map-side cell assignment the batch
     * append uses and commits new files into the existing
-    * `partitionBy(cell)` layout — per micro-batch, exactly-once through
-    * the stream checkpoint. The index is a SET of assigned rows,
+    * `partitionBy(cell)` layout. foreachBatch itself is AT-LEAST-ONCE (a
+    * failed-then-retried micro-batch re-runs the sink), so the commit
+    * goes through [[graft.util.Landing.idempotentAppend]]'s replay-safe
+    * stage/clean/publish/marker protocol — a replayed batchId converges
+    * on the same file set instead of duplicating delta rows, which keeps
+    * both the served top-k AND the file-snapshot contract exact under
+    * retry. The index is a SET of assigned rows,
     * invariant to micro-batch slicing, so the served candidates are
     * IDENTICAL to x11b's batch append (spec-asserted) and the same
     * recall floor gates it. At 100 TB this is the production online-
@@ -1566,10 +1573,11 @@ object SimilarityOps {
           .writeStream
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            assignedForLanding(s, batch, cents, margin)
-              .repartition(col("cell"))
-              .write.mode("append").partitionBy("cell").parquet(dir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.util.Landing.idempotentAppend(
+              assignedForLanding(s, batch, cents, margin)
+                .repartition(col("cell")),
+              dir, batchId, "cell")
           }
           .start()
         q.awaitTermination()
@@ -1586,6 +1594,65 @@ object SimilarityOps {
       return bruteForceTopK(Tables.embeddings(s, d), queries, k)
     servePersisted(s, e20LayoutDir(s, d), queries, cents, probe, k)
   }
+
+  // ---- X15: offline index compaction / refit ------------------------------
+  /** X15: OFFLINE COMPACTION of the appended IVF index — the step x11's
+    * scaladoc defers to ("refit is an offline compaction decision") and
+    * the last leg of the index lifecycle: build (x12) → batch append
+    * (x11b) → streaming append (e20) → COMPACT (x15). Input is the
+    * appended LAYOUT, not the source table — compaction is an index-side
+    * maintenance job that must not rescan the warehouse: the corpus is
+    * RECOVERED from the layout's files by collapsing boundary-spill
+    * duplicates (spill copies are byte-identical, so `dropDuplicates` on
+    * the id is value-deterministic), the coarse quantizer REFITS on the
+    * recovered corpus (same deterministic xxhash64-ranked sample order as
+    * every other fit, memoized per layout version), every row is
+    * reassigned map-side with a fresh spill threshold, and a new
+    * `partitionBy(cell)` layout lands with one file run per cell —
+    * erasing both the base/delta file split and the centroid drift the
+    * no-refit appends accumulated. Serve is the same partition-pruned
+    * scan as x12. At 100 TB: one read of the index files + one map-only
+    * reassignment + one shuffle-by-cell write, amortized per layout
+    * version and scheduled by a drift policy (e.g. delta > ~30% of
+    * base), never per append or per query.
+    */
+  private[graft] def x15State(s: SparkSession, d: String)
+      : (String, Array[Array[Float]], Int) = {
+    val apDir = x11bLayoutDir(s, d)
+    val recovered = s.read.parquet(apDir)
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+      .dropDuplicates("vec_id")
+    val (cells, probe) = ivfGeometry(memoCount(recovered, tag = ":compact"),
+      0, 0)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(recovered, fs, cells, tag = ":compact")
+    if (cents.isEmpty) return ("", cents, probe)
+    val margin = memoSpillThreshold(recovered, fs, cents, tag = ":compact")
+    val dir = landedCellLayout(
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|ivfcomp",
+      "graft_ivfcomp") { p =>
+      assignedForLanding(s, recovered, cents, margin)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+    (dir, cents, probe)
+  }
+
+  def ivfCompactedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (dir, cents, probe) = x15State(s, d)
+    if (cents.isEmpty)
+      return bruteForceTopK(Tables.embeddings(s, d), queries, k)
+    servePersisted(s, dir, queries, cents, probe, k)
+  }
+
+  /** x15 refits on the FULL recovered corpus, so its recall family is
+    * x4's full-refit family; the gate additionally fails on a lossy
+    * recovery (dropped or duplicated ids shift the candidate pool).
+    */
+  private[graft] val X15Floor = X4Floor
+  private def x15Gate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, X15Floor)((emb, q5) => ivfCompactedTopK(s, d, q5, 10))
 
   /** Measured storage expansion of boundary spill (RecallProbe): spilled
     * assignment rows / corpus rows at the auto geometry.
@@ -2185,6 +2252,7 @@ object SimilarityOps {
     "x11b_ivf_append"      -> Q(x11bGate, Some(annGateSql(10))),
     "e20_stream_index_append" -> Q(e20Gate, Some(annGateSql(10))),
     "x12_ivf_persisted"    -> Q(x12Gate, Some(annGateSql(10))),
+    "x15_ivf_compact"      -> Q(x15Gate, Some(annGateSql(10))),
     "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),

@@ -81,7 +81,53 @@ object IncrementalRollup {
       |FROM lineitem
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** MV2: MERGEABLE-SKETCH rollup — the approximate twin of mv1 for the
+    * one aggregate mv1's machinery cannot maintain: COUNT(DISTINCT).
+    * Exact per-day distinct counts do not merge across days (distinct is
+    * not distributive), so an exact range query must rescan raw events —
+    * but an HLL sketch is an algebraic aggregate whose union is exact
+    * SET union over disjoint or overlapping inputs. Per-day sketches of
+    * the distinct-user set land once per source version (frameLanding);
+    * any date-range distinct-user question is then answered by merging
+    * the ≤|days| landed sketch rows (`hll_union_agg`) instead of
+    * rescanning raw events. At 100 TB the raw scan happens once per
+    * arriving partition at sketch-build time (mv1's incremental
+    * accounting, ~4 KB per day row); every range query after that reads
+    * kilobytes. Bounded-gate oracle (the a7/a10 discipline): each weekly
+    * row carries the EXACT distinct count — engine-neutral — plus a flag
+    * that the merged-sketch estimate sits within ±5% (default lgK=12 HLL
+    * ≈ 1.6% σ, so 5% ≈ 3σ); DuckDB recomputes the exact payload and
+    * expects TRUE flags.
+    */
+  private def mv2Sketch(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "events") + "|mv2daily")(
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")))
+    val weekOf = (c: org.apache.spark.sql.Column) =>
+      date_format(date_trunc("week", c), "yyyy-MM-dd")
+    val est = daily
+      .groupBy(weekOf(col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+    val exact = Tables.events(s, d)
+      .groupBy(weekOf(col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("_est").cast("double") / col("exact_users") - 1.0)
+          <= 0.05).as("est_ok"))
+      .orderBy(col("week"))
+  }
+
+  private val mv2Sql =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "mv1_incremental_rollup" -> Q(mv1Incremental, Some(mv1Sql)),
+    "mv2_sketch_rollup"      -> Q(mv2Sketch, Some(mv2Sql)),
   )
 }
