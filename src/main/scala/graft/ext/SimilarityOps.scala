@@ -2020,6 +2020,73 @@ object SimilarityOps {
       |         AS centroid
       |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  // ---- OD2: centroid-distance outliers ------------------------------------
+  /** Embedding-space outlier mining: vectors far (cosine) from their own
+    * label's centroid — mislabeled or off-distribution examples, the
+    * embedding complement of od1's scalar 3σ rule and the cluster-center
+    * variant of classic distance-based outlier detection (the kNN-distance
+    * form is O(n²) exact; distance-to-center keeps the SAME linear scan
+    * shape at every corpus size, which is why production label-quality
+    * audits run this one). Centroids are [[labelCentroids]]'s ROUNDED
+    * per-dim means (cross-engine identical inputs, the x6/dq4
+    * discipline); per-vector cosines aggregate map-side — the explode
+    * never rides the exchange: partial aggregation collapses each
+    * vector's 64 dim-rows to one slim (dot, norm) row inside its scan
+    * partition, so the shuffle carries n rows, and the centroid/norm
+    * sides broadcast (|labels|×dim). Ranks are taken over the ROUNDED
+    * distance with vec_id tie-break, so a last-ulp sum disagreement
+    * cannot flip the top-20 boundary.
+    */
+  private[graft] def centroidOutliers(emb: DataFrame,
+      topN: Int = 20): DataFrame = {
+    val ev = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("vf").cast("double").as("v"))
+    val cents = ev.groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v")), 6).as("cent"))
+    val cn = cents.groupBy(col("label"))
+      .agg(sqrt(sum(col("cent") * col("cent"))).as("nc"))
+    ev.join(broadcast(cents), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("cent")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("nv"))
+      .join(broadcast(cn), "label")
+      .filter(col("nv") > 0 && col("nc") > 0)
+      .select(col("vec_id"), col("label"),
+        round(lit(1.0) - col("dot") / (col("nv") * col("nc")), 6).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(topN)
+  }
+
+  private def od2CentroidOutliers(s: SparkSession, d: String): DataFrame =
+    centroidOutliers(Tables.embeddings(s, d))
+
+  private val od2Sql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |         unnest(range(0, len(embedding))) AS dim
+      |  FROM embeddings),
+      |ev AS (
+      |  SELECT vec_id, label, dim,
+      |         CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE) AS v
+      |  FROM e),
+      |c AS (
+      |  SELECT label, dim, round(AVG(v), 6) AS cent
+      |  FROM ev GROUP BY label, dim),
+      |cn AS (SELECT label, sqrt(SUM(cent * cent)) AS nc FROM c GROUP BY label),
+      |dt AS (
+      |  SELECT ev.vec_id, ev.label,
+      |         SUM(ev.v * c.cent) AS dot, sqrt(SUM(ev.v * ev.v)) AS nv
+      |  FROM ev JOIN c ON ev.label = c.label AND ev.dim = c.dim
+      |  GROUP BY ev.vec_id, ev.label)
+      |SELECT dt.vec_id, dt.label,
+      |       round(1 - dot / (nv * cn.nc), 6) AS dist
+      |FROM dt JOIN cn ON dt.label = cn.label
+      |WHERE nv > 0 AND cn.nc > 0
+      |ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
+
   // ---- DQ4: embedding drift monitor ---------------------------------------
   /** Per-label centroid drift between two corpus periods — the
     * embedding-space complement of dq3's scalar PSI: a retrained encoder,
@@ -2241,6 +2308,7 @@ object SimilarityOps {
     "x10b_filtered_ivf"    -> Q(x10bGate, Some(x10bGateSql)),
     "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
     "dq4_embedding_drift"  -> Q(dq4Drift, Some(dq4Sql)),
+    "od2_centroid_outliers" -> Q(od2CentroidOutliers, Some(od2Sql)),
     "x2_cosine_topk_lsh"   -> Q(x2Gate, Some(annGateSql(10))),
     "x7_knn_join"          -> Q(x7Gate, Some(x7GateSql)),
     "x3_embedding_neardup" -> Q(x3NearDupPairs, Some(x3Sql)),

@@ -790,11 +790,210 @@ object MiningOps {
       |      SELECT b FROM tri UNION ALL SELECT c FROM tri)
       |GROUP BY node ORDER BY triangles DESC, node LIMIT 20""".stripMargin
 
+  // ---- PR4: k-core decomposition ------------------------------------------
+  /** Synchronous k-core peeling: each round keeps the nodes whose degree
+    * WITHIN the surviving subgraph is ≥ k; the k-core is the fixpoint
+    * (Batagelj–Zaveršnik's peeling, the distributed synchronous variant
+    * of Montresor et al.). Rounds are a FIXED unroll (both engines run
+    * exactly `rounds` peels), so the registered function is identical
+    * cross-engine even in the impossible-in-practice case that the
+    * fixpoint needs more rounds — MiningOpsSpec asserts round `rounds`
+    * IS a fixpoint on the real corpus, so the unroll equals the true
+    * k-core and a driver regen that deepens the peel chain fails loudly
+    * instead of silently diverging.
+    *
+    * Scale: each round is two semi-joins of the (slim, 2-long) edge list
+    * against the monotonically SHRINKING alive set plus a degree count
+    * with map-side partials — the alive frame is eagerly checkpointed
+    * per round (bounded: |nodes| longs) to cut the 10-round lineage. No
+    * driver-side data beyond the checkpoint bookkeeping; at 100 TB each
+    * round's cost is one pass over the still-alive edges, and rounds are
+    * bounded by the peel depth (≲ tens on real graphs).
+    */
+  private[graft] def kcore(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    def peel(alive: Option[DataFrame]): DataFrame = {
+      val survived = alive match {
+        case None => sym
+        case Some(al) =>
+          sym.join(al.select(col("node").as("a")), "a")
+            .join(al.select(col("node").as("b")), "b")
+      }
+      survived.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("a").as("node"))
+        .localCheckpoint(true)
+    }
+    var alive = peel(None)
+    var r = 1
+    while (r < rounds) { alive = peel(Some(alive)); r += 1 }
+    sym.join(alive.select(col("node").as("a")), "a")
+      .join(alive.select(col("node").as("b")), "b")
+      .groupBy(col("a")).agg(count(lit(1)).as("deg_core"))
+      .select(col("a").as("node"), col("deg_core"))
+      .orderBy(col("node"))
+  }
+
+  /** The SUPPORT-THRESHOLDED co-purchase pair list: an edge only where
+    * the two parts were bought together in ≥ 2 distinct orders. The raw
+    * one-order pair graph is near-regular at every SF (min degree 38+,
+    * measured) — k-core on it is vacuous below the degeneracy band; the
+    * support threshold is the standard market-basket noise cut (fm1's
+    * support gate, binarized) and leaves a graph whose 2-core is the
+    * REPEAT-co-purchase backbone with real acyclic tails to strip.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("a").join(items.as("b"), Seq("ok"))
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  private[graft] val KcoreK = 2
+  private[graft] val KcoreRounds = 10
+
+  /** PR4 query: the 2-core of the support-2 co-purchase graph with each
+    * member's in-core degree — peeling strips every tree-like tail, so
+    * what survives is the CYCLIC repeat-co-purchase backbone (the
+    * structure bot-ring/boilerplate detection and community seeding
+    * start from; measured cores 200/1535/3 nodes at the three SFs,
+    * fixpoint in ≤ 6 rounds, both nonempty and genuinely peeled). The
+    * result is source-derived state, landed once per lineitem version
+    * (pr1's accounting): analyses read the landing, the 10-round peel
+    * runs once per source version.
+    */
+  private def pr4Kcore(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "lineitem") + "|pr4_kcore")(
+      kcore(coPurchaseEdges(s, d), KcoreK, KcoreRounds))
+      .orderBy(col("node"))
+
+  /** Each peel CTE is referenced twice (both endpoint joins) — without
+    * MATERIALIZED DuckDB inlines the reference and the expression tree
+    * doubles per round (2^rounds copies of the base scan; measured: the
+    * sf0.01 oracle would not finish in 60 s; materialized it's ~1 s).
+    */
+  private val pr4Sql = {
+    val peels = (2 to KcoreRounds).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT s.a AS node FROM sym s
+         |  JOIN a${i - 1} x ON s.a = x.node
+         |  JOIN a${i - 1} y ON s.b = y.node
+         |  GROUP BY s.a HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+       |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+       |        UNION ALL SELECT v, u FROM e0),
+       |a1 AS MATERIALIZED (
+       |  SELECT a AS node FROM sym GROUP BY a HAVING COUNT(*) >= $KcoreK),
+       |$peels
+       |SELECT s.a AS node, CAST(COUNT(*) AS BIGINT) AS deg_core
+       |FROM sym s
+       |JOIN a$KcoreRounds x ON s.a = x.node
+       |JOIN a$KcoreRounds y ON s.b = y.node
+       |GROUP BY s.a ORDER BY node""".stripMargin
+  }
+
+  // ---- FM3: PMI collocations ----------------------------------------------
+  /** FM3: pointwise-mutual-information collocations — statistically
+    * bound token bigrams over the document corpus (Church & Hanks 1990),
+    * the classic phrase-mining primitive an LLM-data pipeline uses for
+    * tokenizer vocabulary candidates and boilerplate phrase detection.
+    * Tokenization is t7's portable whitespace+lower convention; bigrams
+    * come from `lead(tok)` over a window PARTITIONED BY doc_id (high
+    * cardinality — never a global sort), so the token stream shuffles
+    * once by doc. PMI = ln(p(ab) / (p(a)·p(b))) computed over exact
+    * integer counts with ONE fixed double-op order both engines repeat;
+    * ranks are taken over the score ROUNDED to 6 dp with the bigram
+    * string as tie-break (t16's ln-portability discipline — a 1-ulp libm
+    * difference can only flip an order the rounded value already
+    * declares a tie).
+    *
+    * Scale: bigram counts shuffle (w1, w2) pairs with map-side partials;
+    * the two unigram joins are vocab-sized (AQE broadcasts them); the
+    * min-count filter prunes the long tail BEFORE the joins; top-50 is a
+    * TakeOrderedAndProject. Nothing driver-side.
+    */
+  private def fm3Pmi(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+    val uni = toks.filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nTok = uni.agg(sum(col("n_tok")).cast("long").as("n_total"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .filter(col("w2").isNotNull &&
+        length(col("tok")) > 0 && length(col("w2")) > 0)
+      .select(col("tok").as("w1"), col("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val nBig = pairs.agg(count(lit(1)).as("n_pairs_total"))
+    big
+      .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_w2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          col("n_pair").cast("double") / col("n_pairs_total")
+            / (col("n_w1").cast("double") / col("n_total"))
+            / (col("n_w2").cast("double") / col("n_total"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  private val fm3Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, tok, pos FROM (
+      |    SELECT doc_id,
+      |      unnest(str_split(lower(text), ' ')) AS tok,
+      |      unnest(range(1, len(str_split(lower(text), ' ')) + 1)) AS pos
+      |    FROM documents)),
+      |uni AS (
+      |  SELECT tok, COUNT(*) AS n_tok FROM toks WHERE len(tok) > 0
+      |  GROUP BY tok),
+      |n AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_total FROM uni),
+      |prs AS (
+      |  SELECT tok AS w1,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT w1, w2 FROM prs
+      |  WHERE w2 IS NOT NULL AND len(w1) > 0 AND len(w2) > 0),
+      |big AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pairs
+      |  GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_total FROM pairs)
+      |SELECT big.w1, big.w2, n_pair,
+      |  round(ln(
+      |    CAST(n_pair AS DOUBLE) / n_pairs_total
+      |      / (CAST(u1.n_tok AS DOUBLE) / n_total)
+      |      / (CAST(u2.n_tok AS DOUBLE) / n_total)), 6) AS pmi
+      |FROM big
+      |JOIN uni u1 ON big.w1 = u1.tok
+      |JOIN uni u2 ON big.w2 = u2.tok
+      |CROSS JOIN n CROSS JOIN nb
+      |ORDER BY pmi DESC, big.w1, big.w2 LIMIT 50""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "fm1_assoc_rules" -> Q(fm1Rules, Some(fm1Sql)),
     "fm2_seq_patterns" -> Q(fm2Sequences, Some(fm2Sql)),
+    "fm3_pmi_collocations" -> Q(fm3Pmi, Some(fm3Sql)),
     "km1_kmeans"      -> Q(km1Kmeans, Some(km1Sql)),
     "pr3_triangles"   -> Q(pr3Triangles, Some(pr3Sql)),
+    "pr4_kcore"       -> Q(pr4Kcore, Some(pr4Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
     "pr2_pagerank_directed" -> Q(pr2PageRankDirected, Some(pr2Sql)),
     "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),

@@ -965,6 +965,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(streamed === batch, s"streamed layout $streamed rows vs $batch")
   }
 
+  test("od2: the planted anti-centroid vector is the top outlier; " +
+    "on-centroid members score ~0") {
+    import org.apache.spark.sql.functions.col
+    // label 0: three copies of e1 plus one vector at -e1 — the centroid
+    // stays near +e1, so the flipped vector sits at distance ~2 and the
+    // aligned ones at ~0; label 1 is a tight pair on e2
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(-1f, 0f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0f, 1f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.centroidOutliers(emb, topN = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(3L) === 2.0, "anti-centroid vector must score dist 2")
+    assert(Seq(0L, 1L, 2L).forall(out(_) < 0.01))
+    assert(Seq(4L, 5L).forall(out(_) === 0.0))
+    // and the top-1 is the planted outlier
+    val top = SimilarityOps.centroidOutliers(emb, topN = 1).collect()
+    assert(top.head.getLong(0) === 3L)
+  }
+
+  test("e21: streamed near-dup admission equals the batch d15 search " +
+    "exactly, one committed dir per micro-batch") {
+    import org.apache.spark.sql.functions.col
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("match_id"), col("est_jaccard")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = DedupOps.e21ResultDir(spark, Sf0001)
+    val streamed = keys(spark.read.parquet(dir))
+    val batch = keys(DedupOps.neardupSearch(spark, Sf0001,
+      DedupOps.d15Incoming(spark, Sf0001)))
+    assert(streamed === batch, "streamed union must equal the batch search")
+    assert(streamed.nonEmpty, "probes must find their perturbed sources")
+    // one committed subpath per micro-batch (3 staged files → 3 batches)
+    val batchDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batchDirs.length === 3)
+  }
+
+  test("x15: compaction recovers the corpus losslessly from the appended " +
+    "layout and rewrites one file run per cell") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val n = Tables.embeddings(spark, Sf0001).count()
+    val (dir, cents, _) = SimilarityOps.x15State(spark, Sf0001)
+    assert(cents.nonEmpty)
+    val landed = spark.read.parquet(dir)
+    // lossless recovery: every corpus id present exactly once pre-spill
+    assert(landed.agg(countDistinct(col("c_id"))).first().getLong(0) === n)
+    // spill re-applies bounded duplication, never loss
+    val rows = landed.count()
+    assert(rows >= n && rows <= 2 * n, s"layout rows $rows vs corpus $n")
+    // the compaction posture: each cell partition is ONE file run —
+    // unlike the appended layout it consumed, which carries the base
+    // write plus per-append file fragments
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { pd =>
+      val files = pd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${pd.getName} has ${files.length} files after compaction")
+    }
+  }
+
   test("d14: semantic decontamination flags high-cosine train/eval pairs " +
     "only") {
     import org.apache.spark.sql.functions.col

@@ -196,6 +196,46 @@ class MiningOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("triangles") == 1L))
   }
 
+  test("pr4: 3-core of a clique plus pendant chain is exactly the clique") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} with a chain 4-5-6 hanging off: peeling removes 6
+    // (deg 1), then 5 (deg 1 after 6 drops) — the 3-core is the clique,
+    // every member at in-core degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val out = MiningOps.kcore(edges, 3, 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg_core")).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("pr4: below-k graphs peel to empty; a cycle IS its own 2-core") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(MiningOps.kcore(path, 2, 10).collect().isEmpty)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val out = MiningOps.kcore(cycle, 2, 10).collect()
+    assert(out.length === 3)
+    out.foreach(r => assert(r.getAs[Long]("deg_core") === 2L))
+  }
+
+  test("pr4: the fixed unroll reaches the true fixpoint on the real " +
+      "co-purchase graph (both SFs)") {
+    // the registered function runs exactly KcoreRounds peels; this pins
+    // that one more round changes nothing, i.e. the unroll IS the k-core
+    for (d <- Seq(Sf0001, Sf001)) {
+      val edges = MiningOps.coPurchaseEdges(spark, d)
+        .localCheckpoint(true)
+      def m(rounds: Int) =
+        MiningOps.kcore(edges, MiningOps.KcoreK, rounds).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg_core"))
+          .toMap
+      val atUnroll = m(MiningOps.KcoreRounds)
+      assert(atUnroll === m(MiningOps.KcoreRounds + 1),
+        s"peel not at fixpoint after ${MiningOps.KcoreRounds} rounds in $d")
+      assert(atUnroll.nonEmpty, s"3-core empty in $d")
+    }
+  }
+
   test("pr3: wheel graph — hub rides every rim triangle despite max degree") {
     import spark.implicits._
     // hub 0 joined to the 5-cycle 1-2-3-4-5: triangles are exactly the

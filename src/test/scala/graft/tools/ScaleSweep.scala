@@ -147,7 +147,14 @@ object ScaleSweep {
       "dq4_embedding_drift",
       // d15 = d2b's map-only signature scan + one bucket-keyed exchange
       // at build, partition-pruned probe at serve (bkt bounded at 64)
-      "d15_neardup_search")
+      "d15_neardup_search",
+      // round-12 newcomers: x15 reads the index files (≈2× index bytes);
+      // mv2 = one event scan at sketch build + |days| sketch-row merges;
+      // fm3 = tokenize pass + bigram exchange truncated by min-count;
+      // od2 = one corpus scan + n-row exchange + TakeOrdered; e21 = d15's
+      // probe per micro-batch against the 10× landed index
+      "x15_ivf_compact", "mv2_sketch_rollup", "fm3_pmi_collocations",
+      "od2_centroid_outliers", "e21_stream_neardup")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
@@ -227,5 +234,25 @@ object ScaleSweep {
     val tSmall = time(graft.mining.MiningOps.triangleCount(ec0).collect())
     val tBig = time(graft.mining.MiningOps.triangleCount(ec10).collect())
     println(f"[scalesweep] pr3_triangles(10x edges) sf0.1 $tSmall%6.1fs  sf1 $tBig%7.1fs  ratio ${tBig / tSmall}%5.1f")
+    // pr4 on 10 SHIFTED copies of the SUPPORT-2 edge list (the pr1/pr3
+    // densification discipline: duplicated facts would multiply every
+    // pair's support ×10 and pass the threshold everywhere — a denser,
+    // different graph; shifted copies grow nodes+edges at constant
+    // degree, so the peel works on 10 disjoint replicas of the real one)
+    val ks0 = graft.mining.MiningOps.coPurchaseEdges(s, Src)
+      .localCheckpoint(true)
+    val kSpan2 = ks0.agg(greatest(max(col("u")), max(col("v")))).head()
+      .getLong(0) + 1L
+    val ks10 = (0 until Copies).map(k =>
+        ks0.select((col("u") + lit(k * kSpan2)).as("u"),
+          (col("v") + lit(k * kSpan2)).as("v")))
+      .reduce(_ unionByName _)
+    val pcSmall = time(graft.mining.MiningOps
+      .kcore(ks0, graft.mining.MiningOps.KcoreK,
+        graft.mining.MiningOps.KcoreRounds).collect())
+    val pcBig = time(graft.mining.MiningOps
+      .kcore(ks10, graft.mining.MiningOps.KcoreK,
+        graft.mining.MiningOps.KcoreRounds).collect())
+    println(f"[scalesweep] pr4_kcore(10x edges)     sf0.1 $pcSmall%6.1fs  sf1 $pcBig%7.1fs  ratio ${pcBig / pcSmall}%5.1f")
   }
 }
