@@ -172,7 +172,8 @@ object ScaleSweep {
       println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
     }
     if (only.nonEmpty && !only.exists(f =>
-        "pr1_pagerank pr2_directed km1_kmeans pr3_triangles".contains(f)))
+        "pr1_pagerank pr2_directed km1_kmeans pr3_triangles pr4_kcore"
+          .contains(f)))
       return
     // pr1-shaped graph, 10 shifted copies of the distinct edge list
     val e0 = Tables.lineitem(s, Src)
