@@ -445,8 +445,81 @@ object EventOps {
        |      / CAST(DATE_DIFF('day', pd, nd) AS DOUBLE)) END, 6) AS value
        |FROM j ORDER BY user_id, day""".stripMargin
 
+  // ---- E23: last-touch attribution ----------------------------------------
+  /** Marketing/conversion attribution — every warehouse's bread-and-butter
+    * event query: each purchase is credited to the SAME USER's most
+    * recent preceding non-purchase touch within a 3-day window
+    * (last-touch; first-touch flips the argmax direction). The per-user
+    * time-range pairing is the af1/e9 as-of shape: the join keys on
+    * user_id (one shuffle each side, purchase×touch fan-out bounded by
+    * the 3-day window per user), the winning touch is a row_number over
+    * (purchase) ordered by (t_ts, t_id) DESC — partitioned BY purchase
+    * id, never a global window — and un-attributed purchases survive the
+    * left join as an explicit bucket (a silently dropped NULL row would
+    * overstate every channel's share). Shares divide by the broadcast
+    * one-row purchase total (a partition-less `SUM() OVER ()` would be
+    * the WindowAudit smell). At 100 TB: at-scale the touch side prunes
+    * to the window by co-partitioning on (user, day-bucket) — the af2
+    * range-join note; counts are exact integers, the share division is
+    * one fixed double op rounded to 6.
+    */
+  private[graft] def lastTouchAttribution(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val t = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type").as("touch"))
+    val joined = p.join(t,
+      p("user_id") === t("user_id") &&
+        col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"), "left")
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("t_ts").desc, col("t_id").desc)
+    val credited = joined
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(coalesce(col("touch"), lit("unattributed")).as("touch"))
+    val total = p.agg(count(lit(1)).as("n_total"))
+    credited.groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("touch"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("n_total"), 6)
+          .as("share"))
+      .orderBy(col("n_purchases").desc, col("touch"))
+  }
+
+  private def e23Attribution(s: SparkSession, d: String): DataFrame =
+    lastTouchAttribution(Tables.events(s, d))
+
+  private val e23Sql =
+    """WITH p AS (
+      |  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts AS t_ts, event_id AS t_id,
+      |         event_type AS touch
+      |  FROM events WHERE event_type <> 'purchase'),
+      |j AS (
+      |  SELECT p.p_id, t.touch, t.t_ts, t.t_id
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.t_ts <= p.p_ts
+      |    AND t.t_ts >= p.p_ts - INTERVAL 3 DAY),
+      |best AS (
+      |  SELECT p_id, COALESCE(touch, 'unattributed') AS touch,
+      |    row_number() OVER (PARTITION BY p_id
+      |                       ORDER BY t_ts DESC, t_id DESC) AS rn
+      |  FROM j),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM p)
+      |SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  round(CAST(COUNT(*) AS DOUBLE) / n_total, 6) AS share
+      |FROM best CROSS JOIN tot
+      |WHERE rn = 1
+      |GROUP BY touch, n_total
+      |ORDER BY n_purchases DESC, touch""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e17_interval_union" -> Q(e17IntervalUnion, Some(e17Sql)),
+    "e23_attribution"    -> Q(e23Attribution, Some(e23Sql)),
     "e19_gapfill"        -> Q(e19Gapfill, Some(e19Sql)),
     "e1_tumbling_window" -> Q(e1Tumbling, Some(e1Sql)),
     "e10_sliding_window" -> Q(e10Sliding, Some(e10Sql)),

@@ -215,9 +215,59 @@ object QualityAudit {
       |FROM grp, tot
       |ORDER BY bucket""".stripMargin
 
+  // ---- DQ5: ingest-volume anomaly scan ------------------------------------
+  /** Robust daily-volume monitoring — the pipeline-ops complement of
+    * dq3's distribution drift: a scraper outage or a duplicate-ingest
+    * incident shows up as a daily row count far from the corpus's norm
+    * long before any content statistic moves. Median/MAD (not mean/σ)
+    * so the detector doesn't let the anomaly inflate its own threshold
+    * (od1's 3σ is the non-robust form). Exact medians: Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the p·(n−1) linear
+    * interpolation, and over integer counts the interpolated values are
+    * exact binary halves — identical doubles cross-engine, no rounding
+    * needed before the comparison. Cost: one count-by-day scan (map-side
+    * partials, |days| rows out) + two |days|-row scalar aggregates —
+    * at 100 TB the daily counts would come from partition metadata or
+    * mv1's landed rollup instead of a raw scan; the detector itself is
+    * O(|days|) driver-trivial either way.
+    */
+  /** Median/MAD anomaly flags over a (day, n) frame — exposed for the
+    * planted-anomaly spec.
+    */
+  private[graft] def volumeAnomaly(daily: DataFrame): DataFrame = {
+    val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = daily.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"),
+        abs(col("n") - col("med")).as("dev"),
+        (abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  private def dq5VolumeAnomaly(s: SparkSession, d: String): DataFrame =
+    volumeAnomaly(Tables.events(s, d)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  private val dq5Sql =
+    """WITH daily AS (
+      |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+      |md AS (SELECT quantile_cont(abs(n - med), 0.5) AS mad
+      |       FROM daily, m)
+      |SELECT day, n, abs(n - med) AS dev,
+      |       (abs(n - med) > 3.0 * mad) AS is_anomaly
+      |FROM daily, m, md ORDER BY day""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "dq1_constraint_audit" -> Q(dq1Audit, Some(dq1Sql)),
     "dq2_table_diff"       -> Q(dq2TableDiff, Some(dq2Sql)),
     "dq3_psi_drift"        -> Q(dq3PsiDrift, Some(dq3Sql)),
+    "dq5_volume_anomaly"   -> Q(dq5VolumeAnomaly, Some(dq5Sql)),
   )
 }

@@ -126,8 +126,81 @@ object IncrementalRollup {
       |  TRUE AS est_ok
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- E22: STREAMING sketch maintenance ----------------------------------
+  /** mv2's sketch table as a maintained streaming artifact — the fourth
+    * leg of the "every landed artifact has a streaming maintenance path"
+    * family (MV e16, vector index e20, dedup index e21, sketch table
+    * e22). Days before the split land once as the batch-built base;
+    * later days arrive as a file stream (3 staged files → 3 micro-
+    * batches) and each batch's PER-DAY PARTIAL sketches commit into the
+    * `partitionBy(day)` layout through the idempotentAppend replay
+    * protocol. Partials are sound by the HLL register-max property:
+    * union-of-partials holds exactly the register maxima of the full
+    * day's stream, so the served estimate is IDENTICAL to the
+    * single-pass sketch (spec-asserted: e22's weekly frame equals mv2's
+    * row-for-row) — no per-day consolidation is ever required, though a
+    * compaction could fold a day's partials into one row (x15's
+    * accounting). At 100 TB this is the standing shape: per-batch cost
+    * is one map-side sketch pass over the batch + a ~KB file commit;
+    * range queries keep reading |days|×partials ≈ KBs.
+    */
+  private[graft] def e22SketchDir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "events") + "|skstrm",
+      "graft_skstrm") { dir =>
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-21").cast("date")
+      def daily(df: DataFrame): DataFrame =
+        df.groupBy(to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily(ev.filter(to_date(col("ts")) < split))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val stage = graft.util.Landing.tempDirOnce("graft_skstrm_stage")
+      val ckpt = graft.util.Landing.tempDirOnce("graft_skstrm_ckpt")
+      ev.filter(to_date(col("ts")) >= split).repartition(3)
+        .write.mode("overwrite").parquet(stage.toString)
+      val schema = s.read.parquet(stage.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.util.Landing.idempotentAppend(
+            daily(Tables.normalizeTs(batch)), dir, batchId, "day")
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+  /** E22 query: the same weekly frame as mv2, served from the streamed
+    * sketch layout — identical output (register-max soundness), so mv2's
+    * oracle SQL gates it verbatim (the t18/e21 reuse discipline).
+    */
+  private def e22StreamSketch(s: SparkSession, d: String): DataFrame = {
+    val daily = s.read.parquet(e22SketchDir(s, d))
+    val weekOf = (c: org.apache.spark.sql.Column) =>
+      date_format(date_trunc("week", c), "yyyy-MM-dd")
+    val est = daily
+      .groupBy(weekOf(col("day").cast("timestamp")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("_est"))
+    val exact = Tables.events(s, d)
+      .groupBy(weekOf(col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("_est").cast("double") / col("exact_users") - 1.0)
+          <= 0.05).as("est_ok"))
+      .orderBy(col("week"))
+  }
+
   val qs: Seq[(String, Q)] = Seq(
     "mv1_incremental_rollup" -> Q(mv1Incremental, Some(mv1Sql)),
     "mv2_sketch_rollup"      -> Q(mv2Sketch, Some(mv2Sql)),
+    // identical-result oracle reuse: union-of-partial-sketches serves the
+    // same weekly frame as the single-pass batch sketch (spec-asserted)
+    "e22_stream_sketch"      -> Q(e22StreamSketch, Some(mv2Sql)),
   )
 }

@@ -8,6 +8,31 @@ import graft.ext.MultimodalOps
   */
 class EventProfileSpec extends SparkSpec {
 
+  test("e23: last-touch credits the latest in-window touch; after-purchase, " +
+      "out-of-window, and touch-free purchases fall to unattributed") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click then view before the purchase -> view wins (latest)
+      (1L, t("2024-01-05 10:00:00"), 1L, "click"),
+      (2L, t("2024-01-05 11:00:00"), 1L, "view"),
+      (3L, t("2024-01-05 12:00:00"), 1L, "purchase"),
+      // u2: purchase with no touch at all
+      (4L, t("2024-01-05 09:00:00"), 2L, "purchase"),
+      // u3: only touch is OUTSIDE the 3-day window
+      (5L, t("2024-01-01 12:00:00"), 3L, "view"),
+      (6L, t("2024-01-10 12:00:00"), 3L, "purchase"),
+      // u4: only touch is AFTER the purchase
+      (7L, t("2024-01-05 08:00:00"), 4L, "purchase"),
+      (8L, t("2024-01-05 09:00:00"), 4L, "click"),
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ext.EventOps.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      "unattributed" -> ((3L, 0.75)),
+      "view" -> ((1L, 0.25))))
+  }
+
   test("session_window: exact-gap boundary MERGES, beyond-gap splits") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime

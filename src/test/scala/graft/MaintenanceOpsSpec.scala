@@ -53,6 +53,51 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(got.length === 6 && got.forall(_._2 === 0L))
   }
 
+  // ---- dq5: volume anomaly scan --------------------------------------------
+
+  test("dq5: a planted volume spike is the only flagged day; the robust " +
+      "threshold ignores it when computing itself") {
+    val daily = (Seq.tabulate(9)(i => (f"2024-01-${i + 1}%02d", 100L + i))
+      :+ ("2024-01-10", 1000L)).toDF("day", "n")
+    val out = QualityAudit.volumeAnomaly(daily).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out("2024-01-10"), "spike must flag")
+    assert(out.count(_._2) === 1, "only the spike flags")
+    // mean/σ for contrast would have been dragged toward the spike; the
+    // median/MAD threshold stays at the quiet days' scale
+    val dev = QualityAudit.volumeAnomaly(daily).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dev("2024-01-10") > 800.0)
+  }
+
+  test("dq5: constant volume flags nothing (MAD 0 never self-triggers)") {
+    val daily = Seq.tabulate(8)(i => (f"2024-02-${i + 1}%02d", 50L))
+      .toDF("day", "n")
+    val out = QualityAudit.volumeAnomaly(daily).collect()
+    assert(out.length === 8 && out.forall(!_.getBoolean(3)))
+  }
+
+  // ---- e22: streaming sketch maintenance ----------------------------------
+
+  test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +
+      "to mv2's single-pass batch sketch") {
+    val mv2 = Registry.all.toMap.apply("mv2_sketch_rollup").fn
+    val e22 = Registry.all.toMap.apply("e22_stream_sketch").fn
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // register-max soundness: union-of-partials == single-pass sketch,
+    // so the weekly estimates (and with them the flags) match exactly
+    assert(rows(e22(spark, Sf0001)) === rows(mv2(spark, Sf0001)))
+    // the layout holds the 20 base day rows plus streamed PARTIALS —
+    // strictly more rows than days proves per-batch partial commits
+    // (not a rebuilt consolidated table)
+    val landed = spark.read.parquet(
+      sources.IncrementalRollup.e22SketchDir(spark, Sf0001))
+    val days = landed.select("day").distinct().count()
+    assert(days === 30, s"expected 30 distinct days, got $days")
+    assert(landed.count() > days, "delta days must hold partial rows")
+  }
+
   // ---- mv1: incremental rollup -------------------------------------------
 
   private def mv1 = Registry.all.toMap.apply("mv1_incremental_rollup").fn
