@@ -154,7 +154,11 @@ object ScaleSweep {
       // od2 = one corpus scan + n-row exchange + TakeOrdered; e21 = d15's
       // probe per micro-batch against the 10× landed index
       "x15_ivf_compact", "mv2_sketch_rollup", "fm3_pmi_collocations",
-      "od2_centroid_outliers", "e21_stream_neardup")
+      "od2_centroid_outliers", "e21_stream_neardup",
+      // e22 = base landing + 3 streamed partial-sketch commits (linear);
+      // e23 = user-keyed as-of pairing, window-bounded fan-out; dq5 =
+      // count-by-day scan + two |days|-row aggregates
+      "e22_stream_sketch", "e23_attribution", "dq5_volume_anomaly")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
