@@ -29,6 +29,7 @@ object Registry {
       sources.ZOrderLanding.qs ++
       sources.IncrementalRollup.qs ++
       sources.Compaction.qs ++
+      sources.Snapshots.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

@@ -110,7 +110,7 @@ object RetrievalOps {
     * against doc 0's embedding (documents and embeddings share the id
     * space), RRF-fused top-20.
     */
-  private def x13Hybrid(s: SparkSession, d: String): DataFrame = {
+  private[graft] def x13Hybrid(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val bm = tinyRankDesc(
       TextOps.bm25Indexed(s, d, TextOps.Bm25Terms, CandDepth)
@@ -120,6 +120,51 @@ object RetrievalOps {
       .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), CandDepth)
       .select(col("c_id").as("doc_id"), col("rank").cast("long").as("r"))
     rrfFuse(bm, dense).orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  // ---- X13b: hybrid served ENTIRELY from landed indexes --------------------
+  /** The production form of x13: BOTH retrievers serve from their landed
+    * on-disk indexes — sparse from t18's `partitionBy(tok-bucket)`
+    * inverted index (already bit-identical to the direct path) and dense
+    * from x12's `partitionBy(cell)` partition-pruned IVF serve (x13's
+    * scaladoc deferred exactly this swap). The dense candidates are now
+    * APPROXIMATE, so the hash-gated exact fused table no longer applies;
+    * the a7/a10 bounded-gate discipline does: the emitted row carries the
+    * EXACT fused top-20's aggregates (count + min rrf — DuckDB recomputes
+    * them by running x13's full fused SQL and aggregating) plus an
+    * overlap flag — |exact-fused ∩ indexed-fused| / 20 over the fused
+    * DOC SETS — that a broken index serve, a pruning bug, or a fusion
+    * regression all trip. Measured overlap (RecallProbe): 1.0 at sf0.1,
+    * 0.65 at sf0.01 — the sf0.01 value is the documented routing-diffuse
+    * 500-vector-corpus ceiling (IVF recall tops ~0.52 there at ≤25%
+    * scanned; the BM25-only fused rows keep the overlap above it); floor
+    * 0.50 = 0.65 − 0.13 regen slack, the SimilarityOps discipline.
+    */
+  private[graft] val X13bFloor = 0.50
+  private[graft] def x13bIndexedFused(s: SparkSession, d: String)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bm = tinyRankDesc(
+      TextOps.bm25Indexed(s, d, TextOps.Bm25Terms, CandDepth)
+        .select(col("doc_id"), col("score")),
+      "score", "doc_id")
+    val denseIdx = SimilarityOps
+      .ivfPersistedTopK(s, d, emb.filter(col("vec_id") === 0), CandDepth)
+      .select(col("c_id").as("doc_id"), col("rank").cast("long").as("r"))
+    rrfFuse(bm, denseIdx)
+  }
+
+  private def x13bGate(s: SparkSession, d: String): DataFrame = {
+    val exact = x13Hybrid(s, d).select(col("doc_id"), col("rrf"))
+      .localCheckpoint(true)
+    val indexed = x13bIndexedFused(s, d).select(col("doc_id"))
+    val overlap = exact.join(indexed, "doc_id").count()
+    val n = exact.count()
+    exact.agg(count(lit(1)).cast("long").as("n_fused"),
+      min(col("rrf")).as("kth_rrf"))
+      .select(col("n_fused"), col("kth_rrf"),
+        lit(overlap.toDouble / math.max(1L, n) >= X13bFloor)
+          .as("overlap_ok"))
   }
 
   private val x13Sql =
@@ -309,6 +354,10 @@ object RetrievalOps {
 
   val qs: Seq[(String, Q)] = Seq(
     "x13_hybrid_rrf" -> Q(x13Hybrid, Some(x13Sql)),
+    "x13b_hybrid_indexed" -> Q(x13bGate, Some(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_fused, MIN(rrf) AS kth_rrf,
+         |  TRUE AS overlap_ok
+         |FROM ($x13Sql)""".stripMargin)),
     "x14_mmr_rerank" -> Q(x14Mmr, Some(x14Sql)),
   )
 }

@@ -77,6 +77,38 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(out.length === 8 && out.forall(!_.getBoolean(3)))
   }
 
+  // ---- s16: manifest snapshots / time travel -------------------------------
+
+  test("s16: v2 commit shares every untouched file with v1 and rewrites " +
+      "exactly the changed bucket; v1 stays readable after the commit") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s16Dir(spark, Sf0001)
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m2 = Snapshots.manifest(dir, 2).toSet
+    // copy-on-write file sharing: v2 = v1 minus the nk=3 files plus the
+    // rewritten ones — untouched files are the SAME paths, not copies
+    val dropped = m1 -- m2
+    val added = m2 -- m1
+    assert(dropped.nonEmpty && dropped.forall(_.contains("nk=3")),
+      s"v2 must drop only nation-3 files, dropped: $dropped")
+    assert(added.nonEmpty && added.forall(_.contains("v2delta")),
+      "v2's new files must come from the delta commit")
+    assert((m1 & m2).nonEmpty, "untouched files must be shared")
+    // time travel: v1 read AFTER the v2 commit equals the original table
+    val v1 = Snapshots.readVersion(spark, dir, 1)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val base = Tables.customer(spark, Sf0001)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")))
+      .first().getLong(0)
+    assert(v1 === base, "v1 snapshot must be unaffected by the v2 commit")
+    // and v2 differs by exactly 1000 cents per nation-3 customer
+    val v2 = Snapshots.readVersion(spark, dir, 2)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val n3 = Tables.customer(spark, Sf0001)
+      .filter(col("c_nationkey") === 3).count()
+    assert(v2 - v1 === 1000L * n3)
+  }
+
   // ---- e22: streaming sketch maintenance ----------------------------------
 
   test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +

@@ -67,6 +67,26 @@ class RetrievalSpec extends SparkSpec {
     assert(both.nonEmpty, "fusion never saw a doc in both lists")
   }
 
+  test("x13b: indexed fusion emits a full top-20 whose BM25-side ranks " +
+      "are bit-identical to the exact fusion's") {
+    val idx = RetrievalOps.x13bIndexedFused(spark, Sf0001).collect()
+    assert(idx.length === RetrievalOps.FusedTopK)
+    // the sparse side serves from t18's index with bit-identical scores,
+    // so every doc the indexed fusion ranks on BM25 must carry the SAME
+    // r_bm25 the exact fusion assigns it — only the dense ranks may move
+    val exact = RetrievalOps.x13Hybrid(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    idx.foreach { r =>
+      val (id, rb) = (r.getLong(0), r.getLong(1))
+      exact.get(id).foreach(erb =>
+        assert(rb === erb, s"bm25 rank of $id moved under the index"))
+    }
+    // and the gate row holds the exact payload with the flag up
+    val g = SparkEntry.queries("x13b_hybrid_indexed")(spark, Sf0001).head()
+    assert(g.getLong(0) === RetrievalOps.FusedTopK.toLong)
+    assert(g.getBoolean(2), "overlap flag must hold at sf0.001")
+  }
+
   // ---- x14 MMR ----
 
   test("mmrRerank demotes a near-duplicate below a diverse candidate") {

@@ -51,6 +51,13 @@ object RecallProbe {
       val kj = knnJoin(emb, 3).select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[recall] $dir x7 aggregate: ${(exall & kj).size.toDouble / exall.size}%.4f")
+      // x13b: indexed-fused doc-set overlap vs the exact-fused top-20
+      val exFused = graft.ext.RetrievalOps.x13Hybrid(s, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val idxFused = graft.ext.RetrievalOps.x13bIndexedFused(s, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      println(f"[recall] $dir x13b fused overlap: ${
+        (exFused & idxFused).size.toDouble / exFused.size}%.4f")
       println(f"[spill] $dir storage expansion: ${spillExpansion(emb)}%.4f")
       println(f"[d12] $dir intra-cell coverage: ${d12CoverageFrame(s, dir).head().getDouble(0)}%.4f")
       emb.unpersist()
