@@ -1595,6 +1595,93 @@ object SimilarityOps {
     servePersisted(s, e20LayoutDir(s, d), queries, cents, probe, k)
   }
 
+  // ---- X16: persisted IVF+PQ index (codes on disk) ------------------------
+  /** The billion-scale ON-DISK layout: x12's partition-pruned serving
+    * composed with x9's product quantization — the landed cell layout
+    * stores (c_id, c_norm, 8-byte PQ codes) instead of float vectors, so
+    * the INDEX bytes shrink 32× (at 10⁹ vectors: ~8 GB of codes vs
+    * 256 GB of floats; the full vectors stay only in the base table,
+    * touched per query for just k·expand candidate rows — the
+    * DiskANN/IVFPQ serving economics). Serve: static partition-pruned
+    * scan of the probed cells (file-listing-level skipping), ADC scoring
+    * against each query's broadcast m×ks lookup table (no float
+    * arithmetic touches index rows), top k·expand per query, exact float
+    * rerank by id against the base table. Fit chain (centroids, spill
+    * threshold, codebooks) shares the per-corpus-version memos with
+    * x4/x9; the layout lands once per version like x12.
+    */
+  def ivfPqPersistedTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, m: Int = 8, ks: Int = 16, expand: Int = 32): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, probe) = ivfGeometry(memoCount(emb), 0, 0)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(emb, fs, cells)
+    if (cents.isEmpty) return bruteForceTopK(emb, queries, k)
+    val margin = memoSpillThreshold(emb, fs, cents)
+    val sampleUnit = memoUnitSample(emb, 4096)
+    val books = memoVersioned(fitBooks,
+      graft.util.Landing.planVersionKey(emb) + s"|pqbooks:m$m:ks$ks:f4096")(
+      pqTrain(sampleUnit, m, ks, iters = 8))
+    val dir = landedCellLayout(
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|ivfpq",
+      "graft_ivfpq") { p =>
+      val pre = emb.select(col("vec_id"), col("embedding"),
+          VecOps.fnorm(s, col("embedding")).as("_n"))
+        .filter(col("_n") > 0)
+      spillAssigned(s, pre, cents, Seq(
+          "c_norm" -> col("_n"),
+          "codes" -> VecOps.pqEncode(s,
+            transform(col("embedding"), x => (x / col("_n")).cast("float")),
+            books)), margin)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+    val landed = s.read.parquet(dir)
+    val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    val qlut = queries.select(col("vec_id").as("q_id"),
+      VecOps.pqLut(s, col("embedding"), books).as("lut"))
+    val approx = landed.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes
+        .select(col("q_id"), col("cell"), col("q_norm"))), "cell")
+      .join(broadcast(qlut), "q_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (VecOps.pqAdc(s, col("codes"), col("lut")) / col("q_norm"))
+          .as("approx_sim"))
+      // spill dedup — and the Aggregate-under-Window safe topology
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("approx_sim")).as("approx_sim"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_sim").desc, col("c_id"))
+    val cands = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * expand).select(col("q_id"), col("c_id"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      VecOps.fnorm(s, col("embedding")).as("q_norm"))
+    val exact = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"),
+        VecOps.fnorm(s, col("embedding")).as("c_norm"))
+      .join(broadcast(cands), "c_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** x16's recall ceiling is the IVF routing (x4's family — PQ at
+    * expand=32 within probed cells is near-exact, x9's measurement), so
+    * x4's floor gates it.
+    */
+  private[graft] val X16Floor = X4Floor
+  private def x16Gate(s: SparkSession, d: String): DataFrame =
+    fiveProbeGate(s, d, X16Floor)((emb, q5) =>
+      ivfPqPersistedTopK(s, d, q5, 10))
+
   // ---- X15: offline index compaction / refit ------------------------------
   /** X15: OFFLINE COMPACTION of the appended IVF index — the step x11's
     * scaladoc defers to ("refit is an offline compaction decision") and
@@ -2321,6 +2408,7 @@ object SimilarityOps {
     "e20_stream_index_append" -> Q(e20Gate, Some(annGateSql(10))),
     "x12_ivf_persisted"    -> Q(x12Gate, Some(annGateSql(10))),
     "x15_ivf_compact"      -> Q(x15Gate, Some(annGateSql(10))),
+    "x16_ivfpq_persisted"  -> Q(x16Gate, Some(annGateSql(10))),
     "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),

@@ -986,6 +986,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head.getLong(0) === 3L)
   }
 
+  test("x16: the persisted IVF+PQ layout stores codes, never float " +
+    "vectors, and serves a full gated top-k") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val out = SimilarityOps.ivfPqPersistedTopK(spark, Sf0001, q5, 10)
+    assert(out.count() === 50, "5 queries × top-10")
+    // the layout the serve scanned: find its relation and assert the
+    // schema carries PQ codes but NO embedding column — the 32× storage
+    // claim is the schema, not a comment
+    val rels = out.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.schema.fieldNames.toSet
+    }
+    val codeRel = rels.filter(_.contains("codes"))
+    assert(codeRel.nonEmpty, "serve must read the landed code layout")
+    codeRel.foreach { f =>
+      assert(!f.contains("embedding") && !f.contains("c_emb"),
+        s"code layout must not carry float vectors: $f")
+    }
+  }
+
   test("e21: streamed near-dup admission equals the batch d15 search " +
     "exactly, one committed dir per micro-batch") {
     import org.apache.spark.sql.functions.col

@@ -70,6 +70,40 @@ class LandingSpec extends SparkSpec {
     assert(builds === 5, "sibling-suffix landing must survive")
   }
 
+  test("landedLayout: concurrent callers of one key build ONCE and all " +
+      "get the same dir; distinct families build without losing once-only") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val sameKey = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = {
+            gate.await(10, TimeUnit.SECONDS)
+            Landing.landedLayout("landing-spec-conc|v1", "landing-conc") {
+              dir =>
+                builds.incrementAndGet()
+                Thread.sleep(100)
+                java.nio.file.Files.writeString(
+                  java.nio.file.Paths.get(dir, "marker"), "x")
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val dirs = sameKey.map(_.get(30, TimeUnit.SECONDS))
+      assert(builds.get() === 1, "putIfAbsent must guarantee one build")
+      assert(dirs.distinct.size === 1, "all callers must share the dir")
+      assert(new java.io.File(dirs.head, "marker").exists())
+      // a different FAMILY builds independently (and the per-key future
+      // means it never waited on the first family's lock during build)
+      val other = Landing.landedLayout("landing-spec-other|v1",
+        "landing-conc2")(_ => ())
+      assert(other !== dirs.head)
+    } finally pool.shutdownNow()
+  }
+
   test("idempotentAppend: a replayed batchId converges on the same file " +
       "set — full replay, and replay of a crashed publish") {
     val dir = Landing.tempDirOnce("landing-spec-idem").toString
