@@ -154,10 +154,19 @@ object RetrievalOps {
     rrfFuse(bm, denseIdx)
   }
 
+  /** Both fused lists are pure functions of the (documents, embeddings)
+    * version and ≤ FusedTopK rows — landed per version so the gate's
+    * bounded counts don't re-run the exact fused lineage on every
+    * DataFrame build (PhaseProbe measured 3.55 s/fresh build before the
+    * landing — the d13 recurring-driver-cost class; landed: ~0.1 s).
+    */
   private def x13bGate(s: SparkSession, d: String): DataFrame = {
-    val exact = x13Hybrid(s, d).select(col("doc_id"), col("rrf"))
-      .localCheckpoint(true)
-    val indexed = x13bIndexedFused(s, d).select(col("doc_id"))
+    val ver = graft.util.Landing.sourceMtime(d,
+      Seq("documents", "embeddings"))
+    val exact = graft.util.Landing.frameLanding(s, s"$d|x13b_exact|$ver")(
+      x13Hybrid(s, d).select(col("doc_id"), col("rrf")))
+    val indexed = graft.util.Landing.frameLanding(s, s"$d|x13b_idx|$ver")(
+      x13bIndexedFused(s, d).select(col("doc_id")))
     val overlap = exact.join(indexed, "doc_id").count()
     val n = exact.count()
     exact.agg(count(lit(1)).cast("long").as("n_fused"),

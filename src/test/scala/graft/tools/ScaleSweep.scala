@@ -158,7 +158,11 @@ object ScaleSweep {
       // e22 = base landing + 3 streamed partial-sketch commits (linear);
       // e23 = user-keyed as-of pairing, window-bounded fan-out; dq5 =
       // count-by-day scan + two |days|-row aggregates
-      "e22_stream_sketch", "e23_attribution", "dq5_volume_anomaly")
+      "e22_stream_sketch", "e23_attribution", "dq5_volume_anomaly",
+      // x13b/x16 are index-served (t18+x12 fusion / pruned code scan);
+      // s16 is NOT swept — the synthetic 10× dir ships fact tables only,
+      // not customer, and s16's cost model is |touched buckets| anyway
+      "x13b_hybrid_indexed", "x16_ivfpq_persisted")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
