@@ -84,9 +84,71 @@ object BalanceQueries {
     before.join(after, Seq("cls"), "outer").orderBy(col("cls"))
   }
 
+  /** B4: Tomek links — the UNDER-sampling complement of SMOTE's
+    * over-sampling (Tomek 1976; SMOTE+Tomek is the standard imbalance
+    * recipe the reference's sklearn world ships as `SMOTETomek`). A link
+    * is a pair of OPPOSITE-class points that are each other's global
+    * 1-NN — by construction either boundary noise or borderline
+    * ambiguity; undersampling drops the majority member of each link to
+    * clean the decision boundary. Emitted as the full link table
+    * (minority_id, majority_id, dist) — membership, not just counts, is
+    * what the oracle hash-checks (26/31/95 links at the three SFs).
+    *
+    * Determinism: 1-NN ranks on raw squared distances with id tie-break
+    * (the b2 precedent — ranks agree cross-engine on this corpus;
+    * emitted dist rounds to 6). Scale: the exact all-pairs 1-NN is the
+    * b2 shape — fine at minority-scale; the 100 TB path swaps in
+    * [[Knn.approxNeighbors]]'s LSH candidates exactly as b3 does for
+    * SMOTE (a missed true 1-NN can only DROP a link, never invent one —
+    * undersampling degrades conservatively).
+    */
+  private[graft] def tomekLinks(f: DataFrame): DataFrame = {
+    val s = f.sparkSession
+    val a = f.select(col("vec_id").as("ai"), col("features").as("af"),
+      col("cls").as("ac"))
+    val b = f.select(col("vec_id").as("bi"), col("features").as("bf"),
+      col("cls").as("bc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ai")).orderBy(col("_d"), col("bi"))
+    val n1 = a.crossJoin(b).filter(col("ai") =!= col("bi"))
+      .withColumn("_d",
+        graft.functions.VecOps.dsqdist(s, col("af"), col("bf")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ai"), col("ac"), col("bi"), col("bc"), col("_d"))
+      .localCheckpoint(true)
+    n1.as("x").join(n1.as("y"),
+        col("x.bi") === col("y.ai") && col("y.bi") === col("x.ai"))
+      .filter(col("x.ac") === 0 && col("x.bc") === 1)
+      .select(col("x.ai").as("minority_id"), col("x.bi").as("majority_id"),
+        round(sqrt(col("x._d")), 6).as("dist"))
+      .orderBy(col("minority_id"))
+  }
+
+  private def b4Tomek(s: SparkSession, d: String): DataFrame =
+    tomekLinks(features(s, d))
+
+  private val b4Sql =
+    """WITH f AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |         CASE WHEN label = 0 THEN 0 ELSE 1 END AS cls
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS ai, a.cls AS ac, b.vec_id AS bi, b.cls AS bc,
+      |    list_distance(a.emb, b.emb) AS dist,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_distance(a.emb, b.emb), b.vec_id) AS rn
+      |  FROM f a JOIN f b ON a.vec_id <> b.vec_id),
+      |n1 AS (SELECT ai, ac, bi, bc, dist FROM p WHERE rn = 1)
+      |SELECT x.ai AS minority_id, x.bi AS majority_id,
+      |  round(x.dist, 6) AS dist
+      |FROM n1 x JOIN n1 y ON x.bi = y.ai AND y.bi = x.ai
+      |WHERE x.ac = 0 AND x.bc = 1
+      |ORDER BY minority_id""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "b1_smote_balance" -> Q(b1Smote, Some(b1Sql)),
     "b2_knn_exact"     -> Q(b2Knn, Some(b2Sql)),
     "b3_smote_lsh"     -> Q(b3SmoteLsh, Some(b1Sql)),
+    "b4_tomek_links"   -> Q(b4Tomek, Some(b4Sql)),
   )
 }

@@ -12,6 +12,22 @@ import graft.balance.{Knn, Smote}
   */
 class SmoteSpec extends SparkSpec {
 
+  test("b4: a mutual opposite-class 1-NN pair IS a Tomek link; " +
+      "same-class mutual and one-directional pairs are not") {
+    import spark.implicits._
+    // (1,2): isolated tight OPPOSITE-class pair -> link
+    // (3,4): tight SAME-class pair -> mutual but no link
+    // 5: minority whose 1-NN is 4, but 4's 1-NN is 3 -> one-directional
+    val f = Seq(
+      (1L, Array(0.0, 0.0), 0), (2L, Array(0.1, 0.0), 1),
+      (3L, Array(10.0, 0.0), 1), (4L, Array(10.1, 0.0), 1),
+      (5L, Array(10.4, 0.0), 0),
+    ).toDF("vec_id", "features", "cls")
+    val out = balance.BalanceQueries.tomekLinks(f).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0.1)))
+  }
+
   private def embFeatures = Tables.embeddings(spark, Sf0001)
     .select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("features"),
