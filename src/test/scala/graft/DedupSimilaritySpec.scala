@@ -1006,6 +1006,20 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(!f.contains("embedding") && !f.contains("c_emb"),
         s"code layout must not carry float vectors: $f")
     }
+    // and the code scan is partition-PRUNED like x12's (file-listing
+    // skipping, not a full-index read)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = SimilarityOps.ivfPqPersistedTopK(
+        spark, Sf0001, emb.filter(col("vec_id") === 0), 10)
+      one.collect()
+      val pruned = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(pruned.nonEmpty, "code scan carries no partition filter")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("e21: streamed near-dup admission equals the batch d15 search " +
