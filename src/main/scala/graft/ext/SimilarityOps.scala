@@ -1023,6 +1023,112 @@ object SimilarityOps {
        |  TRUE AS argmax_gain_ok, TRUE AS multi_cluster
        |FROM embeddings""".stripMargin
 
+  // ---- KM3: bisecting (divisive hierarchical) k-means ---------------------
+  /** Bisecting spherical k-means over the memoized unit sample — MLlib
+    * BisectingKMeans' motivation made explicit: k−1 two-means fits over
+    * SHRINKING subsets instead of one k-way fit over everything (the
+    * scalable-k fit; each split also yields a dendrogram level, the
+    * hierarchy taxonomy/curriculum bucketing wants). Deterministic on the
+    * memoized sample: split order = largest cluster first (creation-order
+    * tie-break), each 2-means is [[sphericalLloyd]]'s deterministic init,
+    * leaf centroid = unit mean of its members; a cluster whose 2-means
+    * collapses to one side freezes instead of looping. Memoized per
+    * corpus version under its own non-numeric family tag (`bisect:k$k`).
+    */
+  private[graft] def bisectingFit(sample: Array[Array[Float]],
+      k: Int): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    def unitMean(idxs: Array[Int]): Array[Float] = {
+      val m = new Array[Double](dim)
+      idxs.foreach { pi =>
+        var i = 0; while (i < dim) { m(i) += sample(pi)(i); i += 1 }
+      }
+      val n = math.sqrt(m.map(x => x * x).sum)
+      if (n == 0.0) sample(idxs.head).clone()
+      else m.map(x => (x / n).toFloat)
+    }
+    var clusters = Vector(sample.indices.toArray)
+    var frozen = Set.empty[Int]
+    while (clusters.length < k && clusters.indices.exists(i =>
+        !frozen(i) && clusters(i).length >= 2)) {
+      val idx = clusters.indices
+        .filter(i => !frozen(i) && clusters(i).length >= 2)
+        .maxBy(i => (clusters(i).length, -i))
+      val two = sphericalLloyd(clusters(idx).map(sample), 2, 5)
+      val (lft, rgt) = clusters(idx).partition { pi =>
+        val p = sample(pi)
+        var d0 = 0.0; var d1 = 0.0; var i = 0
+        while (i < dim) {
+          d0 += p(i).toDouble * two(0)(i)
+          d1 += p(i).toDouble * two(1)(i)
+          i += 1
+        }
+        d0 >= d1
+      }
+      if (lft.isEmpty || rgt.isEmpty) frozen += idx
+      else clusters = clusters.updated(idx, lft) :+ rgt
+    }
+    clusters.map(unitMean).toArray
+  }
+
+  private def km3Cents(s: SparkSession, d: String): Array[Array[Float]] = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, _) = ivfGeometry(memoCount(emb), 0, 0)
+    val fs = ivfFitSample(0, cells)
+    memoVersioned(fitCents,
+      graft.util.Landing.planVersionKey(emb) + s"|bisect:k$Km2K:f$fs")(
+      bisectingFit(memoUnitSample(emb, fs), Km2K))
+  }
+
+  /** KM3 gate: km2's bounded-gate structure (exact n/dim/k payload +
+    * mean-of-max ≥ max-of-means argmax flag + collapse flag) over the
+    * BISECTING-fitted leaves, plus a `k_reached` flag — every split
+    * succeeded, so the divisive tree actually reached k leaves (a
+    * degenerate corpus where 2-means keeps collapsing would freeze
+    * early and trip it).
+    */
+  private def km3Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = km3Cents(s, d)
+    require(cents.nonEmpty, s"empty embedding corpus at $d")
+    val st = VecOps.centroidArgmax(s, col("embedding"), cents)
+    val norm = VecOps.fnorm(s, col("embedding"))
+    val simJ = cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      (VecOps.fdot(s, col("embedding"), typedLit(c.toSeq)) / norm)
+        .as(s"sim_$j")
+    }
+    val assigned = emb.select(Seq(col("vec_id"),
+      size(col("embedding")).as("dim"),
+      st.getField("cell").as("cluster"),
+      (st.getField("best") / norm).as("a_sim")) ++ simJ: _*)
+    val nSim = cents.length
+    val g = assigned.groupBy(col("cluster")).agg(
+      count(lit(1)).as("sz"),
+      Seq(sum(col("a_sim")).as("ssim"), max(col("dim")).as("dim")) ++
+        (0 until nSim).map(j => sum(col(s"sim_$j")).as(s"s_$j")): _*)
+    val bestSingle =
+      if (nSim == 1) sum(col("s_0")) / sum(col("sz"))
+      else greatest(
+        (0 until nSim).map(j => sum(col(s"s_$j")) / sum(col("sz"))): _*)
+    g.agg(sum(col("sz")).as("_n"), max(col("dim")).as("_dim"),
+        (sum(col("ssim")) / sum(col("sz"))).as("_ma"),
+        bestSingle.as("_bs"), count(lit(1)).as("_k"))
+      .select(col("_n").as("n"), col("_dim").as("dim"),
+        lit(nSim).as("k"),
+        (col("_ma") >= col("_bs") - lit(1e-9)).as("argmax_gain_ok"),
+        (col("_k") >= 2).as("multi_cluster"),
+        lit(nSim == Km2K).as("k_reached"))
+  }
+
+  private val km3Sql =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(max(len(embedding)) AS INTEGER) AS dim,
+       |  CAST($Km2K AS INTEGER) AS k,
+       |  TRUE AS argmax_gain_ok, TRUE AS multi_cluster,
+       |  TRUE AS k_reached
+       |FROM embeddings""".stripMargin
+
   /** IVF (inverted-file) ANN: KMeans coarse quantizer over the corpus;
     * each query probes the nProbe nearest centroids and exact-reranks only
     * those cells. The scale path when the LSH bucket distribution is too
@@ -2410,6 +2516,7 @@ object SimilarityOps {
     "x15_ivf_compact"      -> Q(x15Gate, Some(annGateSql(10))),
     "x16_ivfpq_persisted"  -> Q(x16Gate, Some(annGateSql(10))),
     "km2_embedding_kmeans" -> Q(km2Gate, Some(km2Sql)),
+    "km3_bisecting_kmeans" -> Q(km3Gate, Some(km3Sql)),
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),

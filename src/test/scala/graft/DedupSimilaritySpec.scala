@@ -986,6 +986,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head.getLong(0) === 3L)
   }
 
+  test("km3: bisecting recovers four well-separated direction groups " +
+    "as exactly four unit leaves; collapsing corpora freeze early") {
+    // four orthogonal direction bundles, slightly jittered — every split
+    // is linearly separable, so 4 leaves = the 4 bundles
+    val groups = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val sample = groups.zipWithIndex.flatMap { case (g, gi) =>
+      (0 until 5).map { j =>
+        val v = g.clone()
+        v((gi + 1) % 4) = 0.01f * (j + 1)
+        v
+      }
+    }.toArray
+    val leaves = SimilarityOps.bisectingFit(sample, 4)
+    assert(leaves.length === 4)
+    // each leaf is a unit vector dominated by exactly one axis, and all
+    // four axes are covered
+    val axes = leaves.map(_.zipWithIndex.maxBy(_._1.toDouble)._2).toSet
+    assert(axes === Set(0, 1, 2, 3), s"leaf axes $axes")
+    leaves.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, "leaves must be unit vectors")
+    }
+    // identical points cannot split: the fit freezes at 1 leaf instead
+    // of looping or fabricating empty clusters
+    val flat = Array.fill(6)(Array(1f, 0f))
+    assert(SimilarityOps.bisectingFit(flat, 4).length === 1)
+  }
+
   test("x16: the persisted IVF+PQ layout stores codes, never float " +
     "vectors, and serves a full gated top-k") {
     import org.apache.spark.sql.functions.col
