@@ -281,9 +281,49 @@ object Profiling {
       |  TRUE AS p75_within_bound
       |FROM lineitem""".stripMargin
 
+  /** A11: GROUPED percentile report — the p50/p95/p99-per-dimension
+    * dashboard query, a10's gate shape taken per group. The exact side
+    * is `percentile_disc` (picks actual data values — engine-identical
+    * by construction, the a10 discipline) and exists as the oracle
+    * contract; the production path at 100 TB is the SKETCH column
+    * (`approx_percentile`, bounded memory per group where the exact
+    * aggregate must buffer the group), which the per-group within-1%
+    * flags hold to the exact values. Cost: one scan, one exchange of
+    * |groups| aggregation states with map-side partial sketches.
+    */
+  private def a11GroupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val acc = 10000
+    def exact(q: Double) = expr(
+      s"percentile_disc($q) WITHIN GROUP (ORDER BY value)")
+    def bound(ap: Column, ex: Column) = abs(ap - ex) / abs(ex) <= 0.01
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        exact(0.5).as("_e50"), exact(0.95).as("_e95"),
+        exact(0.99).as("_e99"),
+        expr(s"approx_percentile(value, array(0.5D, 0.95D, 0.99D), $acc)")
+          .as("_ap"))
+      .select(col("event_type"), col("n"),
+        col("_e50").as("p50"), col("_e95").as("p95"), col("_e99").as("p99"),
+        bound(element_at(col("_ap"), 1), col("_e50")).as("p50_within_bound"),
+        bound(element_at(col("_ap"), 2), col("_e95")).as("p95_within_bound"),
+        bound(element_at(col("_ap"), 3), col("_e99")).as("p99_within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  private val a11Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+      |  PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+      |  PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+      |  TRUE AS p50_within_bound, TRUE AS p95_within_bound,
+      |  TRUE AS p99_within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "a3_describe"        -> Q(a3Describe, Some(a3Sql)),
     "a10_approx_quantiles" -> Q(a10ApproxQuantiles, Some(a10Sql)),
+    "a11_group_quantiles" -> Q(a11GroupQuantiles, Some(a11Sql)),
     "a3b_describe_all"   -> Q(a3bDescribeAll, Some(a3bSql)),
     "a4_null_profile"    -> Q(a4NullProfile, Some(a4Sql)),
     "a1_category_freq"   -> Q(a1CategoryFreq, Some(a1fSql)),
