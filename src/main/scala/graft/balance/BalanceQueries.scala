@@ -102,18 +102,60 @@ object BalanceQueries {
     * SMOTE (a missed true 1-NN can only DROP a link, never invent one —
     * undersampling degrades conservatively).
     */
+  /** Inputs up to this many rows take the exact all-pairs 1-NN (the b2
+    * shape, the oracle-parity contract at the driver SFs); beyond it the
+    * adaptive size probe (the x3/d7 idiom) routes to LSH-candidate 1-NN
+    * — conservative for Tomek: a missed true 1-NN only drops a link.
+    */
+  private[graft] val TomekExactCap = 4096L
+
   private[graft] def tomekLinks(f: DataFrame): DataFrame = {
     val s = f.sparkSession
-    val a = f.select(col("vec_id").as("ai"), col("features").as("af"),
-      col("cls").as("ac"))
-    val b = f.select(col("vec_id").as("bi"), col("features").as("bf"),
-      col("cls").as("bc"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ai")).orderBy(col("_d"), col("bi"))
-    val n1 = a.crossJoin(b).filter(col("ai") =!= col("bi"))
-      .withColumn("_d",
-        graft.functions.VecOps.dsqdist(s, col("af"), col("bf")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val small = f.limit(TomekExactCap.toInt + 1).count() <= TomekExactCap
+    val n1raw =
+      if (small) {
+        val a = f.select(col("vec_id").as("ai"), col("features").as("af"))
+        val b = f.select(col("vec_id").as("bi"), col("features").as("bf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ai")).orderBy(col("_d"), col("bi"))
+        a.crossJoin(b).filter(col("ai") =!= col("bi"))
+          .withColumn("_d",
+            graft.functions.VecOps.dsqdist(s, col("af"), col("bf")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("ai"), col("bi"), col("_d"))
+      } else {
+        // Candidate generator = x7's knnJoin: sign-bit LSH with
+        // auto-scaled bits and hot-bucket refine/salt, the machinery
+        // whose candidate volume is BOUNDED by construction (bare id
+        // pairs ride the exchange; sweep-proven). BucketedRandomProjection
+        // was tried first and cannot bound candidates here: unit-norm
+        // features project to σ = 1/√d ≈ 0.125, so ANY usable
+        // bucketLength concentrates most of the corpus into a handful of
+        // buckets (measured: a disk-filling candidate shuffle at 20k
+        // rows). knnJoin ranks by cosine — on unit vectors the euclidean
+        // order EXACTLY (d² = 2−2cos), and for general norms it is a
+        // direction-candidate generator whose exact-euclidean rerank
+        // below keeps misses conservative (a dropped candidate only
+        // drops a link).
+        val embF = f.select(col("vec_id"),
+          transform(col("features"), x => x.cast("float")).as("embedding"))
+        val cand = graft.ext.SimilarityOps.knnJoin(embF, 3)
+          .select(col("q_id").as("ai"), col("c_id").as("bi"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ai")).orderBy(col("_d"), col("bi"))
+        cand
+          .join(f.select(col("vec_id").as("ai"),
+            col("features").as("af")), "ai")
+          .join(f.select(col("vec_id").as("bi"),
+            col("features").as("bf")), "bi")
+          .withColumn("_d",
+            graft.functions.VecOps.dsqdist(s, col("af"), col("bf")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("ai"), col("bi"), col("_d"))
+      }
+    val n1 = n1raw
+      .join(f.select(col("vec_id").as("ai"), col("cls").as("ac")), "ai")
+      .join(f.select(col("vec_id").as("bi"), col("cls").as("bc")), "bi")
       .select(col("ai"), col("ac"), col("bi"), col("bc"), col("_d"))
       .localCheckpoint(true)
     n1.as("x").join(n1.as("y"),

@@ -162,7 +162,10 @@ object ScaleSweep {
       // x13b/x16 are index-served (t18+x12 fusion / pruned code scan);
       // s16 is NOT swept — the synthetic 10× dir ships fact tables only,
       // not customer, and s16's cost model is |touched buckets| anyway
-      "x13b_hybrid_indexed", "x16_ivfpq_persisted")
+      "x13b_hybrid_indexed", "x16_ivfpq_persisted",
+      // km3 = bounded driver fit + map-only argmax; a11 = one grouped
+      // scan with map-side partial sketches
+      "km3_bisecting_kmeans", "a11_group_quantiles")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
@@ -174,7 +177,13 @@ object ScaleSweep {
     // exact contract (measures its documented isotropic worst case);
     // d12 is the within-cell approximation whose candidate volume is
     // 4n²/cells by construction.
-    for (q <- Seq("d11_semdedup", "d12_semdedup_cells") if wanted(q)) {
+    // b4 rides the flip dir too: byte-identical duplication would make
+    // every point's 1-NN its own dist-0 copy (links = opposite-class
+    // identical pairs only — a different object); sign-flipped copies
+    // keep within-copy distances EXACT, so the true link set is exactly
+    // 10× sf0.1's. km3/a11 run on the plain dir in the tail above.
+    for (q <- Seq("d11_semdedup", "d12_semdedup_cells", "b4_tomek_links")
+        if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, OutFlip).collect())
       println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
