@@ -175,14 +175,21 @@ object BalanceQueries {
       |         CASE WHEN label = 0 THEN 0 ELSE 1 END AS cls
       |  FROM embeddings),
       |p AS (
+      |  -- rank on the SQUARED distance, the same key Spark's dsqdist
+      |  -- kernel ranks on (sequential sum of (a_i-b_i)^2 in list order):
+      |  -- sqrt can collapse two distinct squared doubles to equal
+      |  -- distances, flipping DuckDB to the id tie-break where Spark
+      |  -- still orders by the squared values (round-12 advice).
       |  SELECT a.vec_id AS ai, a.cls AS ac, b.vec_id AS bi, b.cls AS bc,
-      |    list_distance(a.emb, b.emb) AS dist,
+      |    list_sum(list_transform(list_zip(a.emb, b.emb),
+      |      q -> (q[1]-q[2])*(q[1]-q[2]))) AS sqd,
       |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY list_distance(a.emb, b.emb), b.vec_id) AS rn
+      |      ORDER BY list_sum(list_transform(list_zip(a.emb, b.emb),
+      |        q -> (q[1]-q[2])*(q[1]-q[2]))), b.vec_id) AS rn
       |  FROM f a JOIN f b ON a.vec_id <> b.vec_id),
-      |n1 AS (SELECT ai, ac, bi, bc, dist FROM p WHERE rn = 1)
+      |n1 AS (SELECT ai, ac, bi, bc, sqd FROM p WHERE rn = 1)
       |SELECT x.ai AS minority_id, x.bi AS majority_id,
-      |  round(x.dist, 6) AS dist
+      |  round(sqrt(x.sqd), 6) AS dist
       |FROM n1 x JOIN n1 y ON x.bi = y.ai AND y.bi = x.ai
       |WHERE x.ac = 0 AND x.bc = 1
       |ORDER BY minority_id""".stripMargin

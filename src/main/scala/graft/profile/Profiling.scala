@@ -257,8 +257,8 @@ object Profiling {
     val acc = 10000
     def exact(q: Double) = expr(
       s"percentile_disc($q) WITHIN GROUP (ORDER BY l_extendedprice)")
-    def bound(ap: Column, ex: Column) =
-      abs(ap - ex) / ex <= 0.01
+    def bound(ap: Column, ex: Column) = // same zero-guard shape as a11
+      abs(ap - ex) <= greatest(abs(ex) * lit(0.01), lit(1e-9))
     Tables.lineitem(s, d)
       .agg(exact(0.25).as("_e25"), exact(0.5).as("_e50"),
         exact(0.75).as("_e75"),
@@ -295,7 +295,12 @@ object Profiling {
     val acc = 10000
     def exact(q: Double) = expr(
       s"percentile_disc($q) WITHIN GROUP (ORDER BY value)")
-    def bound(ap: Column, ex: Column) = abs(ap - ex) / abs(ex) <= 0.01
+    // Relative bound with an absolute-epsilon floor: if a regen ever
+    // makes a group's exact percentile 0, `/abs(ex)` would turn the flag
+    // NaN/false and fail the oracle with an opaque hash mismatch; the
+    // greatest() floor keeps the gate loud but legible (round-12 advice).
+    def bound(ap: Column, ex: Column) =
+      abs(ap - ex) <= greatest(abs(ex) * lit(0.01), lit(1e-9))
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -101,10 +101,22 @@ object Scd {
   /** cdc2's insert-key offset memoized per source version: the max(k)
     * scalar agg is a driver-blocking job at DataFrame-BUILD time — the
     * exact per-build cost class the d13/PhaseProbe note warns about —
-    * and the value only changes when the customer table does.
+    * and the value only changes when the customer table does. Superseded
+    * same-dir entries evict on insert (the frameFamily discipline —
+    * round-12 advice: a raw forever-memo quietly grows across regens
+    * within a JVM).
     */
   private val cdc2Offsets =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def cdc2Offset(key: String)(compute: => Long): Long =
+    cdc2Offsets.get(key).getOrElse {
+      val fam = graft.util.Landing.frameFamily(key)
+      cdc2Offsets.keySet
+        .filter(k2 => k2 != key && graft.util.Landing.frameFamily(k2) == fam)
+        .foreach(cdc2Offsets.remove)
+      cdc2Offsets.getOrElseUpdate(key, compute)
+    }
 
   private def cdc2Scd1(s: SparkSession, d: String): DataFrame = {
     val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
@@ -114,8 +126,7 @@ object Scd {
     // offset would collide with real base keys and silently demote the
     // planted inserts to updates. One scalar agg (the S4 first() shape),
     // memoized per (dir, mtime); the oracle derives the identical offset.
-    val off = cdc2Offsets.getOrElseUpdate(
-      graft.util.Landing.mtimeKey(d, "customer"),
+    val off = cdc2Offset(graft.util.Landing.mtimeKey(d, "customer"))(
       base.agg(max(col("k")).cast("long")).first().getLong(0) + 1L)
     val chg0 = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("k"))

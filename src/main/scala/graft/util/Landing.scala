@@ -47,7 +47,11 @@ object Landing {
     * behind a single JVM lock (round-11 advice). Only the family-eviction
     * bookkeeping holds a short lock; an in-flight superseded build is
     * dropped from the memo but its dir is left to the JVM-exit cleanup
-    * hook rather than deleted under a concurrent writer.
+    * hook rather than deleted under a concurrent writer. Failure
+    * semantics: a failed build fails its concurrent waiters once (the
+    * builder's own exception, unwrapped below) and is removed from the
+    * memo, so LATER callers retry the build rather than inheriting the
+    * failure.
     */
   private val layoutDirs =
     TrieMap.empty[String, java.util.concurrent.CompletableFuture[Path]]
@@ -55,7 +59,12 @@ object Landing {
       build: String => Unit): String = {
     val mine = new java.util.concurrent.CompletableFuture[Path]
     layoutDirs.putIfAbsent(key, mine) match {
-      case Some(existing) => existing.get().toString
+      case Some(existing) =>
+        try existing.get().toString
+        catch { // waiters see the builder's own exception, not the wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
       case None =>
         try {
           layoutDirs.synchronized {
@@ -103,10 +112,15 @@ object Landing {
     *   5. drop the stage, then create the marker (atomic file create).
     * A crash anywhere before step 5 makes the replay redo 2–4 and
     * converge on exactly the restaged file set; after step 5 the replay
-    * is a no-op. Spark's partition discovery ignores the dot-prefixed
-    * stage and the underscore-prefixed marker, so a reader concurrent
-    * with a commit sees either none or all of the batch's files only
-    * after the marker — and at minimum never a torn stage.
+    * is a no-op. Reader-visibility guarantee (precisely): Spark's
+    * partition discovery ignores the dot-prefixed stage and the
+    * underscore-prefixed marker, so a concurrent reader never sees a
+    * torn STAGE write — but steps 3–4 publish file-by-file, so a reader
+    * listing mid-publish CAN observe a partial batch (readers do not
+    * consult the marker). What the protocol guarantees is replay
+    * convergence + no torn stage, not snapshot isolation; if full reader
+    * atomicity were ever needed, publish via a single directory rename
+    * into a versioned manifest (the s16 snapshot pattern) instead.
     */
   def idempotentAppend(df: org.apache.spark.sql.DataFrame, dir: String,
       batchId: Long, partCol: String): Unit = {
