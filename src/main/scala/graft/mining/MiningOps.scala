@@ -904,6 +904,154 @@ object MiningOps {
        |GROUP BY s.a ORDER BY node""".stripMargin
   }
 
+  // ---- PR5: label-propagation communities ----------------------------------
+  private[graft] val LpaRounds = 4
+
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * deterministic synchronous variant): every node starts labeled with
+    * its own id; each round it adopts the most frequent label among its
+    * NEIGHBORS, ties broken by smallest label — both choices make the
+    * fold fully deterministic where the classic algorithm randomizes, so
+    * membership (not just community counts) hash-checks cross-engine.
+    * Rounds are a fixed unroll (the pr4 discipline): both engines run
+    * exactly [[LpaRounds]] rounds.
+    *
+    * Scale: each round is one shuffle of the (slim, 2-long) symmetric
+    * edge list keyed by the label-holder endpoint, a (node, label) count
+    * with map-side partials, and a per-node argmax window PARTITIONED BY
+    * node above that aggregate (the Window-above-Aggregate safe
+    * topology; never partition-less). Labels are eagerly checkpointed
+    * per round (bounded: 2 longs per node) to cut the unrolled lineage.
+    * Label frames shrink nothing but stay node-sized; the edge list is
+    * never widened — the same per-round cost profile as [[kcore]].
+    */
+  private[graft] def labelPropagation(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("a"))
+      .orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("b"), col("lab")), "b")
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lab"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lab").as("community"))
+  }
+
+  /** PR5 query: communities of the support-2 co-purchase backbone (the
+    * pr4 graph — the raw one-order pair graph is near-regular and LPA
+    * on it collapses to one community in a round; the thresholded
+    * backbone has real structure). Landed once per lineitem version.
+    */
+  private def pr5Communities(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "lineitem") + "|pr5_lpa")(
+      labelPropagation(coPurchaseEdges(s, d), LpaRounds))
+      .orderBy(col("node"))
+
+  /** Oracle: the same fixed unroll as chained CTEs — per round a
+    * neighbor-label count and a row_number argmax (count DESC, label
+    * ASC). Each label CTE is referenced once, but MATERIALIZED keeps
+    * the expression tree linear in rounds (the pr4 lesson).
+    */
+  private val pr5Sql = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""c$i AS (
+         |  SELECT s.a, l.lab, COUNT(*) AS c
+         |  FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT a AS node, lab FROM (
+         |    SELECT a, lab,
+         |      row_number() OVER (PARTITION BY a ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+       |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+       |        UNION ALL SELECT v, u FROM e0),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT a AS node, a AS lab FROM sym),
+       |$rounds
+       |SELECT node, CAST(lab AS BIGINT) AS community
+       |FROM l$LpaRounds ORDER BY node""".stripMargin
+  }
+
+  // ---- FM4: FP-Growth frequent itemsets ------------------------------------
+  /** FM4: frequent itemsets of EVERY size via spark.ml's FPGrowth — the
+    * parallel FP-Growth of Li et al. 2008 (PFP), the algorithm that
+    * replaces fm1's pair-only enumeration when itemsets can be deeper
+    * than 2. fm1 keeps the rule scoring (confidence/lift); fm4 is the
+    * itemset lattice itself, emitted as (sorted '|'-joined itemset,
+    * size, exact support count).
+    *
+    * minSupport 0.02 (MLlib's contract: freq ≥ ceil(0.02 · n_baskets),
+    * the identical double→ceil both engines compute). On this uniform
+    * TPC-H corpus the frequent lattice caps at size 2 (measured at both
+    * SFs: 25 singletons + 215/298 pairs, zero triples at any support
+    * that keeps pairs selective) — the ORACLE still enumerates to size 3
+    * so a regen that deepens the lattice is caught, not missed.
+    *
+    * Scale: PFP shards the itemset lattice by group-id — each partition
+    * mines an independent conditional FP-tree over group-dependent
+    * projected transactions (one shuffle of the baskets, lattice never
+    * materialized on the driver); freqItemsets comes back as a
+    * DataFrame. Baskets are collect_set per order — bounded by items
+    * per order (≤ 7 here), never a skew risk.
+    */
+  private def fm4Fpgrowth(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pt = Tables.part(s, d)
+    val baskets = li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+      .groupBy(col("bid")).agg(collect_set(col("item")).as("items"))
+    val model = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.02).fit(baskets)
+    model.freqItemsets
+      .select(array_join(array_sort(col("items")), "|").as("itemset"),
+        size(col("items")).as("n_items"), col("freq"))
+      .orderBy(col("n_items"), col("itemset"))
+  }
+
+  private val fm4Sql =
+    """WITH b AS (
+      |  SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (
+      |  SELECT CAST(CEIL(CAST(0.02 AS DOUBLE) * COUNT(DISTINCT bid))
+      |    AS BIGINT) AS minc FROM b),
+      |s1 AS (
+      |  SELECT item AS itemset, 1 AS n_items, COUNT(*) AS freq
+      |  FROM b GROUP BY item HAVING COUNT(*) >= (SELECT minc FROM n)),
+      |s2 AS (
+      |  SELECT a.item || '|' || b2.item AS itemset, 2 AS n_items,
+      |    COUNT(*) AS freq
+      |  FROM b a JOIN b b2 USING (bid) WHERE a.item < b2.item
+      |  GROUP BY a.item, b2.item
+      |  HAVING COUNT(*) >= (SELECT minc FROM n)),
+      |s3 AS (
+      |  SELECT a.item || '|' || b2.item || '|' || c.item AS itemset,
+      |    3 AS n_items, COUNT(*) AS freq
+      |  FROM b a JOIN b b2 USING (bid) JOIN b c USING (bid)
+      |  WHERE a.item < b2.item AND b2.item < c.item
+      |  GROUP BY a.item, b2.item, c.item
+      |  HAVING COUNT(*) >= (SELECT minc FROM n))
+      |SELECT itemset, CAST(n_items AS INT) AS n_items,
+      |  CAST(freq AS BIGINT) AS freq
+      |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |      UNION ALL SELECT * FROM s3)
+      |ORDER BY n_items, itemset""".stripMargin
+
   // ---- FM3: PMI collocations ----------------------------------------------
   /** FM3: pointwise-mutual-information collocations — statistically
     * bound token bigrams over the document corpus (Church & Hanks 1990),
@@ -994,6 +1142,8 @@ object MiningOps {
     "km1_kmeans"      -> Q(km1Kmeans, Some(km1Sql)),
     "pr3_triangles"   -> Q(pr3Triangles, Some(pr3Sql)),
     "pr4_kcore"       -> Q(pr4Kcore, Some(pr4Sql)),
+    "pr5_communities" -> Q(pr5Communities, Some(pr5Sql)),
+    "fm4_fpgrowth"    -> Q(fm4Fpgrowth, Some(fm4Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
     "pr2_pagerank_directed" -> Q(pr2PageRankDirected, Some(pr2Sql)),
     "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),

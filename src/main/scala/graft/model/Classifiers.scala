@@ -31,6 +31,10 @@ object Classifiers {
     case "svc" => new LinearSVC().setLabelCol(labelCol)
     case "dt"  => new DecisionTreeClassifier().setLabelCol(labelCol)
     case "rf"  => new RandomForestClassifier().setLabelCol(labelCol)
+    // beyond the reference's five: the sklearn world's
+    // GradientBoostingClassifier analogue, seeded like the rest (s17).
+    // Not in Names — the s8 experiment matrix stays the reference's.
+    case "gbt" => new GBTClassifier().setLabelCol(labelCol).setSeed(42L)
   }
 
   def grid(name: String, labelCol: String = "stroke"): Array[ParamMap] =

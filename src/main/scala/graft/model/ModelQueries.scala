@@ -61,8 +61,37 @@ object ModelQueries {
     """SELECT 'lr' AS classifier, 'split70_30' AS "eval",
       |  CAST(0.8217 AS DOUBLE) AS auc_r4, TRUE AS auc_in_band""".stripMargin
 
+  /** S17: GradientBoosted trees 70/30 AUC — the sklearn family member
+    * the reference's five (LR/NB/SVC/DT/RF) leave out, completing the
+    * classifier matrix a user migrating from the sklearn world expects.
+    * Same seeded-golden discipline as s5: the seeded split + seeded GBT
+    * (20 boosting rounds, depth-5 trees — spark.ml defaults) on the
+    * fixed stroke CSV is deterministic in this environment (PARITY.md);
+    * AUC pinned rounded 4 dp + a wide in-band flag carrying the
+    * semantic contract independently of the pin.
+    *
+    * Scale: boosting is inherently sequential in rounds, but each round
+    * is one distributed tree fit (histogram-based splits, map-side
+    * binning) — the per-round cost is a scan + fixed-depth split search,
+    * no driver materialization beyond split stats.
+    */
+  private def s17GbtAuc(s: SparkSession, d: String): DataFrame = {
+    val prepared = StrokePipeline.prepare(s, StrokePipeline.RawCsv)
+    val res = Classifiers.trainEval("gbt", prepared)
+    import s.implicits._
+    Seq(("gbt", "split70_30", res.auc)).toDF("classifier", "eval", "auc")
+      .select(col("classifier"), col("eval"),
+        round(col("auc"), 4).as("auc_r4"),
+        (col("auc") >= 0.70 && col("auc") <= 0.90).as("auc_in_band"))
+  }
+
+  private val s17Sql =
+    """SELECT 'gbt' AS classifier, 'split70_30' AS "eval",
+      |  CAST(0.8323 AS DOUBLE) AS auc_r4, TRUE AS auc_in_band""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s4_rf_report" -> Q(s4RfReport, Some(s4Sql)),
     "s5_lr_auc"    -> Q(s5LrAuc, Some(s5Sql)),
+    "s17_gbt_auc"  -> Q(s17GbtAuc, Some(s17Sql)),
   )
 }

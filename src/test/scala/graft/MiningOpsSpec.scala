@@ -250,4 +250,48 @@ class MiningOpsSpec extends SparkSpec {
     assert(out(0L) == 5L)
     (1L to 5L).foreach(i => assert(out(i) == 2L))
   }
+
+  test("pr5: triangle converges to min label; isolated edge oscillates " +
+      "back to self-labels under the even fixed unroll") {
+    import spark.implicits._
+    // Hand-folded synchronous LPA (min tie-break), 4 rounds: the
+    // triangle {1,2,3} reaches label 1 by round 3 and stays; the
+    // isolated edge {5,6} is bipartite so sync LPA swaps labels each
+    // round — after an EVEN unroll each node is back at its own label.
+    // Both behaviors are the deterministic contract the oracle replays.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)).toDF("u", "v")
+    val out = MiningOps.labelPropagation(edges, MiningOps.LpaRounds)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("community"))
+      .toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("pr5: real-corpus communities are plural and non-degenerate") {
+    // the support-2 backbone must neither collapse to one community nor
+    // stay fully shattered (every node its own label) after the unroll
+    val out = MiningOps.labelPropagation(
+      MiningOps.coPurchaseEdges(spark, Sf001), MiningOps.LpaRounds)
+      .groupBy(col("community")).count().collect()
+    val n = out.map(_.getAs[Long]("count")).sum
+    assert(out.length > 1, "LPA collapsed to a single community")
+    assert(out.length < n, "LPA left every node in its own community")
+    assert(out.map(_.getAs[Long]("count")).max > 1, "no community grew")
+  }
+
+  test("fm4-shape: frequent itemsets are downward closed on planted " +
+      "baskets (the lattice contract fm4's oracle enumerates)") {
+    import spark.implicits._
+    // baskets {a,b} ×2, {a,c} ×1, minSupport 0.5 on 3 baskets → minc 2:
+    // singletons a(3) b(2) survive, c(1) drops; pair ab(2) survives and
+    // both its subsets are present (downward closure).
+    val baskets = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("a", "b")), (3L, Seq("a", "c")))
+      .toDF("bid", "items")
+    val fi = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(0.5).fit(baskets)
+      .freqItemsets.collect()
+      .map(r => r.getSeq[String](0).sorted.mkString("|") ->
+        r.getAs[Long]("freq")).toMap
+    assert(fi == Map("a" -> 3L, "b" -> 2L, "a|b" -> 2L))
+  }
 }

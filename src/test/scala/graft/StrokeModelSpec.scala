@@ -43,6 +43,11 @@ class StrokeModelSpec extends SparkSpec {
     assertRange("rf-bal", Classifiers.trainEval("rf", preparedBal).auc, 0.82, 0.97)
   }
 
+  test("GBT 70/30 unbalanced AUC near its s17 golden 0.8323") {
+    // beyond the reference's five — the s17 extension classifier
+    assertRange("gbt", Classifiers.trainEval("gbt", prepared).auc, 0.70, 0.90)
+  }
+
   test("LR 5-fold CV grid (resubstitution) near golden 0.8452 unbalanced") {
     // DT's grid-selected model is fold-split-sensitive (a shallow tree can
     // win CV and score near-constant on resubstitution), so the stable CV
