@@ -639,32 +639,95 @@ object DedupOps {
     * the cross-side stop-shingle cap, and the containment division of the
     * same two integers → bit-exact doubles.
     */
-  private val d9Sql =
-    """WITH toks AS (
-      |  SELECT doc_id, doc_id % 2 = 0 AS is_train,
-      |         regexp_split_to_array(lower(text), '\s+') AS t
-      |  FROM documents),
-      |idx AS (
-      |  SELECT doc_id, is_train, t,
-      |         unnest(range(0, greatest(len(t)-3, 0)+1)) AS i
-      |  FROM toks),
-      |shd AS (
-      |  SELECT DISTINCT doc_id, is_train,
-      |         array_to_string(t[i+1:i+3], ' ') AS sh
-      |  FROM idx WHERE length(array_to_string(t[i+1:i+3], ' ')) > 0),
-      |grp AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= 64),
-      |kept AS (SELECT shd.doc_id, shd.is_train, shd.sh
-      |         FROM shd JOIN grp USING (sh)),
-      |esz AS (SELECT doc_id, count(*) AS n FROM kept
-      |        WHERE NOT is_train GROUP BY doc_id),
-      |cm AS (
-      |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS c
-      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.is_train AND NOT b.is_train
-      |  GROUP BY 1, 2)
-      |SELECT train_id, eval_id, CAST(c AS DOUBLE) / esz.n AS containment
-      |FROM cm JOIN esz ON esz.doc_id = cm.eval_id
-      |WHERE CAST(c AS DOUBLE) / esz.n >= 0.5
-      |ORDER BY train_id, eval_id""".stripMargin
+  private def deconSql(w: Int) =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % 2 = 0 AS is_train,
+       |         regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |idx AS (
+       |  SELECT doc_id, is_train, t,
+       |         unnest(range(0, greatest(len(t)-$w, 0)+1)) AS i
+       |  FROM toks),
+       |shd AS (
+       |  SELECT DISTINCT doc_id, is_train,
+       |         array_to_string(t[i+1:i+$w], ' ') AS sh
+       |  FROM idx WHERE length(array_to_string(t[i+1:i+$w], ' ')) > 0),
+       |grp AS (SELECT sh FROM shd GROUP BY sh HAVING count(*) <= 64),
+       |kept AS (SELECT shd.doc_id, shd.is_train, shd.sh
+       |         FROM shd JOIN grp USING (sh)),
+       |esz AS (SELECT doc_id, count(*) AS n FROM kept
+       |        WHERE NOT is_train GROUP BY doc_id),
+       |cm AS (
+       |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS c
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.is_train AND NOT b.is_train
+       |  GROUP BY 1, 2)
+       |SELECT train_id, eval_id, CAST(c AS DOUBLE) / esz.n AS containment
+       |FROM cm JOIN esz ON esz.doc_id = cm.eval_id
+       |WHERE CAST(c AS DOUBLE) / esz.n >= 0.5
+       |ORDER BY train_id, eval_id""".stripMargin
+
+  private val d9Sql = deconSql(3)
+
+  // ---- D16: bloom-prefiltered decontamination -----------------------------
+  /** D16: d9's exact decontamination behind a MAP-SIDE bloom pre-scan —
+    * the shape the check takes at 100 TB. The eval set's distinct
+    * 8-token shingle hashes build one bloom (distributed partial blooms,
+    * driver sees only the fixed-size bit array — the j7 machinery); the
+    * train scan keeps only documents with at least one might-contain
+    * shingle, and the exact containment join runs on the survivors.
+    *
+    * The prune is RESULT-TRANSPARENT, not approximate: a bloom has no
+    * false negatives, so any train doc sharing ANY shingle with the eval
+    * side survives to the exact join; and every cross-side shingle
+    * bucket keeps all its members (each train member of such a bucket
+    * shares that shingle, hence survives), so the stop-shingle cap and
+    * the containment counts are unchanged — d16 ≡ exact w=8
+    * decontamination, registered with the SAME oracle family as d9 (w=8
+    * instance; the t18 identical-result discipline). False positives
+    * cost a wasted exact-join probe, never a wrong row.
+    *
+    * w=8 (vs d9's w=3) is the published-practice window for benchmark
+    * decontamination (8–13-gram exact overlap): measured here it prunes
+    * the train side to ~5% at both SFs, where w=3 prunes nothing (every
+    * doc shares some 3-shingle). At 100 TB the bloom (9.6 bits per eval
+    * shingle at 1% fpp — MBs for any real eval suite) broadcasts inside
+    * the codegen'd predicate and the corpus scan drops 95% of documents
+    * before any shuffle.
+    */
+  /** The map-side bloom pre-scan: train docs with ≥1 might-contain
+    * shingle against a bloom of the eval side's distinct shingle hashes.
+    * Exposed for the d16 spec's prune-effectiveness measurement.
+    */
+  private[graft] def bloomSurvivors(train: DataFrame, eval_ : DataFrame,
+      w: Int): DataFrame = {
+    val s = train.sparkSession
+    val evalSh = eval_.select(explode(graft.functions.TextKernelFns
+      .shingleHashes(s, col("text"), w)).as("sh")).distinct()
+    val bloom = evalSh.stat.bloomFilter("sh", 1L << 20, 0.01)
+    val name = "bloom_sh_" +
+      (System.identityHashCode(bloom) & Int.MaxValue).toHexString
+    graft.functions.KernelRegistry.ensureTransient(s, name)(
+      exprs => graft.relational.BloomMightContain(exprs(0), bloom))
+    val survivors = train.filter(exists(
+      graft.functions.TextKernelFns.shingleHashes(s, col("text"), w),
+      h => call_function(name, h)))
+    // Guard on the SURVIVOR frame: contaminationPairs localCheckpoints
+    // its bucket table, so the bloom scan is severed out of the final
+    // plan (it runs during materialization). The plan prints the
+    // expression's prettyName, not the registered name.
+    require(survivors.queryExecution.optimizedPlan.toString
+        .contains("bloom_might_contain"),
+      "bloom pre-scan missing from the train-scan plan")
+    survivors
+  }
+
+  private def d16BloomDecon(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1)
+    contaminationPairs(bloomSurvivors(train, eval_, 8), eval_, w = 8)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
 
   // ---- D7: duplicate-cluster resolution ----------------------------------
   /** Connected components over an undirected pair list: every node's
@@ -1211,6 +1274,7 @@ object DedupOps {
     "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),
     "d8b_incremental_indexed" -> Q(d8bIncrementalIndexed, Some(d8Sql)),
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),
+    "d16_bloom_decontaminate" -> Q(d16BloomDecon, Some(deconSql(8))),
     "d10_editdist_neardup" -> Q(d10EditDist, Some(d10Sql)),
     "d13_substring_dedup" -> Q(d13Substring, Some(d13Sql)),
     "d15_neardup_search" -> Q(d15NeardupSearch, Some(d15Sql)),

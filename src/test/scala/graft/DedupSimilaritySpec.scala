@@ -622,6 +622,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out((2L, 1L)) === 1.0)
   }
 
+  test("d16: bloom pre-scan is result-transparent (≡ exact w=8 decon) " +
+      "and actually prunes the train side") {
+    import org.apache.spark.sql.functions.col
+    val dir = Sf001
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val eval_ = docs.filter(col("doc_id") % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = pairs(DedupOps.contaminationPairs(train, eval_, w = 8)
+      .orderBy(col("train_id"), col("eval_id")))
+    val bloomed = pairs(SparkEntry.queries("d16_bloom_decontaminate")(
+      spark, dir))
+    // no false negatives + bucket membership preserved ⇒ identical rows
+    assert(bloomed === exact)
+    assert(bloomed.nonEmpty)
+    // the 100 TB claim: the w=8 bloom keeps only a small survivor slice
+    // (measured ~5% at both driver SFs; generous bound for regen drift)
+    val nTrain = train.count()
+    val nSurv = DedupOps.bloomSurvivors(train, eval_, 8).count()
+    assert(nSurv * 4 <= nTrain,
+      s"bloom pre-scan barely prunes: $nSurv of $nTrain survive")
+  }
+
   test("d8b: landed digest index reproduces d8 exactly (plan guard inside " +
       "the query proves the index side reads shuffle-free)") {
     def run(q: String) = SparkEntry.queries(q)(spark, Sf0001)
