@@ -879,7 +879,92 @@ object TextOps {
       |FROM wt GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- T19: BPE merge induction --------------------------------------------
+  private[graft] val BpeVocabCap = 2000
+  private[graft] val BpeMerges = 10
+
+  /** The BPE training fold (Sennrich et al. 2016) over an aggregated
+    * word-frequency dictionary: start from characters, repeatedly count
+    * adjacent symbol pairs (weighted by word frequency, overlaps counted
+    * as in the reference algorithm) and merge the most frequent pair
+    * everywhere, left-to-right non-overlapping within a word. Ties break
+    * by lexicographic (left, right) — the determinism the fixture gate
+    * needs. No end-of-word marker (documented simplification; adding one
+    * is a one-line change to the seeding).
+    */
+  private[graft] def bpeMerges(wordFreq: Seq[(String, Long)], k: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var segs: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (round <- 1 to k) {
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((seg, f) <- segs; i <- 0 until seg.length - 1) {
+        val key = (seg(i), seg(i + 1))
+        counts(key) = counts.getOrElse(key, 0L) + f
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        segs = segs.map { case (seg, f) =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < seg.length) {
+            if (i < seg.length - 1 && seg(i) == a && seg(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += seg(i); i += 1 }
+          }
+          (buf.toArray, f)
+        }
+        out += ((round, a, b, a + b, n))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Merge table memoized per corpus version: the dict collect + fold
+    * happen at DataFrame-BUILD time (the d13 cost class), and the values
+    * are deterministic on a fixed corpus.
+    */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, String, Long)]]
+
+  /** T19: tokenizer vocabulary induction — the BPE merge table an LLM
+    * pipeline trains over its corpus. The 100 TB part is the word-
+    * frequency aggregation (one scan + one vocab-keyed exchange with
+    * map-side partials); the dictionary itself is vocab-bounded (top
+    * [[BpeVocabCap]] alphabetic words by (freq DESC, word) — a
+    * TakeOrderedAndProject, deterministic), and the merge fold runs
+    * driver-side over that bounded dict — exactly how production BPE
+    * trainers (sentencepiece, HF tokenizers) consume a corpus:
+    * aggregate distributed, train on the dictionary. Emits one row per
+    * merge round; deterministic-but-unSQLable (iterative
+    * re-segmentation), so the oracle is fixture-replay
+    * ([[graft.util.OracleFixtures]], the d2/d3 discipline).
+    */
+  private def t19BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMemo.getOrElseUpdate(
+      graft.util.Landing.mtimeKey(d, "documents"), {
+        val dict = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("w")).limit(BpeVocabCap)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        bpeMerges(dict, BpeMerges)
+      })
+    import s.implicits._
+    graft.util.OracleFixtures.withCorpusKey(
+      merges.toDF("merge_round", "lhs", "rhs", "merged", "n")
+        .orderBy(col("merge_round")), s, d)
+  }
+
+  private val t19Sql = graft.util.OracleFixtures.sql("t19_bpe_merges",
+    Seq("merge_round", "lhs", "rhs", "merged", "n"), "merge_round")
+
   val qs: Seq[(String, Q)] = Seq(
+    "t19_bpe_merges"     -> Q(t19BpeMerges, Some(t19Sql)),
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
     "t17_bm25"           -> Q(t17Bm25, Some(t17Sql)),
     // bit-identical to t17 by construction (same scoring tree over the

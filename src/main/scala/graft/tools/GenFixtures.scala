@@ -84,7 +84,8 @@ object GenFixtures {
     // both SFs into one directory the DuckDB oracle reads back with
     // read_parquet and filters by the current corpus key.
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features",
-        "mm3_resize", "mm4_phash_neardup", "mm5_audio_neardup"))
+        "mm3_resize", "mm4_phash_neardup", "mm5_audio_neardup",
+        "t19_bpe_merges"))
       write(s"oracle/$name") {
         Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
           .map(SparkEntry.queries(name)(spark, _))

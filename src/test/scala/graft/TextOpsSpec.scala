@@ -188,4 +188,36 @@ class TextOpsSpec extends SparkSpec {
           s"($read of $total rows)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("t19: BPE fold reproduces the hand-computed merge sequence, " +
+      "including weighted overlap counts and left-to-right merging") {
+    // dict {aaab: 3, ab: 2}. Round 1: (a,a) counted WITH overlap = 2·3=6
+    // beats (a,b)=3+2=5 → merge; left-to-right gives [aa,a,b] (not
+    // [a,aa,b]). Round 2: (a,b)=3+2=5 beats (aa,a)=3. Round 3: (aa,ab)=3.
+    val merges = TextOps.bpeMerges(Seq("aaab" -> 3L, "ab" -> 2L), 5)
+    assert(merges === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+    // round 4+: no adjacent pairs remain anywhere → fold stops emitting
+    assert(merges.length === 3)
+  }
+
+  test("t19: tie on count breaks lexicographically by (lhs, rhs)") {
+    val merges = TextOps.bpeMerges(Seq("xy" -> 2L, "yz" -> 2L), 1)
+    assert(merges.head === ((1, "x", "y", "xy", 2L)))
+  }
+
+  test("t19: registered query emits one row per productive round on the " +
+      "real corpus") {
+    val rows = SparkEntry.queries("t19_bpe_merges")(spark, Sf001).collect()
+    assert(rows.length === TextOps.BpeMerges,
+      s"expected ${TextOps.BpeMerges} merges, got ${rows.length}")
+    // merged symbol is always lhs+rhs and counts never increase mid-run
+    // beyond the previous round's ceiling within the same fold
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ===
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+    }
+  }
 }
