@@ -165,7 +165,16 @@ object ScaleSweep {
       "x13b_hybrid_indexed", "x16_ivfpq_persisted",
       // km3 = bounded driver fit + map-only argmax; a11 = one grouped
       // scan with map-side partial sketches
-      "km3_bisecting_kmeans", "a11_group_quantiles")
+      "km3_bisecting_kmeans", "a11_group_quantiles",
+      // round-13 newcomers: d16 = bloom build over the 10× eval side +
+      // map-side pruned train scan + exact join on survivors; t19 = one
+      // word-count exchange then a bounded-dict driver fold (memo is
+      // fresh per JVM, so both timings measure the real build); fm4 =
+      // PFP over baskets whose item universe is fixed (support threshold
+      // scales with n — same lattice, 10× counts). pr5 sweeps on SHIFTED
+      // support-2 edges below (densification discipline), s17 is the
+      // fixed-size stroke surface (not corpus-scaled — no sweep row).
+      "d16_bloom_decontaminate", "t19_bpe_merges", "fm4_fpgrowth")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
@@ -189,8 +198,8 @@ object ScaleSweep {
       println(f"[scalesweep] $q%-22s sf0.1 $small%6.1fs  sf1 $big%7.1fs  ratio ${big / small}%5.1f")
     }
     if (only.nonEmpty && !only.exists(f =>
-        "pr1_pagerank pr2_directed km1_kmeans pr3_triangles pr4_kcore"
-          .contains(f)))
+        ("pr1_pagerank pr2_directed km1_kmeans pr3_triangles pr4_kcore " +
+          "pr5_communities").contains(f)))
       return
     // pr1-shaped graph, 10 shifted copies of the distinct edge list
     val e0 = Tables.lineitem(s, Src)
@@ -272,5 +281,13 @@ object ScaleSweep {
       .kcore(ks10, graft.mining.MiningOps.KcoreK,
         graft.mining.MiningOps.KcoreRounds).collect())
     println(f"[scalesweep] pr4_kcore(10x edges)     sf0.1 $pcSmall%6.1fs  sf1 $pcBig%7.1fs  ratio ${pcBig / pcSmall}%5.1f")
+    // pr5 on the same shifted support-2 replicas: LPA's per-round cost is
+    // edges + nodes; 10 disjoint replicas at constant degree is the
+    // honest scale direction for a support-thresholded graph
+    val lpSmall = time(graft.mining.MiningOps
+      .labelPropagation(ks0, graft.mining.MiningOps.LpaRounds).collect())
+    val lpBig = time(graft.mining.MiningOps
+      .labelPropagation(ks10, graft.mining.MiningOps.LpaRounds).collect())
+    println(f"[scalesweep] pr5_communities(10x edges) sf0.1 $lpSmall%6.1fs  sf1 $lpBig%7.1fs  ratio ${lpBig / lpSmall}%5.1f")
   }
 }
