@@ -167,7 +167,13 @@ object BalanceQueries {
   }
 
   private def b4Tomek(s: SparkSession, d: String): DataFrame =
-    tomekLinks(features(s, d))
+    // the link table is slim source-derived state (≤ ~100 rows here) —
+    // landed once per embeddings version (the pr4/fm4 accounting);
+    // undersampling consumers read the landing, the 1-NN join runs once
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "embeddings") + "|b4_links")(
+      tomekLinks(features(s, d)))
+      .orderBy(col("minority_id"))
 
   private val b4Sql =
     """WITH f AS (
