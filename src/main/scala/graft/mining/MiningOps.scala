@@ -1057,6 +1057,97 @@ object MiningOps {
       |      UNION ALL SELECT * FROM s3)
       |ORDER BY n_items, itemset""".stripMargin
 
+  // ---- FM5: PrefixSpan sequential patterns ---------------------------------
+  private[graft] val Fm5PrefixLen = 5
+  private[graft] val Fm5MaxPattern = 3
+
+  /** FM5: frequent sequential patterns via spark.ml's PrefixSpan (Pei et
+    * al. 2001) — subsequences WITH GAPS, where fm2 is consecutive
+    * transitions only. Sequences are each user's first
+    * [[Fm5PrefixLen]] events under the (ts, event_id) total order — the
+    * early-funnel window (full 67-event streams saturate: every ≤3-gram
+    * is in every stream, a vacuous lattice); maxPatternLength 3 caps the
+    * pattern space BY CONSTRUCTION, which is also what makes the
+    * enumeration oracle complete. Support = count of users whose prefix
+    * contains the pattern as a gapped subsequence, min support
+    * ceil(0.02·users) — at sf0.01 the threshold genuinely prunes the
+    * 3-pattern tail (min observed support 1.3%).
+    *
+    * Scale: PrefixSpan projects the sequence database prefix-by-prefix
+    * (each round one shuffle of projected postfixes, pattern space
+    * capped at 3); sequences themselves are bounded at
+    * [[Fm5PrefixLen]] items by the window filter, so no projection can
+    * exceed 5 items — memory per task is O(batch · 5). The row_number
+    * window is per-user (high cardinality, never partition-less).
+    */
+  /** The prefix-window + PrefixSpan chain over an events-shaped frame
+    * (user_id, ts, event_id, event_type) — exposed for planted-sequence
+    * specs.
+    */
+  private[graft] def prefixPatterns(events: DataFrame,
+      minSupport: Double = 0.02): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seqs = events
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= Fm5PrefixLen)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("event_type"))))
+        .as("st"))
+      .select(transform(col("st"), x => array(x("event_type")))
+        .as("sequence"))
+    new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(minSupport).setMaxPatternLength(Fm5MaxPattern)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs)
+      .select(array_join(flatten(col("sequence")), "|").as("pattern"),
+        size(col("sequence")).as("len"), col("freq").as("n_users"))
+  }
+
+  private def fm5Prefixspan(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(s, s"$d|fm5_patterns|" +
+        graft.util.Landing.mtimeKey(d, "events")) {
+      prefixPatterns(Tables.events(s, d))
+    }.orderBy(col("len"), col("pattern"))
+
+  /** Oracle: gapped-subsequence enumeration to length 3 (complete
+    * because maxPatternLength caps the Spark side), distinct-user
+    * counts, the identical ceil support cut.
+    */
+  private val fm5Sql =
+    s"""WITH p0 AS (
+       |  SELECT user_id, event_type AS t,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS pos
+       |  FROM events),
+       |p AS (SELECT * FROM p0 WHERE pos <= $Fm5PrefixLen),
+       |n AS (
+       |  SELECT CAST(CEIL(CAST(0.02 AS DOUBLE) * COUNT(DISTINCT user_id))
+       |    AS BIGINT) AS minc FROM p),
+       |l1 AS (
+       |  SELECT t1 AS pattern, 1 AS len, COUNT(*) AS n_users
+       |  FROM (SELECT DISTINCT user_id, t AS t1 FROM p)
+       |  GROUP BY t1 HAVING COUNT(*) >= (SELECT minc FROM n)),
+       |l2 AS (
+       |  SELECT t1 || '|' || t2 AS pattern, 2 AS len, COUNT(*) AS n_users
+       |  FROM (SELECT DISTINCT a.user_id, a.t AS t1, b.t AS t2
+       |        FROM p a JOIN p b
+       |          ON a.user_id = b.user_id AND a.pos < b.pos)
+       |  GROUP BY t1, t2 HAVING COUNT(*) >= (SELECT minc FROM n)),
+       |l3 AS (
+       |  SELECT t1 || '|' || t2 || '|' || t3 AS pattern, 3 AS len,
+       |    COUNT(*) AS n_users
+       |  FROM (SELECT DISTINCT a.user_id, a.t AS t1, b.t AS t2, c.t AS t3
+       |        FROM p a
+       |        JOIN p b ON a.user_id = b.user_id AND a.pos < b.pos
+       |        JOIN p c ON b.user_id = c.user_id AND b.pos < c.pos)
+       |  GROUP BY t1, t2, t3 HAVING COUNT(*) >= (SELECT minc FROM n))
+       |SELECT pattern, CAST(len AS INT) AS len,
+       |  CAST(n_users AS BIGINT) AS n_users
+       |FROM (SELECT * FROM l1 UNION ALL SELECT * FROM l2
+       |      UNION ALL SELECT * FROM l3)
+       |ORDER BY len, pattern""".stripMargin
+
   // ---- FM3: PMI collocations ----------------------------------------------
   /** FM3: pointwise-mutual-information collocations — statistically
     * bound token bigrams over the document corpus (Church & Hanks 1990),
@@ -1149,6 +1240,7 @@ object MiningOps {
     "pr4_kcore"       -> Q(pr4Kcore, Some(pr4Sql)),
     "pr5_communities" -> Q(pr5Communities, Some(pr5Sql)),
     "fm4_fpgrowth"    -> Q(fm4Fpgrowth, Some(fm4Sql)),
+    "fm5_prefixspan"  -> Q(fm5Prefixspan, Some(fm5Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
     "pr2_pagerank_directed" -> Q(pr2PageRankDirected, Some(pr2Sql)),
     "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),

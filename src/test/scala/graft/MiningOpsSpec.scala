@@ -278,6 +278,31 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("count")).max > 1, "no community grew")
   }
 
+  test("fm5: PrefixSpan counts gapped subsequences once per user and " +
+      "honors the prefix window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, i: Int, t: String) =
+      (u, new Timestamp(i * 1000L), i.toLong, t)
+    // user 1: a x b  → <a,b> present WITH A GAP; <a,b> must count once
+    // even though b also follows x. user 2: b a → no <a,b>.
+    // user 3: a a b → <a,b> still counts ONCE (per-sequence support).
+    // 7th event of user 1 is outside the 5-prefix → 'z' never appears.
+    val events = (Seq(ev(1, 1, "a"), ev(1, 2, "x"), ev(1, 3, "b"),
+        ev(1, 4, "x"), ev(1, 5, "x"), ev(1, 6, "z")) ++
+      Seq(ev(2, 1, "b"), ev(2, 2, "a")) ++
+      Seq(ev(3, 1, "a"), ev(3, 2, "a"), ev(3, 3, "b")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = MiningOps.prefixPatterns(events, minSupport = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("a|b") === 2L) // users 1 and 3, once each
+    assert(out("a") === 3L && out("b") === 3L)
+    assert(!out.contains("z"), "6th event leaked past the 5-prefix")
+    assert(!out.contains("b|a|b"), "minSupport 0.5 of 3 users = 2; " +
+      "b|a|b appears only in user 2... and shouldn't exist at all")
+    assert(out.contains("a|a|b") === false) // only user 3 has it (1 < 2)
+  }
+
   test("fm4-shape: frequent itemsets are downward closed on planted " +
       "baskets (the lattice contract fm4's oracle enumerates)") {
     import spark.implicits._
