@@ -325,7 +325,69 @@ object Profiling {
       |  TRUE AS p99_within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- A12: correlation matrix ---------------------------------------------
+  /** A12: pairwise Pearson correlations over lineitem's numeric columns —
+    * the pandas `df.corr()` panel a profiling pass emits next to
+    * describe(). All moment sums are EXACT decimals (the Det discipline:
+    * a correlation whose value depends on shuffle order is a bug, not
+    * noise); the final ratio is assembled in ONE fixed double-op order
+    * both engines repeat — num = n·Σxy − Σx·Σy, den = √(n·Σx²−Σx²ᵗᵒᵗ) ·
+    * √(n·Σy²−Σy²ᵗᵒᵗ) — and rounded to 6 dp (the dstddev rule: decimal
+    * sums past 2^53 round on the double cast, engines may differ in the
+    * last ulp).
+    *
+    * Scale: ONE scan, one 10-sum aggregate with map-side partials, one
+    * 1-row result — the cheapest possible full-corpus statistic.
+    */
+  private def a12Correlations(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q  = col("l_quantity").cast(DecimalType(14, 2))
+    val p  = col("l_extendedprice").cast(DecimalType(14, 2))
+    val dc = col("l_discount").cast(DecimalType(4, 2))
+    def dbl(c: Column) = sum(c).cast("double")
+    def corr(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column, syy: Column) =
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).cast("double").as("_n"),
+        dbl(q).as("_sq"), dbl(p).as("_sp"), dbl(dc).as("_sd"),
+        dbl(q * q).as("_sqq"), dbl(p * p).as("_spp"), dbl(dc * dc).as("_sdd"),
+        dbl(q * p).as("_sqp"), dbl(q * dc).as("_sqd"), dbl(p * dc).as("_spd"))
+      .select(col("_n").cast("long").as("n"),
+        corr(col("_n"), col("_sq"), col("_sp"), col("_sqp"), col("_sqq"),
+          col("_spp")).as("qty_price_corr"),
+        corr(col("_n"), col("_sq"), col("_sd"), col("_sqd"), col("_sqq"),
+          col("_sdd")).as("qty_disc_corr"),
+        corr(col("_n"), col("_sp"), col("_sd"), col("_spd"), col("_spp"),
+          col("_sdd")).as("price_disc_corr"))
+  }
+
+  private val a12Sql = {
+    def dsum(e: String) = s"CAST(SUM($e) AS DOUBLE)"
+    val q = "CAST(l_quantity AS DECIMAL(14,2))"
+    val p = "CAST(l_extendedprice AS DECIMAL(14,2))"
+    val dc = "CAST(l_discount AS DECIMAL(4,2))"
+    def corr(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+      s"ROUND((n * $sxy - $sx * $sy) / " +
+        s"(SQRT(n * $sxx - $sx * $sx) * SQRT(n * $syy - $sy * $sy)), 6)"
+    s"""WITH m AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${dsum(q)} AS sq, ${dsum(p)} AS sp, ${dsum(dc)} AS sd,
+       |    ${dsum(s"$q * $q")} AS sqq, ${dsum(s"$p * $p")} AS spp,
+       |    ${dsum(s"$dc * $dc")} AS sdd,
+       |    ${dsum(s"$q * $p")} AS sqp, ${dsum(s"$q * $dc")} AS sqd,
+       |    ${dsum(s"$p * $dc")} AS spd
+       |  FROM lineitem)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ${corr("sq", "sp", "sqp", "sqq", "spp")} AS qty_price_corr,
+       |  ${corr("sq", "sd", "sqd", "sqq", "sdd")} AS qty_disc_corr,
+       |  ${corr("sp", "sd", "spd", "spp", "sdd")} AS price_disc_corr
+       |FROM m""".stripMargin
+  }
+
   val qs: Seq[(String, Q)] = Seq(
+    "a12_correlations"   -> Q(a12Correlations, Some(a12Sql)),
     "a3_describe"        -> Q(a3Describe, Some(a3Sql)),
     "a10_approx_quantiles" -> Q(a10ApproxQuantiles, Some(a10Sql)),
     "a11_group_quantiles" -> Q(a11GroupQuantiles, Some(a11Sql)),

@@ -109,6 +109,32 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(v2 - v1 === 1000L * n3)
   }
 
+  test("s18: vacuum deletes exactly the expired-only files, leaves every " +
+      "live file on disk, and the live snapshot reads complete") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s18Dir(spark, Sf0001)
+    val live = Snapshots.manifest(dir, 2)
+    // every live file survives the vacuum
+    live.foreach(f => assert(new java.io.File(f).exists(),
+      s"vacuum deleted a LIVE file: $f"))
+    // the expired nation-3 v1 file is physically gone (it lives under
+    // v1/nk=3, which no live manifest references)
+    val nk3v1 = new java.io.File(s"$dir/v1/nk=3")
+    val leftover = Option(nk3v1.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(leftover.isEmpty,
+      s"expired v1 nation-3 files survive: ${leftover.mkString(",")}")
+    // the expired manifest itself is dropped; the live one still reads
+    assert(!new java.io.File(s"$dir/manifest_1.txt").exists())
+    val v2 = Snapshots.readVersion(spark, dir, 2)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val expected = Tables.customer(spark, Sf0001)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long") +
+        when(col("c_nationkey") === 3, 1000L).otherwise(0L)))
+      .first().getLong(0)
+    assert(v2 === expected, "live snapshot incomplete after vacuum")
+  }
+
   // ---- e22: streaming sketch maintenance ----------------------------------
 
   test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +
