@@ -5,6 +5,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{Q, Tables}
@@ -683,7 +684,124 @@ object MultimodalOps {
   private val mm5Sql = graft.util.OracleFixtures.sql("mm5_audio_neardup",
     Seq("a", "b", "hamming"), "a, b")
 
+  // ---- MM6: video scene-cut detection --------------------------------------
+  private[graft] val Mm6Docs = 128
+  private[graft] val Mm6Frames = 12
+  private[graft] val Mm6SceneLen = 4
+  private[graft] val Mm6CutThreshold = 16
+
+  /** A video frame: [[makePng]]'s recipe at LARGER dimensions (16–28 ×
+    * 16–22) with a member-determined SWAP of two pixels. A swap
+    * preserves the image mean EXACTLY, so aHash's cell-vs-mean
+    * thresholds move only in the ≤2 cells the swapped pixels occupy —
+    * within-scene deltas stay a few bits. (makePngVariant's painted
+    * white pixel shifts the global mean, and with 64 random cells many
+    * sit near it: measured within-scene deltas reached 16 bits — a
+    * knife-edge against the threshold.)
+    */
+  private[graft] def makeVideoFrame(scene: Long, member: Long)
+      : Array[Byte] = {
+    val w = 16 + (scene % 13).toInt
+    val h = 16 + (scene % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (mix(scene * 1000003L + y * 131L + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val (x1, y1) = ((member % w).toInt, (member % h).toInt)
+    val (x2, y2) = (((member * 7 + 3) % w).toInt, ((member * 11 + 5) % h).toInt)
+    val (c1, c2) = (img.getRGB(x1, y1), img.getRGB(x2, y2))
+    img.setRGB(x1, y1, c2)
+    img.setRGB(x2, y2, c1)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic "videos": per doc a [[Mm6Frames]]-frame PNG sequence where
+    * frames inside a scene are one-pixel variants of one base image
+    * ([[makeVideoFrame]]) and the base CHANGES every [[Mm6SceneLen]]
+    * frames — planted scene boundaries the detector must recover without
+    * seeing scene ids. Bounded to the first [[Mm6Docs]] docs so the
+    * frame count is constant at every SF (the decode is the point, not
+    * the volume).
+    */
+  def synthesizeVideo(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < Mm6Docs).as[Long]
+      .flatMap { id =>
+        (0 until Mm6Frames).map { f =>
+          (id, f,
+            makeVideoFrame(id * 131L + f / Mm6SceneLen, id * 17L + f))
+        }
+      }
+      .toDF("doc_id", "frame_no", "payload")
+  }
+
+  /** Consecutive-frame perceptual-hash deltas → scene cuts: aHash each
+    * frame (real PNG decode, map-side), lag within the video, cut where
+    * the hamming distance to the previous frame exceeds the threshold.
+    * Within a scene the one-pixel variants hash a few bits apart; across
+    * a scene boundary the base image (and its dimensions) change, so the
+    * hashes decorrelate to ~32 bits — the threshold sits between the
+    * two regimes with wide margins in both directions (spec-pinned).
+    *
+    * Scale: payloads never leave their input split — only (doc_id,
+    * frame_no, 8-byte hash) rides the per-video shuffle; the window is
+    * PARTITIONED BY video (high cardinality), frames-per-video bounds
+    * the sort. The hash table is slim source-derived state, landed per
+    * corpus version like mm4's.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Int,
+      landKey: Option[(SparkSession, String)] = None): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    val hashes0 = frames.as[(Long, Int, Array[Byte])]
+      .map { case (d, f, p) => (d, f, aHash64(p)._2) }
+      .toDF("doc_id", "frame_no", "phash")
+    val hashes = landKey match {
+      case Some((ls, k)) => graft.util.Landing.frameLanding(ls, k)(hashes0)
+      case None          => hashes0
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    hashes
+      .withColumn("_prev", lag(col("phash"), 1).over(w))
+      .select(col("doc_id"), col("frame_no"),
+        when(col("_prev").isNull, lit(-1L))
+          .otherwise(bit_count(col("phash").bitwiseXOR(col("_prev")))
+            .cast("long")).as("hamming_prev"),
+        (col("_prev").isNotNull &&
+          bit_count(col("phash").bitwiseXOR(col("_prev"))) > threshold)
+          .as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  /** MM6 registered: planted scene structure → decode → aHash → lag →
+    * threshold. Fixture-replay oracle (DuckDB cannot decode PNGs), same
+    * discipline as mm4/mm5.
+    */
+  private def mm6SceneCuts(s: SparkSession, d: String): DataFrame =
+    graft.util.OracleFixtures.withCorpusKey(
+      sceneCuts(synthesizeVideo(Tables.documents(s, d)), Mm6CutThreshold,
+        landKey = Some((s,
+          graft.util.Landing.mtimeKey(d, "documents") + "|mm6_phash"))),
+      s, d)
+      .orderBy(col("doc_id"), col("frame_no"))
+
+  private val mm6Sql = graft.util.OracleFixtures.sql("mm6_scene_cuts",
+    Seq("doc_id", "frame_no", "hamming_prev", "is_cut"),
+    "doc_id, frame_no")
+
   val qs: Seq[(String, Q)] = Seq(
+    "mm6_scene_cuts"     -> Q(mm6SceneCuts, Some(mm6Sql)),
     "mm1_media_features" -> Q(mm1Features, Some(mm1Sql)),
     "mm2_frame_sample"   -> Q(mm2FrameSample, Some(mm2Sql)),
     "mm3_resize"         -> Q(mm3Resize, Some(mm3Sql)),

@@ -85,7 +85,7 @@ object GenFixtures {
     // read_parquet and filters by the current corpus key.
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features",
         "mm3_resize", "mm4_phash_neardup", "mm5_audio_neardup",
-        "t19_bpe_merges"))
+        "t19_bpe_merges", "mm6_scene_cuts"))
       write(s"oracle/$name") {
         Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
           .map(SparkEntry.queries(name)(spark, _))

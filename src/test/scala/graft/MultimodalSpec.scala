@@ -241,4 +241,32 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.count(t => t._1 / 8 == 0) >= 20,
       s"family 0 underdetected: ${pairs.count(t => t._1 / 8 == 0)} pairs")
   }
+
+  test("mm6: detected cuts are exactly the planted scene boundaries, " +
+      "with margin on both sides of the threshold") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = MultimodalOps.sceneCuts(
+        MultimodalOps.synthesizeVideo(docs), MultimodalOps.Mm6CutThreshold)
+      .collect()
+    assert(out.length === MultimodalOps.Mm6Docs * MultimodalOps.Mm6Frames)
+    val cuts = out.filter(_.getAs[Boolean]("is_cut"))
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val planted = (0L until MultimodalOps.Mm6Docs.toLong)
+      .flatMap(d => Seq(4, 8).map(f => (d, f))).toSet
+    assert(cuts === planted,
+      s"cuts != planted: extra=${(cuts -- planted).take(5)} " +
+        s"missing=${(planted -- cuts).take(5)}")
+    // regime separation: within-scene deltas stay well under the
+    // threshold, cross-scene deltas well over — the constant isn't
+    // sitting on a knife edge
+    val within = out.filter(r => r.getInt(1) % MultimodalOps.Mm6SceneLen
+        != 0).map(_.getAs[Long]("hamming_prev"))
+    val across = out.filter(r => r.getInt(1) > 0 &&
+        r.getInt(1) % MultimodalOps.Mm6SceneLen == 0)
+      .map(_.getAs[Long]("hamming_prev"))
+    assert(within.max < MultimodalOps.Mm6CutThreshold,
+      s"within-scene max ${within.max}")
+    assert(across.min > MultimodalOps.Mm6CutThreshold,
+      s"cross-scene min ${across.min}")
+  }
 }
