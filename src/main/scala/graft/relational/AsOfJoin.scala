@@ -80,7 +80,120 @@ object AsOfJoin {
       |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
       |GROUP BY c.user_id ORDER BY 1""".stripMargin
 
+  // ---- AF4: point-in-time (feature-store) enrichment -----------------------
+  /** The weekly profile dimension derived from events: per (user, week)
+    * the exact cents sum of that week's values, VALID FROM the next
+    * week's start (a feature computed over week w is servable from
+    * w+1 — the leakage rule every feature store enforces). Slim
+    * source-derived state, landed once per events version.
+    */
+  private[graft] def weeklyVersions(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "events") + "|af4_versions")(
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).as("_wk"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("ver_cents"))
+        .select(col("user_id"),
+          (col("_wk") + expr("INTERVAL 7 DAYS")).as("eff_from"),
+          col("ver_cents")))
+
+  /** Per-event PIT enrichment: each event gets the LATEST profile
+    * version valid at its timestamp (asof on eff_from ≤ ts), then the
+    * version payload joins back by (user, eff_from). Exposed row-level
+    * for e24's micro-batch reuse.
+    */
+  private[graft] def pitEnrich(s: SparkSession, d: String,
+      events: DataFrame): DataFrame = {
+    val vers = weeklyVersions(s, d)
+    asofJoin(events.select(col("user_id"), col("event_id"), col("ts")),
+        vers, "user_id", "ts", "eff_from")
+      .join(vers.select(col("user_id"),
+          col("eff_from").as("asof_eff_from"), col("ver_cents")),
+        Seq("user_id", "asof_eff_from"), "left")
+      .select(col("user_id"), col("event_id"), col("ver_cents"))
+  }
+
+  private def pitAggregate(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("ver_cents")).as("n_enriched"),
+        coalesce(sum(col("ver_cents")), lit(0L)).as("enriched_cents"))
+      .orderBy(col("user_id"))
+
+  /** AF4: point-in-time-correct enrichment — the FEATURE-STORE join: for
+    * each event, the feature version that was KNOWABLE at event time
+    * (greatest eff_from ≤ ts per user), never a later one — the
+    * train-serve-skew / leakage guard ML pipelines run before every
+    * training-set build. Composed as asofJoin (one shuffle per side, one
+    * window pass) + a slim version-payload join; at 100 TB the version
+    * table is users×weeks (broadcastable or bucketed on user) and events
+    * shuffle once on user.
+    */
+  private def af4PitEnrich(s: SparkSession, d: String): DataFrame =
+    pitAggregate(pitEnrich(s, d, Tables.events(s, d)))
+
+  private val af4Sql =
+    """WITH vers AS (
+      |  SELECT user_id,
+      |    date_trunc('week', ts) + INTERVAL 7 DAY AS eff_from,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS ver_cents
+      |  FROM events GROUP BY user_id, date_trunc('week', ts)),
+      |enr AS (
+      |  SELECT e.user_id, e.event_id, v.ver_cents
+      |  FROM (SELECT user_id, event_id, ts FROM events) e
+      |  ASOF LEFT JOIN vers v
+      |    ON e.user_id = v.user_id AND e.ts >= v.eff_from)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  COUNT(ver_cents) AS n_enriched,
+      |  CAST(COALESCE(SUM(ver_cents), 0) AS BIGINT) AS enriched_cents
+      |FROM enr GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- E24: the PIT enrichment as a standing stream -------------------------
+  /** AF4 inside `foreachBatch` — the online-serving form of the feature
+    * store: events ARRIVE (staged 3 files, maxFilesPerTrigger=1 +
+    * AvailableNow → 3 micro-batches) and each batch asof-joins the SAME
+    * landed version table. Per-EVENT results are independent of batch
+    * slicing (static versions, one probe per event), so the union of
+    * per-batch row-level outputs aggregates to AF4's exact result — e24
+    * registers with af4's oracle VERBATIM (the e21 identical-result
+    * discipline) and the spec asserts streamed == batch. Batch commits
+    * under batchId subpaths with mode(overwrite): replay-idempotent by
+    * per-batch disjointness.
+    */
+  private[graft] def e24ResultDir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "events") + "|pitstrm",
+      "graft_pitstrm") { dir =>
+      val stage = graft.util.Landing.tempDirOnce("graft_pitstrm_stage")
+      val ckpt = graft.util.Landing.tempDirOnce("graft_pitstrm_ckpt")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(stage.toString)
+      val schema = s.read.parquet(stage.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          pitEnrich(s, d, batch)
+            .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+  private def e24StreamPit(s: SparkSession, d: String): DataFrame =
+    pitAggregate(s.read.parquet(e24ResultDir(s, d))
+      .select(col("user_id"), col("event_id"), col("ver_cents")))
+
   val qs: Seq[(String, Q)] = Seq(
     "af1_asof_join" -> Q(af1Asof, Some(af1Sql)),
+    "af4_pit_enrich" -> Q(af4PitEnrich, Some(af4Sql)),
+    "e24_stream_pit" -> Q(e24StreamPit, Some(af4Sql)),
   )
 }

@@ -88,4 +88,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(1500))
   }
+
+  test("af4: the leakage rule — an event is enriched by the PREVIOUS " +
+      "week's version, never its own week's") {
+    // user 1: week-1 events sum to 300 cents; a week-2 event must see
+    // ver_cents = 300 (week-1's aggregate, valid from week 2), and the
+    // week-1 events themselves must be unenriched (no earlier version).
+    // Mondays: 2024-01-01 and 2024-01-08 are consecutive week starts.
+    val events = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, Timestamp.valueOf("2024-01-03 10:00:00"), 2.0),
+      (3L, 1L, Timestamp.valueOf("2024-01-08 09:00:00"), 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    import org.apache.spark.sql.expressions.Window
+    // replicate pitEnrich inline against THIS frame (the registered op
+    // derives versions from the corpus; here we pin the semantics)
+    val vers = events.groupBy(col("user_id"),
+        date_trunc("week", col("ts")).as("_wk"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("ver_cents"))
+      .select(col("user_id"),
+        (col("_wk") + expr("INTERVAL 7 DAYS")).as("eff_from"),
+        col("ver_cents"))
+    val enr = AsOfJoin.asofJoin(
+        events.select(col("user_id"), col("event_id"), col("ts")),
+        vers, "user_id", "ts", "eff_from")
+      .join(vers.select(col("user_id"),
+          col("eff_from").as("asof_eff_from"), col("ver_cents")),
+        Seq("user_id", "asof_eff_from"), "left")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("ver_cents"))).toMap
+    assert(enr(1L).isEmpty && enr(2L).isEmpty,
+      "week-1 events must have no servable version yet")
+    assert(enr(3L).contains(300L),
+      s"week-2 event must see week-1's 300-cent version, got ${enr(3L)}")
+  }
+
+  test("e24: streamed PIT enrichment equals the batch af4 exactly") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val batch = rows("af4_pit_enrich")
+    val streamed = rows("e24_stream_pit")
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // and the streamed result really came through per-batch commits
+    val dir = new java.io.File(AsOfJoin.e24ResultDir(spark, Sf0001))
+    val batches = dir.listFiles().count(_.getName.startsWith("batch="))
+    assert(batches >= 2, s"expected multiple micro-batch commits, $batches")
+  }
 }
