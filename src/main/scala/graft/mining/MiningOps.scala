@@ -634,6 +634,79 @@ object MiningOps {
       |GROUP BY o.grp
       |ORDER BY o.grp""".stripMargin
 
+  // ---- OD3: MAD-based robust outliers ---------------------------------------
+  private[graft] val MadK = 5L
+
+  /** OD3: median/MAD outliers — the ROBUST complement of od1's 3σ rule
+    * (a single extreme value inflates σ and can mask itself; the median
+    * absolute deviation is 50%-breakdown-immune, Hampel's rule). Flag
+    * |x − median| > [[MadK]]·MAD, k=5 ≈ 3.4σ-equivalent under normality
+    * (3·1.4826 rounded up to keep the arithmetic integral).
+    *
+    * Everything stays in EXACT INTEGER cents: percentile_disc picks
+    * actual data values (engine-identical by the a10 discipline), the
+    * deviations are integer differences, and the comparison is long vs
+    * long — no doubles anywhere, so no boundary row can flip.
+    *
+    * Scale: two group-keyed aggregations over one fact (medians need a
+    * per-group sort — at 100 TB swap percentile_disc for the
+    * approx_percentile sketch under an a10-style bounded gate); the
+    * ≤|groups| median/MAD rows broadcast back onto the scan, flags are
+    * map-side.
+    */
+  def outliersMad(o: DataFrame): DataFrame = {
+    val med = o.groupBy(col("grp"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)")
+        .as("med"))
+    val withDev = o.join(broadcast(med), "grp")
+      .withColumn("_dev", abs(col("x") - col("med")))
+    val mad = withDev.groupBy(col("grp"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev)")
+        .as("mad"))
+    withDev.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("med")).cast("long").as("med_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        count(when(col("_dev") > col("mad") * lit(MadK), 1))
+          .as("n_outliers"))
+      .orderBy(col("grp"))
+  }
+
+  // events.value is the corpus's only HEAVY-TAILED metric (exponential-
+  // shaped; TPC-H money columns are uniform — max deviation √3σ, so both
+  // od1's 3σ and any MAD rule are vacuously zero there): k=5 flags
+  // ~80–95 genuine tail events per type at both SFs.
+  private def od3MadOutliers(s: SparkSession, d: String): DataFrame =
+    outliersMad(Tables.events(s, d).select(
+      col("event_type").as("grp"),
+      round(col("value") * 100).cast("long").as("x")))
+
+  private val od3Sql =
+    s"""WITH o AS (
+       |  SELECT event_type AS grp,
+       |    CAST(ROUND(value * 100) AS BIGINT) AS x
+       |  FROM events),
+       |med AS (
+       |  SELECT grp,
+       |    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY x) AS med
+       |  FROM o GROUP BY grp),
+       |dev AS (
+       |  SELECT o.grp, ABS(o.x - med.med) AS d, med.med
+       |  FROM o JOIN med ON o.grp = med.grp),
+       |mad AS (
+       |  SELECT grp,
+       |    PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY d) AS mad
+       |  FROM dev GROUP BY grp)
+       |SELECT dev.grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MAX(dev.med) AS BIGINT) AS med_cents,
+       |  CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+       |  CAST(COUNT(*) FILTER (WHERE dev.d > mad.mad * $MadK) AS BIGINT)
+       |    AS n_outliers
+       |FROM dev JOIN mad ON dev.grp = mad.grp
+       |GROUP BY dev.grp
+       |ORDER BY dev.grp""".stripMargin
+
   // ---- PR3: triangle counting (degree-oriented) --------------------------
   /** Exact triangle counting via the degree-orientation (compact-forward)
     * algorithm [Schank–Wagner / Suri–Vassilvitskii "Counting Triangles and
@@ -1244,5 +1317,6 @@ object MiningOps {
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),
     "pr2_pagerank_directed" -> Q(pr2PageRankDirected, Some(pr2Sql)),
     "od1_outliers"    -> Q(od1Outliers, Some(od1Sql)),
+    "od3_mad_outliers" -> Q(od3MadOutliers, Some(od3Sql)),
   )
 }

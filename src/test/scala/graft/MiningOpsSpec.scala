@@ -278,6 +278,28 @@ class MiningOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("count")).max > 1, "no community grew")
   }
 
+  test("od3: MAD flags the planted tail cluster that masks itself from " +
+      "3σ; constant groups stay outlier-free") {
+    import spark.implicits._
+    // 20×100 + 5×100000: the five extremes inflate σ to ~39950, so
+    // |100000−μ| ≈ 79920 < 3σ ≈ 119850 — od1's 3σ rule flags NOTHING
+    // (the classic masking failure). The median stays 100 and MAD 0, so
+    // Hampel's rule flags exactly the five.
+    val contaminated = (Seq.fill(20)(100L) ++ Seq.fill(5)(100000L))
+      .map(("g", _)).toDF("grp", "x")
+    val mad = MiningOps.outliersMad(contaminated).collect().head
+    assert(mad.getAs[Long]("n_outliers") === 5L)
+    val sigma = MiningOps.outliers3Sigma(contaminated
+        .select(col("grp"), col("x").cast("decimal(20,0)").as("x")))
+      .collect().head
+    assert(sigma.getAs[Long]("n_outliers") === 0L,
+      "3σ was expected to be masked on this plant")
+    val const = MiningOps.outliersMad(
+      Seq.fill(10)(("c", 7L)).toDF("grp", "x")).collect().head
+    assert(const.getAs[Long]("n_outliers") === 0L)
+    assert(const.getAs[Long]("mad_cents") === 0L)
+  }
+
   test("fm5: PrefixSpan counts gapped subsequences once per user and " +
       "honors the prefix window") {
     import spark.implicits._
