@@ -963,7 +963,79 @@ object TextOps {
   private val t19Sql = graft.util.OracleFixtures.sql("t19_bpe_merges",
     Seq("merge_round", "lhs", "rhs", "merged", "n"), "merge_round")
 
+  // ---- T20: corpus-law profiling (Zipf slope, Heaps coefficient) -----------
+  private[graft] val ZipfTopR = 1000
+
+  /** T20: the two corpus-scale sanity statistics an LLM-data pipeline
+    * tracks per ingest source — the Zipf slope (log-log regression of
+    * token frequency on rank over the top [[ZipfTopR]]; natural text
+    * sits near −1, templated/boilerplate corpora drift shallow) and the
+    * Heaps coefficient (ln V / ln N; vocabulary growth rate — spam and
+    * OCR noise push it up). Ranks come from `Ranks.distributedRank`
+    * (banded — no partition-less window over the vocab frame); the
+    * regression moments are sums of 6-dp-rounded ln values carried as
+    * EXACT decimals, so the only doubles are per-row lns over identical
+    * integers (the t16/fm3 round-6 ln discipline) and the final scalar
+    * division.
+    *
+    * Scale: one token scan + one vocab-keyed count, the rank machinery's
+    * one quantile probe + per-band windows, and a 4-sum aggregate over
+    * the top-R rows. Nothing driver-side beyond the band boundaries.
+    */
+  private def t20CorpusLaws(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("vocab"))
+    val ranked = graft.util.Ranks.distributedRank(
+        uni.withColumn("_negc", -col("c").cast("double")),
+        "_negc", "tok", "rnk")
+      .filter(col("rnk") <= ZipfTopR)
+    def l6(c: Column) = round(log(c), 6).cast(DecimalType(12, 6))
+    val m = ranked
+      .select(l6(col("rnk")).as("x"), l6(col("c")).as("y"))
+      .agg(count(lit(1)).cast(DecimalType(12, 6)).as("r"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    m.crossJoin(broadcast(tot))
+      .select(col("n_tokens"), col("vocab"),
+        round((col("r") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (col("r") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("zipf_slope"),
+        round(log(col("vocab")) / log(col("n_tokens")), 6).as("heaps_beta"))
+  }
+
+  private val t20Sql =
+    s"""WITH toks AS (
+       |  SELECT tok FROM (
+       |    SELECT unnest(str_split(lower(text), ' ')) AS tok
+       |    FROM documents) WHERE len(tok) > 0),
+       |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |        CAST(COUNT(*) AS BIGINT) AS vocab FROM uni),
+       |rk AS (SELECT tok, c,
+       |    row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM uni),
+       |top AS (
+       |  SELECT CAST(ROUND(LN(rnk), 6) AS DECIMAL(12,6)) AS x,
+       |         CAST(ROUND(LN(c), 6) AS DECIMAL(12,6)) AS y
+       |  FROM rk WHERE rnk <= $ZipfTopR),
+       |m AS (
+       |  SELECT CAST(COUNT(*) AS DECIMAL(12,6)) AS r,
+       |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+       |  FROM top)
+       |SELECT n_tokens, vocab,
+       |  ROUND(CAST(r*sxy - sx*sy AS DOUBLE)
+       |      / CAST(r*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope,
+       |  ROUND(LN(vocab) / LN(n_tokens), 6) AS heaps_beta
+       |FROM m, tot""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
+    "t20_corpus_laws"    -> Q(t20CorpusLaws, Some(t20Sql)),
     "t19_bpe_merges"     -> Q(t19BpeMerges, Some(t19Sql)),
     "t12_lm_score"       -> Q(t12LmScore, Some(t12Sql)),
     "t17_bm25"           -> Q(t17Bm25, Some(t17Sql)),
