@@ -174,7 +174,15 @@ object ScaleSweep {
       // scales with n — same lattice, 10× counts). pr5 sweeps on SHIFTED
       // support-2 edges below (densification discipline), s17 is the
       // fixed-size stroke surface (not corpus-scaled — no sweep row).
-      "d16_bloom_decontaminate", "t19_bpe_merges", "fm4_fpgrowth")
+      "d16_bloom_decontaminate", "t19_bpe_merges", "fm4_fpgrowth",
+      // second round-13 batch: af4 = asof (one user-keyed shuffle per
+      // side) + slim version join; od3 = two grouped median aggregations
+      // of one fact; t20 = token scan + vocab count + banded rank; fm5 =
+      // PrefixSpan over 5-event prefixes; a12 = one 10-sum aggregate.
+      // mm6 (fixed 128-doc frame count), s18 (|nations| driver work) and
+      // e24 (af4 in 3 micro-batches) have no corpus-scaled axis.
+      "af4_pit_enrich", "od3_mad_outliers", "t20_corpus_laws",
+      "fm5_prefixspan", "a12_correlations")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
