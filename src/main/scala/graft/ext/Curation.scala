@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -328,6 +329,52 @@ object Curation {
         % numShards).cast("int"))
   }
 
+  // ---- C7: seeded epoch shuffle --------------------------------------------
+  /** C7: the reproducible training-order manifest — a seeded global
+    * permutation of the corpus, sharded (c5's assignment) and ORDERED
+    * within each shard, so every training run (and every resume) reads
+    * the identical byte order for a given (corpus, epoch) pair. The
+    * permutation key is md5(doc_id|epoch) ranked lexicographically with
+    * doc_id tie-break — the m3/c2 engine-portable rank discipline, so
+    * MEMBERSHIP AND ORDER hash-check cross-engine.
+    *
+    * Scale: one map-side hash per row + one shuffle keyed by shard with
+    * a within-shard sort bounded by shard size (shards are the write
+    * unit, thousands at 100 TB — never a global sort). A new epoch is a
+    * new seed: full reshuffle, zero state.
+    */
+  private def c7EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    val epoch = 7L
+    val keyed = graft.Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws("|", col("doc_id").cast("string"),
+          lit(s"epoch$epoch"))).as("_r"))
+    val sharded = shardAssign(keyed, Seq("doc_id"), 10, seed = epoch)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_r"), col("doc_id"))
+    sharded.withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("position"))
+      .orderBy(col("shard"), col("position"))
+  }
+
+  private val c7Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(concat_ws('|', CAST(doc_id AS VARCHAR), 'epoch7')) AS r,
+      |    substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), '7')),
+      |           1, 2) AS h2
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, r,
+      |    CAST(((strpos('0123456789abcdef', substr(h2, 1, 1)) - 1) * 16 +
+      |          (strpos('0123456789abcdef', substr(h2, 2, 1)) - 1)) % 10
+      |      AS INT) AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY r, doc_id)
+      |    AS INT) AS position
+      |FROM sh ORDER BY shard, position""".stripMargin
+
   private def c5Sharding(s: SparkSession, d: String): DataFrame =
     shardAssign(graft.Tables.documents(s, d), Seq("doc_id"), 10)
       .select(col("doc_id"), col("shard"))
@@ -419,6 +466,7 @@ object Curation {
     "pipe1_curation" -> Q(pipe1Curation, Some(pipe1Sql)),
     "pipe4_curation_v2" -> Q(pipe4CurationV2, Some(pipe4Sql)),
     "c5_sharding" -> Q(c5Sharding, Some(c5Sql)),
+    "c7_epoch_shuffle" -> Q(c7EpochShuffle, Some(c7Sql)),
     "pipe2_curation_full" -> Q(pipe2CurationFull, Some(pipe2Sql)),
     "pipe3_training_mix" -> Q(pipe3TrainingMix, Some(pipe3Sql)),
     "c3_chunking" -> Q(c3Chunk, Some(c3Sql)),

@@ -879,6 +879,66 @@ object DedupOps {
        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
        |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  // ---- D19: quality-aware cluster representatives ---------------------------
+  /** D19: which member of each near-dup cluster to KEEP — by quality,
+    * not by id. d7 labels clusters with their min doc_id (the cheap
+    * canonical choice); real curation keeps the BEST member — here the
+    * LONGEST document (the most complete variant; exact integer
+    * n_chars), doc_id tie-break. Emits (cluster_id, keeper_id, n_docs,
+    * keeper_chars) for real clusters (n_docs ≥ 2) — keeper_id ≠
+    * cluster_id whenever a longer member beats the min-id one, which is
+    * exactly the case d7's policy gets wrong.
+    *
+    * Scale: d7's component labeling (size-probed union-find / star
+    * contraction over the POST-FILTER pair list) + one slim metadata
+    * join + a per-cluster argmax window (partitioned — cluster count is
+    * the cardinality). The shared jaccard-pair index is landed per
+    * source version, so the marginal cost over d7 is the argmax.
+    */
+  private def d19ClusterReps(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "documents") + "|d19_reps") {
+      val labels = connectedComponents(landedJaccardPairs(s, d))
+      val sized = labels.join(
+        Tables.documents(s, d).select(col("doc_id").as("id"),
+          col("n_chars").cast("long").as("n_chars")), "id")
+      val wRank = Window.partitionBy(col("label"))
+        .orderBy(col("n_chars").desc, col("id"))
+      val wSize = Window.partitionBy(col("label"))
+      sized
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_docs", count(lit(1)).over(wSize))
+        .filter(col("rn") === 1 && col("n_docs") >= 2)
+        .select(col("label").as("cluster_id"), col("id").as("keeper_id"),
+          col("n_docs"), col("n_chars").as("keeper_chars"))
+    }.orderBy(col("cluster_id"))
+
+  private lazy val d19Sql =
+    s"""WITH RECURSIVE ${dupPairsCteFrom("documents")},
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+       |  UNION ALL SELECT id_b, id_a FROM dup_pairs),
+       |reach AS (
+       |  SELECT src AS id, dst AS peer FROM edges
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+       |labels AS (
+       |  SELECT id, least(id, min(peer)) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |sized AS (
+       |  SELECT l.cluster_id, l.id, CAST(d.n_chars AS BIGINT) AS n_chars
+       |  FROM labels l JOIN documents d ON l.id = d.doc_id),
+       |rk AS (
+       |  SELECT cluster_id, id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM sized)
+       |SELECT cluster_id, id AS keeper_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  n_chars AS keeper_chars
+       |FROM rk WHERE rn = 1 AND n_docs >= 2
+       |ORDER BY cluster_id""".stripMargin
+
   /** Plain-SQL shingle Jaccard, replicating [[shingles]] exactly:
     * regexp-split keeps leading/trailing empties like Spark's
     * split(limit=-1); slices truncate at the end the same way; the
@@ -1276,6 +1336,7 @@ object DedupOps {
     "d3b_simhash_portable" -> Q(d3bSimhashPortable, Some(d3bSql)),
     "d4_ngram_jaccard"  -> Q(d4Jaccard, Some(d4Sql)),
     "d7_dup_clusters"   -> Q(d7DupClusters, Some(d7Sql)),
+    "d19_cluster_reps"  -> Q(d19ClusterReps, Some(d19Sql)),
     "d8_incremental_dedup" -> Q(d8Incremental, Some(d8Sql)),
     "d8b_incremental_indexed" -> Q(d8bIncrementalIndexed, Some(d8Sql)),
     "d9_decontaminate"  -> Q(d9Decontaminate, Some(d9Sql)),

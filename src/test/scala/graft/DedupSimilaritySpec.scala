@@ -646,6 +646,54 @@ class DedupSimilaritySpec extends SparkSpec {
       s"bloom pre-scan barely prunes: $nSurv of $nTrain survive")
   }
 
+  test("c7: the epoch shuffle is a full permutation — every doc exactly " +
+      "once, contiguous positions per shard, byte-stable across builds") {
+    def run() = SparkEntry.queries("c7_epoch_shuffle")(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val a = run()
+    val nDocs = Tables.documents(spark, Sf0001).count()
+    assert(a.length === nDocs)
+    assert(a.map(_._1).distinct.length === nDocs, "a doc repeated or lost")
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val pos = rows.map(_._3).sorted
+      assert(pos === (1 to rows.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    // reproducibility is the op's whole contract
+    assert(run() === a)
+  }
+
+  test("d19: the keeper is the LONGEST cluster member, and the policy " +
+      "genuinely diverges from d7's min-id choice on the real corpus") {
+    val reps = SparkEntry.queries("d19_cluster_reps")(spark, Sf001)
+      .collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      // keeper is a member of its own cluster: cluster_id = min id, so
+      // keeper_id >= cluster_id always; strict inequality must occur
+      assert(r.getAs[Long]("keeper_id") >= r.getAs[Long]("cluster_id"))
+    }
+    assert(reps.exists(r =>
+      r.getAs[Long]("keeper_id") != r.getAs[Long]("cluster_id")),
+      "quality policy never disagreed with min-id — vacuous on this corpus")
+    // sanity on one cluster: the keeper really is the longest member
+    val docs = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.ext.DedupOps.connectedComponents(
+        graft.ext.DedupOps.jaccardPairs(Tables.documents(spark, Sf001)
+          .select(col("doc_id"), col("text")), 3, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    reps.take(5).foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster_id"))
+      val best = members.maxBy(m => (docs(m), -m))
+      assert(r.getAs[Long]("keeper_id") === best)
+      assert(r.getAs[Long]("keeper_chars") === docs(best))
+    }
+  }
+
   test("d8b: landed digest index reproduces d8 exactly (plan guard inside " +
       "the query proves the index side reads shuffle-free)") {
     def run(q: String) = SparkEntry.queries(q)(spark, Sf0001)
