@@ -182,7 +182,11 @@ object ScaleSweep {
       // mm6 (fixed 128-doc frame count), s18 (|nations| driver work) and
       // e24 (af4 in 3 micro-batches) have no corpus-scaled axis.
       "af4_pit_enrich", "od3_mad_outliers", "t20_corpus_laws",
-      "fm5_prefixspan", "a12_correlations")
+      "fm5_prefixspan", "a12_correlations",
+      // c7 = map-side md5 + one shard-keyed window; d19 = d7's landed
+      // pair machinery + per-cluster argmax (near-dup volume exactly
+      // linear on the plain 10× dir thanks to the md5-prefix mangling)
+      "c7_epoch_shuffle", "d19_cluster_reps")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
