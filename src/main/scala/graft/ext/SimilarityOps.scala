@@ -1474,7 +1474,10 @@ object SimilarityOps {
       cents: Array[Array[Float]], margin: Double): DataFrame =
     spillAssigned(s, part, cents, Seq(
       "c_emb" -> col("embedding"),
-      "c_norm" -> VecOps.fnorm(s, col("embedding"))), margin)
+      "c_norm" -> VecOps.fnorm(s, col("embedding")),
+      // filterable metadata lives IN the index (the x17 serving shape:
+      // a real vector store schema is id + vector + filter columns)
+      "c_label" -> col("label")), margin)
 
   /** Land `build(dir)` once per `key` version (partitionBy(cell) layout);
     * superseded same-family versions evict with their dirs deleted —
@@ -1539,6 +1542,44 @@ object SimilarityOps {
     val margin = memoSpillThreshold(emb, fs, cents)
     servePersisted(s, landedIndexDir(s, d, cents, margin), queries, cents,
       probe, k)
+  }
+
+  /** X17: filtered search through the PERSISTED index — x10b's
+    * post-filter strategy composed with x12's partition-pruned on-disk
+    * layout: the production filtered-vector-store serve. The landed
+    * layout carries the label as a filterable column (real index schemas
+    * store filter metadata beside the vectors), the query's probed cell
+    * set prunes the scan at the FILE LISTING level (PartitionFilters),
+    * and the label predicate applies at the probe join over only the
+    * read cells, with x10b's selectivity-aware 2× probe widening (the
+    * ACORN insight). Candidates are spec-identical to x10b's in-memory
+    * path (same fit chain, same spill, same widened probes), so x10b's
+    * oracle gates it verbatim.
+    */
+  def ivfPersistedFilteredTopK(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (cells, probe0) = ivfGeometry(memoCount(emb), 0, 0)
+    val probe = math.min(cells, probe0 * 2)
+    val fs = ivfFitSample(0, cells)
+    val cents = memoCentroids(emb, fs, cells)
+    if (cents.isEmpty) return filteredBruteTopK(emb, queries, k)
+    val margin = memoSpillThreshold(emb, fs, cents)
+    val landed = s.read.parquet(landedIndexDir(s, d, cents, margin))
+    val probes = queryProbes(s, queries, cents, probe, matchLabel = true)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    rerankProbed(s, landed.filter(col("cell").isin(probedCells: _*)),
+      probes, k, matchLabel = true)
+  }
+
+  private def x17Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    recallGate(
+      ivfPersistedFilteredTopK(s, d, q5, 10),
+      memoExact(s, d, "probe5k10filt")(filteredBruteTopK(emb, q5, 10)),
+      X10bFloor)
   }
 
   // ---- X11b: incremental append into the persisted index -----------------
@@ -1813,7 +1854,10 @@ object SimilarityOps {
       : (String, Array[Array[Float]], Int) = {
     val apDir = x11bLayoutDir(s, d)
     val recovered = s.read.parquet(apDir)
-      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"))
+      // c_label rides through so the compacted layout keeps the
+      // filterable metadata (assignedForLanding expects `label`)
+      .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"),
+        col("c_label").as("label"))
       .dropDuplicates("vec_id")
     val (cells, probe) = ivfGeometry(memoCount(recovered, tag = ":compact"),
       0, 0)
@@ -2499,6 +2543,9 @@ object SimilarityOps {
     "x1_cosine_topk_brute" -> Q(x1BruteTopK, Some(x1Sql)),
     "x10_filtered_topk"    -> Q(x10FilteredTopK, Some(x10Sql)),
     "x10b_filtered_ivf"    -> Q(x10bGate, Some(x10bGateSql)),
+    // candidates spec-identical to x10b's in-memory path, so its oracle
+    // gates the persisted serve verbatim (the t18/x12 reuse discipline)
+    "x17_filtered_persisted" -> Q(x17Gate, Some(x10bGateSql)),
     "x6_label_centroids"   -> Q(x6LabelCentroids, Some(x6Sql)),
     "dq4_embedding_drift"  -> Q(dq4Drift, Some(dq4Sql)),
     "od2_centroid_outliers" -> Q(od2CentroidOutliers, Some(od2Sql)),

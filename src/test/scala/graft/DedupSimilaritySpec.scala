@@ -389,6 +389,38 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("x17: filtered persisted serve ≡ in-memory filtered IVF; scan is " +
+      "partition-pruned and no cross-label candidate survives") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q5 = emb.filter(col("vec_id") < 5)
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = keys(SimilarityOps.ivfPersistedFilteredTopK(
+      spark, Sf0001, q5, 10))
+    assert(served === keys(SimilarityOps.ivfTopK(emb, q5, 10,
+      matchLabel = true)))
+    // the filter semantics: every candidate shares its query's label
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    served.foreach { case (q, c) => assert(labels(q) === labels(c)) }
+    // partition pruning on the single-query serve
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = SimilarityOps.ivfPersistedFilteredTopK(
+        spark, Sf0001, emb.filter(col("vec_id") === 0), 10)
+      one.collect()
+      val idx = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }
+      assert(idx.nonEmpty, "landed scan carries no partition filter")
+      val read = idx.map(_.metrics("numOutputRows").value).sum
+      assert(read > 0 && read < emb.count(),
+        s"pruned scan should read a strict subset of the corpus ($read)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("x11b: append composes into the persisted index — candidates ≡ " +
       "in-memory incremental, delta-only append job, stable files, " +
       "pruned serve") {
