@@ -34,6 +34,45 @@ object SetAndSubqueryOps {
       |    SELECT c_mktsegment FROM customer WHERE c_mktsegment LIKE 'A%')
       |) ORDER BY c_mktsegment, src""".stripMargin
 
+  // ---- U3: INTERSECT ALL / EXCEPT ALL (bag semantics) ---------------------
+  /** U3: the multiplicity-preserving set ops u2's distinct forms erase —
+    * ANSI bag semantics: EXCEPT ALL keeps max(mᴬ−mᴮ, 0) copies of each
+    * value, INTERSECT ALL min(mᴬ, mᴮ). The inputs are supplier-key bags
+    * from the two order-parity halves of lineitem (every key appears
+    * many times — multiplicities, not membership, are what's under
+    * test). Emitted aggregated to (suppkey, n) so the full multiplicity
+    * vector hash-checks.
+    *
+    * Scale: Catalyst rewrites both ops to a grouped multiplicity
+    * aggregate + generate — one shuffle per side keyed by the value,
+    * map-side partials; never a sort or a nested loop.
+    */
+  private def u3BagOps(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_orderkey") % 2 === 0).select(col("l_suppkey"))
+    val b = li.filter(col("l_orderkey") % 2 === 1).select(col("l_suppkey"))
+    def agg(df: DataFrame, src: String) =
+      df.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .select(col("l_suppkey"), lit(src).as("op"), col("n"))
+    agg(a.exceptAll(b), "except_all")
+      .unionByName(agg(a.intersectAll(b), "intersect_all"))
+      .orderBy(col("op"), col("l_suppkey"))
+  }
+
+  private val u3Sql =
+    """SELECT l_suppkey, op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT l_suppkey, 'except_all' AS op FROM (
+      |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0
+      |    EXCEPT ALL
+      |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1)
+      |  UNION ALL
+      |  SELECT l_suppkey, 'intersect_all' FROM (
+      |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0
+      |    INTERSECT ALL
+      |    SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 1))
+      |GROUP BY l_suppkey, op
+      |ORDER BY op, l_suppkey""".stripMargin
+
   // ---- J4: full outer join (keep customers without orders and vice versa)
   private def j4FullOuter(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
@@ -130,6 +169,7 @@ object SetAndSubqueryOps {
 
   val qs: Seq[(String, Q)] = Seq(
     "u2_intersect_except" -> Q(u2IntersectExcept, Some(u2Sql)),
+    "u3_bag_ops"          -> Q(u3BagOps, Some(u3Sql)),
     "d6_date_funcs"       -> Q(d6DateFuncs, Some(d6Sql)),
     "j4_full_outer"       -> Q(j4FullOuter, Some(j4Sql)),
     "q17_small_qty_rev"   -> Q(q17SmallQty, Some(q17Sql)),
