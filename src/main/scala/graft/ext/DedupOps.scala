@@ -704,8 +704,19 @@ object DedupOps {
     val evalSh = eval_.select(explode(graft.functions.TextKernelFns
       .shingleHashes(s, col("text"), w)).as("sh")).distinct()
     val bloom = evalSh.stat.bloomFilter("sh", 1L << 20, 0.01)
-    val name = "bloom_sh_" +
-      (System.identityHashCode(bloom) & Int.MaxValue).toHexString
+    // the registered name must derive from the bloom's CONTENT, not its
+    // object identity: ensureTransient keeps the existing builder for a
+    // known name, so an identity-hash collision between two different
+    // blooms in one JVM (both SFs in a test session, a mid-JVM regen)
+    // would silently serve the stale bits — false negatives in the
+    // prune, i.e. dropped contamination pairs (round-13 advice; the
+    // KernelRegistry per-call-state contract)
+    val name = "bloom_sh_" + {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      (scala.util.hashing.MurmurHash3.bytesHash(bos.toByteArray, 42)
+        & Int.MaxValue).toHexString
+    }
     graft.functions.KernelRegistry.ensureTransient(s, name)(
       exprs => graft.relational.BloomMightContain(exprs(0), bloom))
     val survivors = train.filter(exists(

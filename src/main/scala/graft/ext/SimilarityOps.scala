@@ -1211,13 +1211,8 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
 
   private def memoVersioned[A](memo: scala.collection.concurrent.TrieMap[String, A],
-      key: String)(build: => A): A = {
-    val fam = graft.util.Landing.frameFamily(key)
-    memo.keySet
-      .filter(k => k != key && graft.util.Landing.frameFamily(k) == fam)
-      .foreach(memo.remove)
-    memo.getOrElseUpdate(key, build)
-  }
+      key: String)(build: => A): A =
+    graft.util.Landing.memoVersioned(memo, key)(build)
 
   /** `tag` extends the key's non-numeric family segment: a DERIVED corpus
     * over the same source files (x11's base split) must not share a memo
@@ -1520,13 +1515,32 @@ object SimilarityOps {
     * static `cell IN (...)` partition filter — file-listing-level
     * skipping, before any I/O.
     */
+  /** Driver-known probed-cell set memoized per (query-set version,
+    * geometry): the `collect()` is a driver job executing the probe plan
+    * at DataFrame-BUILD time on every fresh build — the d13/PhaseProbe
+    * per-build cost class (round-13 advice; the x13b gate needed exactly
+    * this fix last round). The set is a deterministic function of the
+    * memoized centroids and the query set, so memoization is
+    * value-transparent; geometry rides in one non-numeric family token
+    * so different probe policies over one query set don't thrash-evict.
+    */
+  private val fitProbedCells =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Int]]
+
+  private def memoProbedCells(queries: DataFrame, probes: DataFrame,
+      cents: Array[Array[Float]], probe: Int): IndexedSeq[Int] =
+    memoVersioned(fitProbedCells,
+      graft.util.Landing.planVersionKey(queries) +
+        s"|pcells:k${cents.length}:p$probe")(
+      probes.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq.sorted)
+
   private def servePersisted(s: SparkSession, dir: String,
       queries: DataFrame, cents: Array[Array[Float]], probe: Int,
       k: Int): DataFrame = {
     val landed = s.read.parquet(dir)
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    val probedCells = memoProbedCells(queries, probes, cents, probe)
     rerankProbed(s,
       landed.filter(col("cell").isin(probedCells: _*)),
       probes, k, matchLabel = false)
@@ -1567,8 +1581,7 @@ object SimilarityOps {
     val margin = memoSpillThreshold(emb, fs, cents)
     val landed = s.read.parquet(landedIndexDir(s, d, cents, margin))
     val probes = queryProbes(s, queries, cents, probe, matchLabel = true)
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    val probedCells = memoProbedCells(queries, probes, cents, probe)
     rerankProbed(s, landed.filter(col("cell").isin(probedCells: _*)),
       probes, k, matchLabel = true)
   }
@@ -1580,6 +1593,192 @@ object SimilarityOps {
       ivfPersistedFilteredTopK(s, d, q5, 10),
       memoExact(s, d, "probe5k10filt")(filteredBruteTopK(emb, q5, 10)),
       X10bFloor)
+  }
+
+  // ---- X18: k-NN-graph + greedy beam search -------------------------------
+  /** X18 knobs. Degree/beam/hops are the classic graph-ANN triple
+    * (HNSW's M/ef, DiskANN's R/L): recall rises with any of them at
+    * linear cost. Hops is the only n-sensitive knob — greedy search
+    * walks ~O(log n) hops on a navigable graph, so a 100 TB corpus
+    * raises it from 3 to ~10, not to thousands.
+    */
+  /** X18Probe sweep (both SFs): degree is the dominant lever on this
+    * routing-diffuse synthetic corpus — g=8 topped out at 0.68-0.86
+    * aggregate however beam/hops grew (local minima in a sparse graph),
+    * g=16 reaches 1.00/0.98 at (b=32, h=4, e=8); more hops/beam past
+    * that bought nothing.
+    */
+  private[graft] val X18Degree = 16
+  private[graft] val X18Beam = 32
+  private[graft] val X18Hops = 4
+  private[graft] val X18Entries = 8
+
+  /** Node-block partition count: ~250 nodes per `pb` partition at driver
+    * SFs; at production scale this is the DiskANN node-block layout —
+    * whatever keeps one partition's node records at a few MB of I/O.
+    */
+  private def x18Buckets(n: Long): Int =
+    math.max(8, math.min(1024, (n / 250L).toInt))
+
+  /** X18 index BUILD, landed once per corpus version: the k-NN GRAPH —
+    * each node's [[X18Degree]] nearest neighbours from the existing x7
+    * [[knnJoin]] machinery (LSH-bucketed, never all-pairs), symmetrized
+    * (reverse edges make the graph navigable from any entry — the NSW
+    * practice), landed as one row per node (id, emb, nrm, nbrs)
+    * partitioned by id block, plus a sidecar `_entries.txt` freezing
+    * [[X18Entries]] deterministic md5-ranked entry points so serving
+    * never rescans the corpus to pick a start. This is the third
+    * production index family next to the hash (x2) and quantizer
+    * (x4–x17) suites: no cells, no fit — search QUALITY comes from edge
+    * locality, and the serve path reads only the node blocks the walk
+    * touches.
+    */
+  private[graft] def knnGraphDir(s: SparkSession, d: String,
+      degree: Int = X18Degree): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "embeddings") + s"|knngraph:g$degree",
+      "graft_knng") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val nb = x18Buckets(memoCount(emb))
+      val edges = knnJoin(emb, degree)
+        .select(col("q_id").as("src"), col("c_id").as("dst"))
+      val undirected = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val nbrs = undirected.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      emb.select(col("vec_id").as("id"), col("embedding").as("emb"),
+          VecOps.fnorm(s, col("embedding")).as("nrm"))
+        .join(nbrs, Seq("id"), "left")
+        .select(col("id"), col("emb"), col("nrm"),
+          coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
+          pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(dir)
+      // a generous frozen entry pool (serve takes its first
+      // [[X18Entries]]; probe tooling can take more without re-landing)
+      val entries = emb.select(col("vec_id"))
+        .orderBy(md5(concat_ws("|", col("vec_id").cast("string"),
+          lit("x18"))), col("vec_id"))
+        .limit(32).collect().map(_.getLong(0))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_entries.txt"),
+        entries.mkString("\n").getBytes("UTF-8"))
+    }
+
+  /** X18 SERVE: greedy beam search over the landed graph. Each hop is
+    * a pair of partition-pruned lookups against the node layout — the
+    * beam members' neighbour lists, then the unvisited candidates'
+    * vectors — scored with the codegen'd fdot kernel and folded into a
+    * per-query top-[[X18Beam]] window. Hop state (beam, visited) is a
+    * ≤ queries×beam(×degree) frame, eagerly checkpointed per hop so the
+    * iterative lineage never stacks; the per-hop `collect()`s are the
+    * bounded driver reads that make the NEXT lookup file-listing-pruned
+    * (the servePersisted probed-cells discipline — beam ids are
+    * driver-known by construction, ≤ queries × beam rows).
+    *
+    * At 100 TB the walk touches H × beam × degree node blocks per query
+    * batch — I/O bounded by the SEARCH, not the corpus: the property
+    * that puts graph indexes on a different recall/latency frontier
+    * from cell-probing (IVF reads nProbe/cells of EVERYTHING; the graph
+    * reads a constant number of blocks wherever the corpus size goes).
+    */
+  def knnGraphBeamTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int, beam: Int = X18Beam, hops: Int = X18Hops,
+      nEntries: Int = X18Entries, degree: Int = X18Degree): DataFrame = {
+    val dir = knnGraphDir(s, d, degree)
+    val nb = x18Buckets(memoCount(Tables.embeddings(s, d)))
+    val nodes = s.read.parquet(dir)
+    def lookup(ids: Seq[Long]): DataFrame = {
+      val pbs = ids.map(i => (i % nb).toInt).distinct.sorted
+      nodes.filter(col("pb").isin(pbs: _*) && col("id").isin(ids: _*))
+    }
+    val entryIds = {
+      val src = scala.io.Source.fromFile(s"$dir/_entries.txt")
+      try src.getLines().filter(_.nonEmpty).map(_.toLong).toSeq
+        .take(nEntries)
+      finally src.close()
+    }
+    val q = withNorm(s, queries, "q").localCheckpoint(true)
+    def scoreOf(cand: DataFrame, ids: Seq[Long]): DataFrame = {
+      val cn = lookup(ids).filter(col("nrm") > 0)
+        .select(col("id").as("c_id"), col("emb").as("c_emb"),
+          col("nrm").as("c_norm"))
+      cand.join(broadcast(cn), "c_id").join(broadcast(q), "q_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+            (col("q_norm") * col("c_norm"))).as("sim"))
+    }
+    val wBeam = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    var front = scoreOf(
+      q.select(col("q_id")).crossJoin(
+        broadcast(lookup(entryIds).select(col("id").as("c_id")))),
+      entryIds).localCheckpoint(true)
+    var visited = front.select(col("q_id"), col("c_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val beamIds = front.select(col("c_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (beamIds.nonEmpty) {
+        val nbrLists = lookup(beamIds)
+          .select(col("id").as("c_id"), col("nbrs"))
+        val cand = front.join(broadcast(nbrLists), "c_id")
+          .select(col("q_id"), explode(col("nbrs")).as("nbr"))
+          .select(col("q_id"), col("nbr").as("c_id"))
+          .distinct()
+          .join(visited, Seq("q_id", "c_id"), "left_anti")
+          .localCheckpoint(true)
+        val candIds = cand.select(col("c_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        if (candIds.nonEmpty) {
+          val scored = scoreOf(cand.select(col("q_id"), col("c_id")),
+            candIds)
+          // Aggregate-under-Window (the x7-proven safe topology; also
+          // collapses a candidate reached via two beam members)
+          front = front.unionByName(scored)
+            .groupBy(col("q_id"), col("c_id"))
+            .agg(max(col("sim")).as("sim"))
+            .withColumn("_r", row_number().over(wBeam))
+            .filter(col("_r") <= beam).drop("_r")
+            .localCheckpoint(true)
+          visited = visited.unionByName(cand).localCheckpoint(true)
+        }
+      }
+    }
+    front.withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+  }
+
+  /** Raw x18 builder on the 5-probe query set (fixture-pinned like
+    * x2/x4/x7): the hop collects run at DataFrame-BUILD time, so the
+    * REGISTERED gate serves this through a frameLanding (one search per
+    * corpus version per JVM — the d13 production accounting; a real
+    * serving tier answers a query batch once, not once per downstream
+    * consumer).
+    */
+  private[graft] def x18BeamTopK(s: SparkSession, d: String): DataFrame =
+    knnGraphBeamTopK(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** Measured 1.00/0.98 aggregate at the registered knobs (X18Probe,
+    * 2026-08-14 testdata); floor = 0.98 − 0.13 regen slack.
+    */
+  private[graft] val X18Floor = 0.85
+
+  private def x18Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val served = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|x18serve") {
+      knnGraphBeamTopK(s, d, q5, 10)
+    }
+    recallGate(served,
+      memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
+      X18Floor)
   }
 
   // ---- X11b: incremental append into the persisted index -----------------
@@ -2567,5 +2766,6 @@ object SimilarityOps {
     "x5_cosine_topk_sq8"   -> Q(x5Gate, Some(annGateSql(10))),
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),
+    "x18_knn_graph_beam"   -> Q(x18Gate, Some(annGateSql(10))),
   )
 }

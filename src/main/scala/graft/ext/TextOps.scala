@@ -923,9 +923,11 @@ object TextOps {
     out.toSeq
   }
 
-  /** Merge table memoized per corpus version: the dict collect + fold
-    * happen at DataFrame-BUILD time (the d13 cost class), and the values
-    * are deterministic on a fixed corpus.
+  /** Merge table memoized per corpus version (family-evicting via
+    * [[graft.util.Landing.memoVersioned]] — a mid-JVM regen drops the
+    * superseded entry instead of accumulating, round-13 advice): the
+    * dict collect + fold happen at DataFrame-BUILD time (the d13 cost
+    * class), and the values are deterministic on a fixed corpus.
     */
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Int, String, String, String, Long)]]
@@ -944,8 +946,8 @@ object TextOps {
     * ([[graft.util.OracleFixtures]], the d2/d3 discipline).
     */
   private def t19BpeMerges(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMemo.getOrElseUpdate(
-      graft.util.Landing.mtimeKey(d, "documents"), {
+    val merges = graft.util.Landing.memoVersioned(bpeMemo,
+      graft.util.Landing.mtimeKey(d, "documents") + "|bpe") {
         val dict = Tables.documents(s, d)
           .select(explode(split(lower(col("text")), " ")).as("w"))
           .filter(col("w").rlike("^[a-z]+$"))
@@ -953,7 +955,7 @@ object TextOps {
           .orderBy(col("f").desc, col("w")).limit(BpeVocabCap)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
         bpeMerges(dict, BpeMerges)
-      })
+      }
     import s.implicits._
     graft.util.OracleFixtures.withCorpusKey(
       merges.toDF("merge_round", "lhs", "rhs", "merged", "n")

@@ -178,8 +178,205 @@ object Snapshots {
       |    AS bal_cents_after
       |FROM customer""".stripMargin
 
+  // ---- S19: optimistic-concurrency commits ---------------------------------
+  /** Thrown when a commit's replaced-file set overlaps a concurrent
+    * commit's — the caller's base snapshot no longer contains the rows it
+    * rewrote, so rebasing would lose the other writer's update.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Highest committed version: max N with a published `manifest_N.txt`.
+    * A driver-side directory listing — the metastore-head fetch.
+    */
+  private[graft] def head(dir: String): Int =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith("manifest_") && n.endsWith(".txt") =>
+        n.stripPrefix("manifest_").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+
+  /** Files commit `v` REPLACED relative to its parent — the conflict-
+    * detection metadata every OCC table format records per snapshot
+    * (Iceberg's snapshot summary / Delta's remove actions). Version 1
+    * (the base) and pre-OCC manifests have none.
+    */
+  private[graft] def replacedOf(dir: String, v: Int): Set[String] = {
+    val f = new java.io.File(dir, s"replaced_$v.txt")
+    if (!f.exists()) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+  }
+
+  /** Optimistic-concurrency commit (the Iceberg/Delta protocol): the
+    * writer prepared `added` files against the snapshot it READ
+    * (`readV`); publication re-reads the head, and
+    *
+    *  - a concurrent advance whose replaced files are DISJOINT from ours
+    *    REBASES: the new manifest is recomputed from the CURRENT head
+    *    (keeping the other writer's files) — both updates land;
+    *  - an overlap at FILE granularity throws [[CommitConflictException]]
+    *    — our base rows were rewritten under us, a rebase would silently
+    *    drop the other writer's update (lost update);
+    *  - the version slot itself is claimed with an atomic O_EXCL file
+    *    create (`manifest_N.txt.claim` — the only true test-and-set the
+    *    filesystem gives; an ATOMIC_MOVE onto an existing target is a
+    *    silent POSIX rename replace). A loser of the claim race waits for
+    *    the winner's manifest to publish, then retries from the new head.
+    *
+    * Readers are never torn: they key on `manifest_N.txt`, which appears
+    * only via an atomic rename of a fully-written temp file, AFTER
+    * `replaced_N.txt` is durable (so conflict metadata is never missing
+    * for a visible version). Returns (committedVersion, claimRetries).
+    *
+    * At 100 TB this is the production commit: cost is one head fetch +
+    * one conflict intersection over the intervening snapshots' replaced
+    * lists (metadata, never data) + one atomic publish; contention cost
+    * is re-running exactly that metadata step. A crashed claimant can
+    * orphan a claim file (bounded wait, then an exception naming it) —
+    * real stores close that gap with a metastore CAS / conditional put;
+    * the protocol above it is identical.
+    */
+  private[graft] def occCommit(dir: String, readV: Int,
+      replaced: Set[String], added: Seq[String],
+      claimWaitMs: Long = 10000L): (Int, Int) = {
+    var retries = 0
+    while (true) {
+      val h = head(dir)
+      val concurrent = ((readV + 1) to h).flatMap(replacedOf(dir, _)).toSet
+      val overlap = concurrent.intersect(replaced)
+      if (overlap.nonEmpty)
+        throw new CommitConflictException(
+          s"concurrent commit rewrote ${overlap.size} file(s) this commit " +
+            s"also replaces (read v$readV, head v$h): ${overlap.take(3)}")
+      val n = h + 1
+      val claim = new java.io.File(dir, s"manifest_$n.txt.claim")
+      try {
+        java.nio.file.Files.createFile(claim.toPath) // atomic test-and-set
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/replaced_$n.txt"),
+          replaced.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        val newManifest =
+          (manifest(dir, h).filterNot(replaced) ++ added).sorted
+        val tmp = java.nio.file.Paths.get(s"$dir/manifest_$n.tmp")
+        java.nio.file.Files.write(tmp,
+          newManifest.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(s"$dir/manifest_$n.txt"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return (n, retries)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the slot-N claim race: wait for the winner's manifest,
+          // then retry the whole conflict check from the new head
+          retries += 1
+          val mf = new java.io.File(dir, s"manifest_$n.txt")
+          val deadline = System.nanoTime() + claimWaitMs * 1000000L
+          while (!mf.exists() && System.nanoTime() < deadline)
+            Thread.sleep(2)
+          if (!mf.exists())
+            throw new CommitConflictException(
+              s"orphaned claim for version $n (claimant died mid-publish); " +
+                "manual recovery: remove " + claim.getPath)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One writer's prepare step: rewrite a single nation's bucket with a
+    * credit, against the `readV` snapshot (`base` carries that
+    * snapshot's content — leaf data files drop the partition column, so
+    * the nation filter runs over the logical table; identical rows
+    * either way). Returns (replaced, added) — the commit's
+    * file-granularity footprint.
+    */
+  private def prepareCredit(dir: String, readV: Int, base: DataFrame,
+      nation: Int, creditCents: Long, sub: String)
+      : (Set[String], Seq[String]) = {
+    val sep = java.io.File.separator
+    val replaced = manifest(dir, readV)
+      .filter(_.contains(s"${sep}nk=$nation$sep")).toSet
+    base.filter(col("nk") === nation)
+      .withColumn("bal", col("bal") + lit(creditCents))
+      .repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
+    val added = Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath))
+      .toSeq.sorted
+    (replaced, added)
+  }
+
+  /** Lands the OCC demo once per source version: v1 base, then TWO
+    * writers that both prepared against v1 — writer A (nation 1, +500)
+    * commits first; writer B (nation 7, +700) publishes with its now-
+    * STALE read version and must rebase through [[occCommit]]'s
+    * concurrent-advance path. Both updates land exactly once; head = 3.
+    */
+  private[graft] def s19Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|snapocc",
+      "graft_snapocc") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+      base.repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      val m1 = Option(new java.io.File(s"$dir/v1").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+        .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath))
+        .toSeq.sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      // both writers prepare against v1 BEFORE either commits — the
+      // optimistic part; B's read version is stale by publish time
+      val (repA, addA) = prepareCredit(dir, 1, base, 1, 500L, "wA")
+      val (repB, addB) = prepareCredit(dir, 1, base, 7, 700L, "wB")
+      val (vA, _) = occCommit(dir, 1, repA, addA)
+      val (vB, _) = occCommit(dir, 1, repB, addB) // stale readV=1 → rebase
+      require(vA == 2 && vB == 3, s"OCC demo versions: got v$vA, v$vB")
+    }
+
+  /** S19: the registered OCC read — head-version aggregate (both credits
+    * applied exactly once) plus the protocol's structural invariants as
+    * exact columns: `n_versions` (base + two commits), `n_shared` (files
+    * the head still shares byte-identical with v1 — every nation bucket
+    * except the two rewritten ones; COW survives the rebase).
+    */
+  private def s19OccCommits(s: SparkSession, d: String): DataFrame = {
+    val dir = s19Dir(s, d)
+    val h = head(dir)
+    val shared = (manifest(dir, h).toSet intersect
+      manifest(dir, 1).toSet).size.toLong
+    readVersion(s, dir, h)
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(lit(h.toLong).as("n_versions"), lit(shared).as("n_shared"),
+        col("n_rows"), col("bal_cents"))
+  }
+
+  private val s19Sql =
+    """SELECT CAST(3 AS BIGINT) AS n_versions,
+      |  CAST(COUNT(DISTINCT c_nationkey)
+      |    - COUNT(DISTINCT CASE WHEN c_nationkey IN (1, 7)
+      |                          THEN c_nationkey END) AS BIGINT)
+      |    AS n_shared,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey = 1 THEN 500
+      |           WHEN c_nationkey = 7 THEN 700 ELSE 0 END) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),
+    "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
   )
 }

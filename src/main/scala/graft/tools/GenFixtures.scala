@@ -66,7 +66,8 @@ object GenFixtures {
           "x5" -> (graft.ext.SimilarityOps.x5Sq8TopK _),
           "x7" -> (graft.ext.SimilarityOps.x7KnnJoin _),
           "x8" -> (graft.ext.SimilarityOps.x8IvfSq8TopK _),
-          "x9" -> (graft.ext.SimilarityOps.x9PqTopK _)))
+          "x9" -> (graft.ext.SimilarityOps.x9PqTopK _),
+          "x18" -> (graft.ext.SimilarityOps.x18BeamTopK _)))
         write(s"${short}_topk_$tag") { build(spark, dir) }
     }
     // mm1: real-decode features over synthesized media (MultimodalSpec),

@@ -206,6 +206,20 @@ object Landing {
     key.split('|').filterNot(seg =>
       seg.nonEmpty && seg.forall(c => c.isDigit || c == '-')).mkString("|")
 
+  /** Family-evict-on-insert value memo (the SimilarityOps fit-chain
+    * discipline, hoisted round 14 so every driver-side memo shares it):
+    * at most one VERSION per [[frameFamily]] stays cached — a superseded
+    * (dir, mtime) entry drops on insert instead of accumulating across
+    * mid-JVM testdata regens (the round-12 cdc2Offsets leak class).
+    */
+  def memoVersioned[A](memo: TrieMap[String, A], key: String)(
+      build: => A): A = {
+    val fam = frameFamily(key)
+    memo.keySet.filter(k => k != key && frameFamily(k) == fam)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate(key, build)
+  }
+
   def frameLanding(spark: org.apache.spark.sql.SparkSession, key: String)(
       build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -135,6 +135,111 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(v2 === expected, "live snapshot incomplete after vacuum")
   }
 
+  // ---- s19: optimistic-concurrency commits ---------------------------------
+
+  test("s19: a commit against a stale read version rebases through the " +
+      "concurrent advance; both updates land exactly once; COW sharing " +
+      "survives the rebase") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s19Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 3, "base + two commits")
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m3 = Snapshots.manifest(dir, 3).toSet
+    // file-granularity rebase: head drops exactly the two rewritten
+    // nation buckets of v1, keeps every other v1 file by PATH (shared,
+    // not copied), and adds exactly both writers' files
+    val dropped = m1 -- m3
+    assert(dropped.nonEmpty &&
+      dropped.forall(f => f.contains("nk=1") || f.contains("nk=7")),
+      s"head must drop only the two rewritten buckets, dropped: $dropped")
+    val added = m3 -- m1
+    assert(added.exists(_.contains("wA")) && added.exists(_.contains("wB")),
+      "the rebased head must reference BOTH writers' files")
+    assert((m1 & m3).nonEmpty, "untouched buckets must be shared with v1")
+    // conflict metadata recorded per commit, disjoint (that's why the
+    // rebase was legal)
+    val r2 = Snapshots.replacedOf(dir, 2)
+    val r3 = Snapshots.replacedOf(dir, 3)
+    assert(r2.nonEmpty && r3.nonEmpty && (r2 & r3).isEmpty)
+    // both credits applied exactly once
+    def cust = Tables.customer(spark, Sf0001)
+    val base = cust.agg(sum(round(col("c_acctbal") * 100).cast("long")))
+      .first().getLong(0)
+    val n1 = cust.filter(col("c_nationkey") === 1).count()
+    val n7 = cust.filter(col("c_nationkey") === 7).count()
+    val headSum = Snapshots.readVersion(spark, dir, 3)
+      .agg(sum(col("bal"))).first().getLong(0)
+    assert(headSum === base + 500L * n1 + 700L * n7,
+      "converged table must carry both credits exactly once")
+    // time travel: v1 unaffected by either commit
+    val v1 = Snapshots.readVersion(spark, dir, 1)
+      .agg(sum(col("bal"))).first().getLong(0)
+    assert(v1 === base)
+  }
+
+  test("s19: an overlapping concurrent commit is rejected with a conflict, " +
+      "and rejection leaves the store untouched") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s19Dir(spark, Sf0001)
+    val before = Snapshots.head(dir)
+    // a third writer prepared against v1, rewriting the SAME nation-1
+    // bucket writer A already replaced — rebasing would lose A's credit
+    val nk1files = Snapshots.manifest(dir, 1).filter(_.contains("nk=1"))
+    val ex = intercept[Snapshots.CommitConflictException] {
+      Snapshots.occCommit(dir, 1, nk1files.toSet, Seq("/tmp/phantom.parquet"))
+    }
+    assert(ex.getMessage.contains("rewrote"))
+    assert(Snapshots.head(dir) === before, "a rejected commit must not " +
+      "advance the head or leave partial state")
+    assert(!new java.io.File(s"$dir/manifest_${before + 1}.txt.claim").exists(),
+      "conflict detection happens before the slot claim")
+  }
+
+  test("s19: a loser of the version-slot claim race waits for the winner's " +
+      "publish, retries from the new head, and lands exactly once") {
+    import graft.sources.Snapshots
+    // scratch store (never touch the landed s19 layout): manifests are
+    // plain file lists, so the protocol is testable without parquet
+    val dir = graft.util.Landing.tempDirOnce("graft_occspec").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      "fileA\nfileB".getBytes("UTF-8"))
+    // interleave deterministically: the winner CLAIMS slot 2 first, the
+    // loser attempts while the claim is outstanding, the winner then
+    // publishes — the loser must wait, re-read the head, and rebase to 3
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/manifest_2.txt.claim"))
+    val winner = new Thread(() => {
+      Thread.sleep(150)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/replaced_2.txt"),
+        "fileA".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_2.tmp"),
+        "fileA2\nfileB".getBytes("UTF-8"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/manifest_2.tmp"),
+        java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    })
+    winner.start()
+    val (v, retries) =
+      Snapshots.occCommit(dir, 1, Set("fileB"), Seq("fileB2"))
+    winner.join()
+    assert(v === 2 + 1 && retries === 1,
+      s"loser must land at v3 after one claim retry, got (v$v, $retries)")
+    assert(Snapshots.manifest(dir, 3).sorted === Seq("fileA2", "fileB2"),
+      "rebased manifest must keep the winner's file and swap only ours")
+    // and an orphaned claim (no publish) fails loudly instead of hanging
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/manifest_4.txt.claim"))
+    val ex = intercept[Snapshots.CommitConflictException] {
+      Snapshots.occCommit(dir, 3, Set.empty, Seq("fileC"),
+        claimWaitMs = 200L)
+    }
+    assert(ex.getMessage.contains("orphaned claim"))
+  }
+
   // ---- e22: streaming sketch maintenance ----------------------------------
 
   test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +
