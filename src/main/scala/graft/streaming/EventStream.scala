@@ -22,7 +22,7 @@ object EventStream {
     * graft.Tables.events, whose normalizeTs converts either to
     * TimestampType after the streaming read.
     */
-  private def rawSchema(spark: SparkSession, path: String): StructType = {
+  private[graft] def rawSchema(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(path).schema("ts").dataType
     StructType(Seq(
@@ -555,5 +555,134 @@ object EventStream {
     log.withColumn("_mx", max(col("ver")).over(wMax))
       .filter(col("ver") === col("_mx"))
       .select(col("bucket"), col("user_id"), col("est"))
+  }
+
+  // ---- e25: late-data observability --------------------------------------
+  /** Write `df` as ONE parquet file named `name` inside `staged`, with
+    * TIMESTAMP_MICROS timestamps (uniform footer dtype across the staged
+    * files — the streaming schema is probed once per directory) and an
+    * explicit mtime so FileStreamSource's modification-time ordering
+    * processes the files in the planted batch order.
+    */
+  private[graft] def stageOneFile(df: DataFrame, staged: java.nio.file.Path,
+      name: String, mtime: Long): Unit = {
+    import java.nio.file.Files
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = conf.get(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    val tmpOut = Files.createTempDirectory("graft_events_late_tmp")
+    try df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    finally conf.set(key, prev)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmpOut).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, staged.resolve(name))
+    staged.resolve(name).toFile.setLastModified(mtime)
+    val walk = Files.walk(tmpOut)
+    try walk.iterator().asScala.toSeq.reverseIterator
+      .foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private val lateStagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Three-file landing dir with PLANTED late arrivals (staged once per
+    * source version): batch 0 is the full events table; batch 1 is a
+    * single heartbeat replay of the max-ts event; batch 2 replays two
+    * deterministic id-keyed slices with shifted timestamps —
+    * `event_id % 97 = 0` moved to max(ts) − 3h (beyond the 1-hour
+    * horizon → DROPPED late) and `event_id % 89 = 0 ∧ % 97 ≠ 0` moved
+    * to max(ts) − 30min (inside → ACCEPTED). The heartbeat batch exists
+    * because Spark's stateful late FILTER uses the watermark as of the
+    * PREVIOUS batch's planning (the 3.4+ two-watermark design: lenient
+    * for late events, current for eviction — measured here first: a
+    * 2-batch plant evicts but never counts a drop); one intermediate
+    * batch commits max(ts) − 1h into the offset log before the late
+    * file arrives. Both planted counts are exact functions of the
+    * events table, which is what makes the observability rows
+    * hash-oracleable.
+    */
+  private[graft] def lateStageDir(spark: SparkSession, dir: String)
+      : java.nio.file.Path =
+    lateStagedDirs.getOrElseUpdate(
+      graft.util.Landing.mtimeKey(dir, "events"), {
+      val staged =
+        java.nio.file.Files.createTempDirectory("graft_events_late")
+      val ev = graft.Tables.events(spark, dir)
+      val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+      def shifted(pred: org.apache.spark.sql.Column, backMs: Long) =
+        ev.filter(pred).withColumn("ts",
+          lit(new java.sql.Timestamp(maxTs.getTime - backMs)))
+      val late = shifted(col("event_id") % 97 === 0, 3L * 3600 * 1000)
+        .unionByName(shifted(
+          col("event_id") % 89 === 0 && col("event_id") % 97 =!= 0,
+          30L * 60 * 1000))
+      val heartbeat = ev.orderBy(col("ts").desc, col("event_id")).limit(1)
+      val t0 = System.currentTimeMillis()
+      stageOneFile(ev, staged, "a_base.parquet", t0 - 120000)
+      stageOneFile(heartbeat, staged, "b_mark.parquet", t0 - 60000)
+      stageOneFile(late, staged, "c_late.parquet", t0)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(staged)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      staged
+    })
+
+  /** E25: watermark-drop OBSERVABILITY — per micro-batch (input rows,
+    * rows dropped late) read from the engine's own
+    * StreamingQueryProgress/StateOperatorProgress counters while the
+    * exactly-once dedup landing processes a source with planted late
+    * data. Production streaming pipelines alert on exactly this channel
+    * (rows silently vanishing at the watermark is the classic
+    * correctness leak); here the planted design makes the counters
+    * EXACT, so the driver's DuckDB hash gate applies to an
+    * observability surface. Operator choice measured, not assumed: the
+    * dedup operator's late filter sees RAW rows, so its
+    * numRowsDroppedByWatermark equals the planted row count, where the
+    * windowed aggregate filters PARTIALLY AGGREGATED rows and counts
+    * dropped (window × type) groups — 5, not 104, on the same plant.
+    * No-data finalization batches (0 input) are filtered: their
+    * counters are definitionally zero.
+    */
+  def runLateObservedToCompletion(spark: SparkSession, dir: String,
+      queryName: String = "stream_late_obs"): DataFrame =
+    lateObservedOn(spark, lateStageDir(spark, dir).toString, queryName)
+
+  /** The counters runner over an arbitrary staged landing — exposed so
+    * the boundary spec can drive hand-built probe files through the
+    * identical query shape.
+    */
+  private[graft] def lateObservedOn(spark: SparkSession, staged: String,
+      queryName: String): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      val src = graft.Tables.normalizeTs(
+        spark.readStream.schema(rawSchema(spark, staged))
+          .option("maxFilesPerTrigger", 1).parquet(staged))
+      val query = dedupStream(src).writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      query
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val rows = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .sortBy(_.batchId)
+      .zipWithIndex
+      // renumber by data-batch order: engine bookkeeping batches (offset
+      // commits, no-data finalization) must not shift the oracle's ids
+      .map { case (p, i) => (i.toLong, p.numInputRows,
+        p.stateOperators.map(_.numRowsDroppedByWatermark).sum) }
+    import spark.implicits._
+    rows.toDF("batch", "n_input", "n_late_dropped")
   }
 }

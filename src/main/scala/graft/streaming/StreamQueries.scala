@@ -173,8 +173,34 @@ object StreamQueries {
       |FROM events GROUP BY user_id
       |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
 
+  /** E25: late-data observability — the per-batch accepted/dropped
+    * counters a production pipeline alerts on, made exact by planting
+    * the late slices deterministically (id-keyed, timestamp-shifted
+    * replays; see [[EventStream.runLateObservedToCompletion]]). The
+    * oracle recomputes both planted counts from the events table.
+    */
+  private def e25LateObserved(s: SparkSession, d: String): DataFrame =
+    EventStream.runLateObservedToCompletion(s, d, "graft_stream_late_obs")
+      .orderBy(col("batch"))
+
+  private val e25Sql =
+    """SELECT CAST(0 AS BIGINT) AS batch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_input,
+      |  CAST(0 AS BIGINT) AS n_late_dropped
+      |FROM events
+      |UNION ALL
+      |SELECT 1, 1, 0
+      |UNION ALL
+      |SELECT 2,
+      |  CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1
+      |           WHEN event_id % 89 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM events
+      |ORDER BY batch""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e25_late_observability" -> Q(e25LateObserved, Some(e25Sql)),
     "e18_stream_heavyhitters" -> Q(e18StreamHH, Some(e18Sql)),
     "e16_stream_upsert_mv" -> Q(e16StreamUpsert, Some(e16Sql)),
     "e11_stream_sliding" -> Q(e11StreamSliding, Some(e11Sql)),

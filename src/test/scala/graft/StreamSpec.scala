@@ -153,4 +153,48 @@ class StreamSpec extends SparkSpec {
         s"user $u undercounted past n/k: ${exact(u) - est} > ${n / k}")
     }
   }
+
+  test("e25: watermark boundary is exact — an event AT the watermark is " +
+      "DROPPED (late predicate ts <= wm), only strictly-above survives, " +
+      "and the drop only engages one batch after the watermark committed " +
+      "(the two-watermark design)") {
+    import java.sql.Timestamp
+    // hand-built landing: T at an exact hour so the boundary arithmetic
+    // carries no sub-second noise
+    val T = Timestamp.valueOf("2024-03-07 12:00:00")
+    def ms(t: Timestamp, backMs: Long) = new Timestamp(t.getTime - backMs)
+    def frame(rows: (Long, Timestamp)*) =
+      spark.createDataFrame(rows.map { case (id, ts) =>
+        (id, ts, 1L, "click", 1.0, "{}")
+      }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val staged = graft.util.Landing.tempDirOnce("graft_e25_boundary")
+    val t0 = System.currentTimeMillis()
+    // batch 0: the anchor event at T (watermark will be T − 1h)
+    EventStream.stageOneFile(frame(1L -> T), staged, "a.parquet",
+      t0 - 120000)
+    // batch 1: heartbeat — REQUIRED: the late filter of batch N uses the
+    // watermark committed at batch N−1's planning, so without this batch
+    // the probes would be filtered against the initial 1970 watermark
+    // and nothing would drop (measured on the registered e25 first)
+    EventStream.stageOneFile(frame(2L -> T), staged, "b.parquet",
+      t0 - 60000)
+    // batch 2: three boundary probes around watermark = T − 1h
+    val probes = frame(
+      10L -> ms(T, 3600 * 1000),        // exactly AT the watermark
+      11L -> ms(T, 3600 * 1000 + 1),    // 1 ms below → late
+      12L -> ms(T, 3600 * 1000 - 1))    // 1 ms above → in horizon
+    EventStream.stageOneFile(probes, staged, "c.parquet", t0)
+    val got = EventStream
+      .lateObservedOn(spark, staged.toString, "spec_e25_boundary")
+      .orderBy(col("batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // measured boundary (pinned, the e2/e6 exact-gap discipline): the
+    // dedup operator's late predicate is ts <= watermark — the probe AT
+    // the watermark drops WITH the one below it; only strictly-newer
+    // survives. Note the contrast with session_window's merge boundary
+    // (an event exactly at start+gap still JOINS the session): watermark
+    // lateness and gap merging sit on opposite sides of their boundary.
+    assert(got.toSeq === Seq((0L, 1L, 0L), (1L, 1L, 0L), (2L, 3L, 2L)),
+      s"boundary drift: ${got.toSeq}")
+  }
 }
