@@ -179,14 +179,24 @@ object ScaleSweep {
       // side) + slim version join; od3 = two grouped median aggregations
       // of one fact; t20 = token scan + vocab count + banded rank; fm5 =
       // PrefixSpan over 5-event prefixes; a12 = one 10-sum aggregate.
-      // mm6 (fixed 128-doc frame count), s18 (|nations| driver work) and
-      // e24 (af4 in 3 micro-batches) have no corpus-scaled axis.
+      // mm6 (fixed 128-doc frame count) and s18 (|nations| driver work)
+      // have no corpus-scaled axis; s16/s18/s19 additionally read
+      // customer, which the synthetic dir does not ship.
       "af4_pit_enrich", "od3_mad_outliers", "t20_corpus_laws",
       "fm5_prefixspan", "a12_correlations",
       // c7 = map-side md5 + one shard-keyed window; d19 = d7's landed
       // pair machinery + per-cluster argmax (near-dup volume exactly
       // linear on the plain 10× dir thanks to the md5-prefix mangling)
-      "c7_epoch_shuffle", "d19_cluster_reps")
+      "c7_epoch_shuffle", "d19_cluster_reps",
+      // round-14 newcomers: x17 = x10b's widened probes through the
+      // partition-pruned landed layout (x12's serve shape); e24 = af4's
+      // as-of in 3 micro-batches over the 10× events; x18 = k-NN-graph
+      // build (knnJoin at degree 16 — the corpus-scaled part) + beam
+      // serve whose per-hop lookups are beam-bounded, not corpus-bound;
+      // e25 = one dedup-stream pass over base+heartbeat+late staging
+      // (the planted slices scale with the event table).
+      "x17_filtered_persisted", "e24_stream_pit", "x18_knn_graph_beam",
+      "e25_late_observability")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
