@@ -1862,30 +1862,10 @@ object SimilarityOps {
         appendedKeys.keySet.filter(k2 => k2 != famKey &&
             graft.util.Landing.frameFamily(k2) == fam)
           .foreach(appendedKeys.remove)
-        val nb = graphSidecarInt(dir, "_nbuckets.txt")
         // insert-by-search: each (nonzero-norm) delta vector's edges are
         // its beam-search neighbours over the BASE graph
-        val found = beamSearchGraph(s, dir,
-            delta.filter(VecOps.fnorm(s, col("embedding")) > 0),
-            X18Degree)
-          .select(col("q_id"), col("c_id")).localCheckpoint(true)
-        val deltaRows = delta
-          .select(col("vec_id").as("id"), col("embedding").as("emb"),
-            VecOps.fnorm(s, col("embedding")).as("nrm"))
-          .join(found.groupBy(col("q_id").as("id"))
-            .agg(sort_array(collect_set(col("c_id"))).as("nbrs")),
-            Seq("id"), "left")
-          .select(col("id"), col("emb"), col("nrm"),
-            coalesce(col("nbrs"), array().cast("array<bigint>"))
-              .as("nbrs"),
-            pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
-        val reverseRows = found
-          .groupBy(col("c_id").as("id"))
-          .agg(sort_array(collect_set(col("q_id"))).as("nbrs"))
-          .select(col("id"), lit(null).cast("array<float>").as("emb"),
-            lit(null).cast("double").as("nrm"), col("nbrs"),
-            pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
-        deltaRows.unionByName(reverseRows)
+        graphInsertRows(s, dir, delta,
+            graphSidecarInt(dir, "_nbuckets.txt"))
           .repartition(col("pb"))
           .write.mode("append").partitionBy("pb").parquet(dir)
         dir
@@ -1894,12 +1874,113 @@ object SimilarityOps {
     dir
   }
 
+  /** E26: STREAMING graph-index maintenance — x18b's insert-by-search as
+    * a Structured Streaming sink (the e20 shape for the graph family):
+    * newly-arrived vectors stream in (3 staged files, maxFilesPerTrigger
+    * = 1 + AvailableNow → 3 micro-batches), foreachBatch runs the SAME
+    * insert against the graph-so-far and commits through
+    * [[graft.util.Landing.idempotentAppend]]'s replay-safe protocol.
+    * Unlike e20 (cell assignment is slicing-invariant, so streamed ≡
+    * batch exactly), graph insertion is ORDER-DEPENDENT by nature — a
+    * later micro-batch's vectors may link to an earlier one's nodes,
+    * exactly the online-graph property (FreshDiskANN serves while
+    * inserting) — so the gate is the family's recall floor over the
+    * deterministic staged order, not row-equality with x18b. At 100 TB
+    * a batch costs one beam search per arriving vector (bounded,
+    * partition-pruned reads) plus one file commit; no rebuild, no
+    * rescan, hub pruning stays offline compaction.
+    */
+  private[graft] def e26LayoutDir(s: SparkSession, d: String): String = {
+    val (base, delta) = x18bBaseDelta(s, d)
+    val verKey = graft.util.Landing.mtimeKey(d, "embeddings")
+    val dir = graft.util.Landing.landedLayout(
+      verKey + s"|knngstrm:g$X18Degree", "graft_knngstrm") { p =>
+      buildGraphLayout(s, base, p, X18Degree,
+        x18Buckets(memoCount(base, tag = ":gbase")))
+    }
+    streamedKeys.synchronized {
+      streamedKeys.getOrElseUpdate(verKey + "|knngstrm:delta", {
+        val fam = graft.util.Landing.frameFamily(verKey + "|knngstrm:delta")
+        streamedKeys.keySet.filter(k2 =>
+          k2 != verKey + "|knngstrm:delta" &&
+            graft.util.Landing.frameFamily(k2) == fam)
+          .foreach(streamedKeys.remove)
+        val nb = graphSidecarInt(dir, "_nbuckets.txt")
+        val stage = graft.util.Landing.tempDirOnce("graft_knngstrm_stage")
+        val ckpt = graft.util.Landing.tempDirOnce("graft_knngstrm_ckpt")
+        delta.repartition(3).write.mode("overwrite").parquet(stage.toString)
+        val schema = s.read.parquet(stage.toString).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stage.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.util.Landing.idempotentAppend(
+              graphInsertRows(s, dir, batch, nb).repartition(col("pb")),
+              dir, batchId, "pb")
+          }
+          .start()
+        q.awaitTermination()
+        dir
+      })
+    }
+    dir
+  }
+
+  /** e26 measured 1.00/0.98 (RecallProbe) — the micro-batched insert
+    * order costs nothing on this corpus; floor = min − 0.13.
+    */
+  private[graft] val E26Floor = 0.85
+
+  private def e26Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val served = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|e26serve") {
+      beamSearchGraph(s, e26LayoutDir(s, d), q5, 10)
+    }
+    recallGate(served,
+      memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
+      E26Floor)
+  }
+
   /** Measured 1.00/0.98 aggregate vs exact FULL-corpus top-k
     * (RecallProbe, 2026-08-14 testdata) — identical to the full-build
     * x18, i.e. the reverse-edge supplements make appended vectors as
     * findable as built ones; floor = 0.98 − 0.13 regen slack.
     */
   private[graft] val X18bFloor = 0.85
+
+  /** The x18b delta insert over one vector batch against the CURRENT
+    * graph in `dir`: out-edges = the batch's beam-search neighbours,
+    * reverse edges as supplement rows. Shared by the batch append and
+    * the e26 streaming sink (whose micro-batches may link to earlier
+    * micro-batches' nodes — the online-graph property).
+    */
+  private def graphInsertRows(s: SparkSession, dir: String,
+      batch: DataFrame, nb: Int): DataFrame = {
+    val found = beamSearchGraph(s, dir,
+        batch.filter(VecOps.fnorm(s, col("embedding")) > 0), X18Degree)
+      .select(col("q_id"), col("c_id")).localCheckpoint(true)
+    val deltaRows = batch
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        VecOps.fnorm(s, col("embedding")).as("nrm"))
+      .join(found.groupBy(col("q_id").as("id"))
+        .agg(sort_array(collect_set(col("c_id"))).as("nbrs")),
+        Seq("id"), "left")
+      .select(col("id"), col("emb"), col("nrm"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"),
+        pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+    val reverseRows = found
+      .groupBy(col("c_id").as("id"))
+      .agg(sort_array(collect_set(col("q_id"))).as("nbrs"))
+      .select(col("id"), lit(null).cast("array<float>").as("emb"),
+        lit(null).cast("double").as("nrm"), col("nbrs"),
+        pmod(col("id"), lit(nb.toLong)).cast("int").as("pb"))
+    deltaRows.unionByName(reverseRows)
+  }
 
   private def x18bGate(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -2900,5 +2981,6 @@ object SimilarityOps {
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),
     "x18_knn_graph_beam"   -> Q(x18Gate, Some(annGateSql(10))),
     "x18b_knn_graph_append" -> Q(x18bGate, Some(annGateSql(10))),
+    "e26_stream_graph_append" -> Q(e26Gate, Some(annGateSql(10))),
   )
 }

@@ -547,6 +547,51 @@ class DedupSimilaritySpec extends SparkSpec {
       "steady-state serve rewrote or re-appended graph files")
   }
 
+  test("e26: streamed graph append lands every delta node exactly once " +
+      "across micro-batches, keeps base files untouched, and supplements " +
+      "reference inserted nodes only") {
+    def snapshot(dir: String) = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => (p.toString, java.nio.file.Files.size(p))).toSet
+      finally walk.close()
+    }
+    val dir = SimilarityOps.e26LayoutDir(spark, Sf0001)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val deltaIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val nodes = spark.read.parquet(dir)
+    // exactly-once across the 3 micro-batch commits (the
+    // idempotentAppend replay protocol): one vector-bearing row per id
+    val vecRows = nodes.filter(col("nrm").isNotNull)
+      .select("id").collect().map(_.getLong(0))
+    assert(vecRows.length === vecRows.distinct.length,
+      "duplicate node rows — a micro-batch landed twice")
+    assert(deltaIds.subsetOf(vecRows.toSet), "streamed delta ids missing")
+    // reverse edges may target any INSERTED node (a later micro-batch is
+    // allowed to link to an earlier one's — the online-graph property)
+    // but never a base node
+    val supplementTargets = nodes.filter(col("nrm").isNull)
+      .select(explode(col("nbrs")).as("t"))
+      .collect().map(_.getLong(0)).toSet
+    assert(supplementTargets.subsetOf(deltaIds),
+      "reverse edges must point at inserted nodes only")
+    val liveDelta = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"),
+        graft.functions.VecOps.fnorm(spark, col("embedding")).as("n"))
+      .filter(col("n") > 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveDelta.subsetOf(supplementTargets),
+      "a streamed delta id is unreachable")
+    // steady state: serving again appends nothing
+    val before = snapshot(dir)
+    SimilarityOps.beamSearchGraph(spark, dir,
+      emb.filter(col("vec_id") < 5), 10).collect()
+    assert(snapshot(dir) === before, "serve mutated the streamed layout")
+  }
+
   test("km2: every vector assigned to its argmax centroid; gate payload " +
       "exact and flags true") {
     val emb = Tables.embeddings(spark, Sf0001)

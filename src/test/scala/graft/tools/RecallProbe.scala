@@ -35,7 +35,8 @@ object RecallProbe {
           "x15" -> ivfCompactedTopK(s, dir, q5, 10),
           "x16" -> ivfPqPersistedTopK(s, dir, q5, 10),
           "x18" -> knnGraphBeamTopK(s, dir, q5, 10),
-          "x18b" -> beamSearchGraph(s, x18bDir(s, dir), q5, 10))) {
+          "x18b" -> beamSearchGraph(s, x18bDir(s, dir), q5, 10),
+          "e26" -> beamSearchGraph(s, e26LayoutDir(s, dir), q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val per = (0L until 5L).map(q =>

@@ -198,8 +198,9 @@ object ScaleSweep {
       "x17_filtered_persisted", "e24_stream_pit", "x18_knn_graph_beam",
       "e25_late_observability",
       // x18b = the base graph build (90% of x18's) + insert-by-search
-      // over the delta (bounded, partition-pruned) + one file commit
-      "x18b_knn_graph_append")
+      // over the delta (bounded, partition-pruned) + one file commit;
+      // e26 = the same insert in 3 streamed micro-batch commits
+      "x18b_knn_graph_append", "e26_stream_graph_append")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
