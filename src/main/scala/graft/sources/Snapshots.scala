@@ -374,9 +374,112 @@ object Snapshots {
       |    AS bal_cents
       |FROM customer""".stripMargin
 
+  // ---- S20: schema evolution (add-column without rewrite) ------------------
+  /** Leaf data files under `dir/sub` (the partitioned-write listing every
+    * snapshot builder here repeats — hoisted for s20).
+    */
+  private def leafFiles(dir: String, sub: String): Seq[String] =
+    Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath))
+      .toSeq.sorted
+
+  /** Lands the schema-evolution demo once per source version:
+    * v1 = nations 0–11 with the ORIGINAL schema (k, bal); the v2 commit
+    * ADDS a column (`seg`, the market segment) purely by appending new
+    * files that carry it — manifest 2 references every v1 file unchanged
+    * plus the new-schema appends. No old file is rewritten; the column
+    * add is metadata-only for existing data, exactly the Iceberg/Delta
+    * `ADD COLUMN` contract.
+    */
+  private[graft] def s20Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|snapevo",
+      "graft_snapevo") { dir =>
+      val cust = Tables.customer(s, d)
+      cust.filter(col("c_nationkey") < 12)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      cust.filter(col("c_nationkey") >= 12)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"), col("c_mktsegment").as("seg"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v2add")
+      val m1 = leafFiles(dir, "v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
+        (m1 ++ leafFiles(dir, "v2add")).mkString("\n").getBytes("UTF-8"))
+    }
+
+  /** Version read under MIXED schemas: `mergeSchema` unions the file
+    * schemas, so pre-evolution files surface the added column as NULL
+    * (the reader-side backfill every columnar format gives for free —
+    * the column simply isn't in the old footers).
+    */
+  private[graft] def readVersionMerged(s: SparkSession, dir: String,
+      v: Int): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(manifest(dir, v): _*)
+
+  /** S20: SCHEMA EVOLUTION on the manifest store — the remaining
+    * lakehouse table-format primitive next to snapshots (s16), retention
+    * (s18) and OCC commits (s19): an `ADD COLUMN` that rewrites nothing.
+    * The registered read proves all three contract points as exact
+    * columns, per version:
+    *
+    *  - v1, read AFTER the evolution committed, still has the ORIGINAL
+    *    schema (`seg_rows` is emitted from schema introspection — the
+    *    column is absent, not null-filled: old snapshots are immune);
+    *  - v2 reads old + new files through one merged schema, the added
+    *    column NULL exactly on pre-evolution rows (`seg_rows` counts the
+    *    post-evolution appends only);
+    *  - no rewrite: v2's manifest contains every v1 file by path
+    *    (spec-asserted; here structurally visible as v2's row count
+    *    being v1's plus the appends).
+    *
+    * At 100 TB column adds MUST work this way — rewriting a 100 TB table
+    * to add a nullable column is operationally absurd; the merged-footer
+    * read costs nothing extra because parquet readers project by name
+    * and missing columns materialize as constant-null vectors.
+    */
+  private def s20SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = s20Dir(s, d)
+    def agg(v: Int): DataFrame = {
+      val t = readVersionMerged(s, dir, v)
+      val segRows =
+        if (t.columns.contains("seg")) count(col("seg"))
+        else lit(0L) // pre-evolution snapshot: column absent from schema
+      t.agg(count(lit(1)).as("n_rows"), segRows.as("seg_rows"),
+          sum(col("bal")).as("bal_cents"))
+        .select(lit(v).as("version"), col("n_rows"),
+          col("seg_rows").cast("long").as("seg_rows"), col("bal_cents"))
+    }
+    agg(1).unionByName(agg(2)).orderBy(col("version"))
+  }
+
+  private val s20Sql =
+    """SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS seg_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer WHERE c_nationkey < 12
+      |UNION ALL
+      |SELECT 2, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c_nationkey >= 12 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |FROM customer
+      |ORDER BY version""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),
     "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
+    "s20_schema_evolution" -> Q(s20SchemaEvolution, Some(s20Sql)),
   )
 }

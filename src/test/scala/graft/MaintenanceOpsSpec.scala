@@ -240,6 +240,29 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("orphaned claim"))
   }
 
+  test("s20: add-column evolution rewrites nothing, old snapshots keep the " +
+      "old schema, and the merged read null-backfills exactly the " +
+      "pre-evolution rows") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s20Dir(spark, Sf0001)
+    // no rewrite: every v1 file is referenced by v2's manifest BY PATH
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m2 = Snapshots.manifest(dir, 2).toSet
+    assert(m1.subsetOf(m2), "the evolution commit must share all v1 files")
+    assert((m2 -- m1).nonEmpty, "and add the new-schema appends")
+    // old snapshot read AFTER the evolution: column ABSENT, not null
+    val v1 = Snapshots.readVersionMerged(spark, dir, 1)
+    assert(!v1.columns.contains("seg"),
+      "a pinned pre-evolution snapshot must not grow the column")
+    // merged read: seg is NULL exactly on rows from pre-evolution files
+    val v2 = Snapshots.readVersionMerged(spark, dir, 2)
+    assert(v2.columns.contains("seg"))
+    val nOld = v1.count()
+    assert(v2.filter(col("seg").isNull).count() === nOld,
+      "null-backfill must cover exactly the pre-evolution rows")
+    assert(v2.filter(col("seg").isNotNull).count() === v2.count() - nOld)
+  }
+
   // ---- e22: streaming sketch maintenance ----------------------------------
 
   test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +
