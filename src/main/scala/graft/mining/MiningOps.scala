@@ -1060,6 +1060,97 @@ object MiningOps {
        |FROM l$LpaRounds ORDER BY node""".stripMargin
   }
 
+  // ---- PR6: multi-source BFS shortest paths ---------------------------------
+  private[graft] val BfsRounds = 4
+  private[graft] val BfsSeeds = 8
+
+  /** Synchronous multi-source BFS: hop distance from the nearest seed,
+    * bounded at `rounds` hops (the pr4/pr5 fixed-unroll discipline — both
+    * engines run exactly the same rounds). Each round is one shuffle of
+    * the slim symmetric edge list keyed by the frontier endpoint, a
+    * distinct on the discovered nodes, and an anti-join against the
+    * settled set; BFS's first-reached-wins IS min-distance, so no
+    * per-node argmin is ever needed. Frontier and settled frames are
+    * eagerly checkpointed per round (2 longs per node, bounded) to cut
+    * the unrolled lineage — the [[labelPropagation]] cost profile with a
+    * SHRINKING frontier instead of a fixed label frame.
+    */
+  private[graft] def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val nxt = sym.join(frontier.select(col("node").as("a")), "a")
+        .select(col("b").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(nxt).localCheckpoint(true)
+      frontier = nxt.select(col("node"))
+    }
+    dist
+  }
+
+  /** PR6 query: hop distance from [[BfsSeeds]] engine-portable seeds
+    * (md5-ranked over the node set — DuckDB computes the identical rank,
+    * the m3/c2 membership discipline) over the support-2 co-purchase
+    * backbone, within [[BfsRounds]] hops. The classic reachability /
+    * blast-radius primitive next to pagerank (pr1), triangles (pr3),
+    * k-core (pr4) and communities (pr5); landed once per lineitem
+    * version (the pr1 accounting). Unreached nodes are absent — distance
+    * is a partial function, not a sentinel.
+    */
+  private def pr6BfsDistance(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "lineitem") + "|pr6_bfs") {
+      val edges = coPurchaseEdges(s, d)
+      val sym = edges.select(col("u").as("a"))
+        .unionByName(edges.select(col("v").as("a")))
+      val seeds = sym.select(col("a").as("node")).distinct()
+        .orderBy(md5(concat_ws("|", col("node").cast("string"),
+          lit("pr6"))), col("node"))
+        .limit(BfsSeeds)
+      multiSourceBfs(edges, seeds, BfsRounds)
+    }.orderBy(col("node"))
+
+  /** Oracle: the same fixed unroll — per round, a frontier CTE (distinct
+    * neighbors not yet settled) and a cumulative settled CTE. Frontier
+    * CTEs are referenced twice at the next level (expansion join +
+    * settled union), so MATERIALIZED keeps the tree linear in rounds
+    * (the pr4 lesson).
+    */
+  private val pr6Sql = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.b AS node
+         |  FROM sym s JOIN f${i - 1} x ON s.a = x.node
+         |  WHERE s.b NOT IN (SELECT node FROM c${i - 1})),
+         |c$i AS MATERIALIZED (
+         |  SELECT node, dist FROM c${i - 1}
+         |  UNION ALL SELECT node, $i FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (
+       |  SELECT a.pk AS u, b.pk AS v
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+       |sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e0
+       |        UNION ALL SELECT v, u FROM e0),
+       |seeds AS MATERIALIZED (
+       |  SELECT node FROM (SELECT DISTINCT a AS node FROM sym)
+       |  ORDER BY md5(CAST(node AS VARCHAR) || '|pr6'), node
+       |  LIMIT $BfsSeeds),
+       |f0 AS MATERIALIZED (SELECT node FROM seeds),
+       |c0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist
+       |FROM c$BfsRounds ORDER BY node""".stripMargin
+  }
+
   // ---- FM4: FP-Growth frequent itemsets ------------------------------------
   /** FM4: frequent itemsets of EVERY size via spark.ml's FPGrowth — the
     * parallel FP-Growth of Li et al. 2008 (PFP), the algorithm that
@@ -1312,6 +1403,7 @@ object MiningOps {
     "pr3_triangles"   -> Q(pr3Triangles, Some(pr3Sql)),
     "pr4_kcore"       -> Q(pr4Kcore, Some(pr4Sql)),
     "pr5_communities" -> Q(pr5Communities, Some(pr5Sql)),
+    "pr6_bfs_distance" -> Q(pr6BfsDistance, Some(pr6Sql)),
     "fm4_fpgrowth"    -> Q(fm4Fpgrowth, Some(fm4Sql)),
     "fm5_prefixspan"  -> Q(fm5Prefixspan, Some(fm5Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),

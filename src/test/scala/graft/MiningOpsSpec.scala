@@ -236,6 +236,32 @@ class MiningOpsSpec extends SparkSpec {
     }
   }
 
+  test("pr6: path-graph BFS settles exact hop distances; nodes past the " +
+      "round bound stay absent; a two-path node takes the MIN distance") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7 seeded at {1}: dist = hops; 6 and 7 sit past
+    // the 4-round horizon and must be ABSENT (partial function, no
+    // sentinel)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("u", "v")
+    val seed1 = Seq(1L).toDF("node")
+    val got = MiningOps.multiSourceBfs(path, seed1, 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // diamond 1-2-4, 1-3-4 plus tail 4-5, seeded at {1}: node 4 is
+    // reached through BOTH paths in the same round exactly once (the
+    // distinct+anti-join), and multi-seed {1,5} pulls 4 to dist 1
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val gotD = MiningOps.multiSourceBfs(diamond, seed1, 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(gotD === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    val gotM = MiningOps.multiSourceBfs(diamond,
+        Seq(1L, 5L).toDF("node"), 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(gotM === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("pr3: wheel graph — hub rides every rim triangle despite max degree") {
     import spark.implicits._
     // hub 0 joined to the 5-cycle 1-2-3-4-5: triangles are exactly the

@@ -225,7 +225,7 @@ object ScaleSweep {
     }
     if (only.nonEmpty && !only.exists(f =>
         ("pr1_pagerank pr2_directed km1_kmeans pr3_triangles pr4_kcore " +
-          "pr5_communities").contains(f)))
+          "pr5_communities pr6_bfs").contains(f)))
       return
     // pr1-shaped graph, 10 shifted copies of the distinct edge list
     val e0 = Tables.lineitem(s, Src)
@@ -315,5 +315,22 @@ object ScaleSweep {
     val lpBig = time(graft.mining.MiningOps
       .labelPropagation(ks10, graft.mining.MiningOps.LpaRounds).collect())
     println(f"[scalesweep] pr5_communities(10x edges) sf0.1 $lpSmall%6.1fs  sf1 $lpBig%7.1fs  ratio ${lpBig / lpSmall}%5.1f")
+    // pr6 on the same shifted replicas, with the registered op's FIXED
+    // 8-seed set (the blast radius stays one replica's — the honest
+    // serve question is "does a bounded walk stay bounded as the graph
+    // grows", so the ratio should sit well UNDER linear)
+    def bfsSeedsOf(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .distinct()
+        .orderBy(md5(concat_ws("|", col("node").cast("string"),
+          lit("pr6"))), col("node"))
+        .limit(graft.mining.MiningOps.BfsSeeds)
+    val bfSmall = time(graft.mining.MiningOps
+      .multiSourceBfs(ks0, bfsSeedsOf(ks0),
+        graft.mining.MiningOps.BfsRounds).collect())
+    val bfBig = time(graft.mining.MiningOps
+      .multiSourceBfs(ks10, bfsSeedsOf(ks10),
+        graft.mining.MiningOps.BfsRounds).collect())
+    println(f"[scalesweep] pr6_bfs(10x edges)       sf0.1 $bfSmall%6.1fs  sf1 $bfBig%7.1fs  ratio ${bfBig / bfSmall}%5.1f")
   }
 }
