@@ -1716,7 +1716,8 @@ object SimilarityOps {
     */
   private[graft] def beamSearchGraph(s: SparkSession, dir: String,
       queries: DataFrame, k: Int, beam: Int = X18Beam,
-      hops: Int = X18Hops, nEntries: Int = X18Entries): DataFrame = {
+      hops: Int = X18Hops, nEntries: Int = X18Entries,
+      seeds: Option[DataFrame] = None): DataFrame = {
     val nb = graphSidecarInt(dir, "_nbuckets.txt")
     val nodes = s.read.parquet(dir)
     def lookup(ids: Seq[Long]): DataFrame = {
@@ -1742,11 +1743,22 @@ object SimilarityOps {
     }
     val wBeam = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
-    var front = scoreOf(
-      q.select(col("q_id")).crossJoin(
-        broadcast(lookup(entryIds).filter(col("nrm").isNotNull)
-          .select(col("id").as("c_id")).distinct())),
-      entryIds).localCheckpoint(true)
+    // per-query seeds (the x19 layered descent) replace the global entry
+    // points: the walk starts from each query's OWN upper-layer result
+    var front = (seeds match {
+      case Some(sd) =>
+        val pairs = sd.select(col("q_id"), col("c_id")).distinct()
+          .localCheckpoint(true)
+        val ids = pairs.select(col("c_id")).distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        scoreOf(pairs, ids)
+      case None =>
+        scoreOf(
+          q.select(col("q_id")).crossJoin(
+            broadcast(lookup(entryIds).filter(col("nrm").isNotNull)
+              .select(col("id").as("c_id")).distinct())),
+          entryIds)
+    }).localCheckpoint(true)
     var visited = front.select(col("q_id"), col("c_id"))
       .localCheckpoint(true)
     for (_ <- 1 to hops) {
@@ -1992,6 +2004,106 @@ object SimilarityOps {
     recallGate(served,
       memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
       X18bFloor)
+  }
+
+  // ---- X19: hierarchical (HNSW-style) layered graph serve ----------------
+  /** Layer thinning base: level ≥ l holds the nodes whose seeded xxhash64
+    * is divisible by 8^l — a deterministic stand-in for HNSW's geometric
+    * level sampling (Malkov–Yashunin 2016) that makes the layers NESTED
+    * by construction (h % 64 = 0 ⇒ h % 8 = 0), so an upper-layer result
+    * is always a valid seed one layer down.
+    */
+  private[graft] val X19LayerBase = 8L
+  private[graft] val X19SeedsPerLayer = 4
+  private[graft] val X19Beam = 32
+  private[graft] val X19Hops = 3
+
+  /** The landed upper layers (layer 1 = 1/8 of nodes at degree 8,
+    * layer 2 = 1/64 at degree 4), each a [[buildGraphLayout]] graph over
+    * its thinned corpus; the base layer is x18's full graph — SHARED via
+    * [[knnGraphDir]], so x18 and x19 amortize one degree-16 build per
+    * corpus version. A layer under 4 nodes is skipped (tiny-corpus
+    * degradation: the descent then starts one layer down, and with no
+    * layers at all the serve falls back to x18's global entries). The
+    * `_layers.txt` sidecar freezes the descent order so serving never
+    * probes for which layers exist.
+    */
+  private[graft] def x19LayersDir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|hnswlayers",
+      "graft_hnsw") { dir =>
+      val emb = Tables.embeddings(s, d)
+      def level(div: Long) =
+        pmod(xxhash64(col("vec_id"), lit("x19")), lit(div)) === 0
+      val layers = scala.collection.mutable.ArrayBuffer.empty[String]
+      def land(sub: String, corpus: DataFrame, degree: Int): Unit =
+        if (corpus.limit(4).count() >= 4) {
+          buildGraphLayout(s, corpus, s"$dir/$sub", degree, 8)
+          layers += sub
+        }
+      land("layer2", emb.filter(level(X19LayerBase * X19LayerBase)), 4)
+      land("layer1", emb.filter(level(X19LayerBase)), 8)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_layers.txt"),
+        layers.mkString("\n").getBytes("UTF-8"))
+    }
+
+  /** X19 SERVE: the HNSW descent — greedy beam search on the sparsest
+    * layer from ITS frozen entries, each layer's per-query top
+    * [[X19SeedsPerLayer]] results seeding the next layer down (the
+    * [[beamSearchGraph]] `seeds` path), finishing with the full-precision
+    * walk on the shared base graph. Hierarchy replaces x18's global
+    * entry points with per-query entries already NEAR the answer, which
+    * is what keeps base-layer hops at [[X19Hops]] instead of growing
+    * with corpus diameter: upper layers shrink 8× per level, so descent
+    * depth — and with it total hop count — is O(log n) while every hop
+    * stays a partition-pruned bounded lookup. At 100 TB that logarithmic
+    * entry selection is the difference between a constant-hop serve and
+    * a walk across the corpus (the HNSW argument, verbatim).
+    */
+  def hnswTopK(s: SparkSession, d: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val root = x19LayersDir(s, d)
+    val layerSubs = {
+      val src = scala.io.Source.fromFile(s"$root/_layers.txt")
+      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    }
+    var seeds: Option[DataFrame] = None
+    for (sub <- layerSubs) {
+      val res = beamSearchGraph(s, s"$root/$sub", queries,
+        k = X19SeedsPerLayer, beam = 8, hops = 2, nEntries = 2,
+        seeds = seeds)
+      seeds = Some(res.select(col("q_id"), col("c_id")))
+    }
+    beamSearchGraph(s, knnGraphDir(s, d), queries, k,
+      beam = X19Beam, hops = X19Hops, seeds = seeds)
+  }
+
+  /** Raw x19 builder on the 5-probe query set (fixture-pinned like x18;
+    * the registered gate serves through a frameLanding — the d13
+    * production accounting).
+    */
+  private[graft] def x19HnswTopK(s: SparkSession, d: String): DataFrame =
+    hnswTopK(s, d,
+        Tables.embeddings(s, d).filter(col("vec_id") < 5), 10)
+      .select(col("q_id"), col("rank"), col("c_id"), col("sim"))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** Measured 1.00/0.98 aggregate at the registered knobs (RecallProbe,
+    * 2026-08-16 testdata); floor = 0.98 − 0.13 regen slack.
+    */
+  private[graft] val X19Floor = 0.85
+
+  private def x19Gate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val served = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "embeddings") + "|x19serve") {
+      hnswTopK(s, d, q5, 10)
+    }
+    recallGate(served,
+      memoExact(s, d, "probe5k10")(bruteForceTopK(emb, q5, 10)),
+      X19Floor)
   }
 
   // ---- X11b: incremental append into the persisted index -----------------
@@ -2981,6 +3093,7 @@ object SimilarityOps {
     "x9_cosine_topk_pq"    -> Q(x9Gate, Some(annGateSql(10))),
     "x18_knn_graph_beam"   -> Q(x18Gate, Some(annGateSql(10))),
     "x18b_knn_graph_append" -> Q(x18bGate, Some(annGateSql(10))),
+    "x19_hnsw_layers"      -> Q(x19Gate, Some(annGateSql(10))),
     "e26_stream_graph_append" -> Q(e26Gate, Some(annGateSql(10))),
   )
 }

@@ -392,6 +392,80 @@ object EventStream {
     spark.read.parquet(target)
   }
 
+  // ---- e27: transactional streaming sink (OCC manifest commits) -----------
+
+  /** One micro-batch's transactional commit into an OCC manifest store
+    * ([[graft.sources.Snapshots.occCommit]] with an EMPTY replaced set —
+    * streaming appends rewrite nothing, so they always rebase cleanly
+    * past concurrent writers). EXACTLY-ONCE comes from BATCH CONTAINMENT
+    * in the manifest itself (Delta's `txn`-action idea with the manifest
+    * as the transaction log): the batch's files land under the
+    * deterministic `b<batchId>/` subpath, and a replayed invocation
+    * whose subpath is already referenced by the HEAD manifest returns
+    * before any work. A crash anywhere before the atomic manifest
+    * publish makes the replay restage (mode-overwrite self-cleans) and
+    * commit once; after it, the replay is a no-op. Readers pin
+    * manifests, so a batch is visible ALL-OR-NOTHING — the
+    * snapshot-isolation tier [[graft.util.Landing.idempotentAppend]]'s
+    * file-by-file publish explicitly documents it cannot give. Empty
+    * micro-batches are skipped (a contentless version would also be
+    * invisible to the containment check on replay).
+    */
+  private[graft] def txnCommitBatch(dir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val sub = f"b$batchId%04d"
+    val sep = java.io.File.separator
+    val h = graft.sources.Snapshots.head(dir)
+    if (graft.sources.Snapshots.manifest(dir, h)
+        .exists(_.contains(s"$sep$sub$sep"))) return // replay: committed
+    if (batch.isEmpty) return
+    val out = new java.io.File(dir, sub)
+    batch.write.mode("overwrite").parquet(out.toString)
+    val added = Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    graft.sources.Snapshots.occCommit(dir, h, Set.empty, added)
+    ()
+  }
+
+  /** The landed transactional store, once per events version: an empty
+    * base manifest, then the 4-chunk staged stream committed batch-by-
+    * batch through [[txnCommitBatch]] — head lands at 5 versions (base +
+    * one atomic commit per non-empty micro-batch). At 100 TB this is the
+    * production streaming→lakehouse sink: per batch, one parquet write of
+    * the batch's own rows + one metadata commit (head fetch, empty
+    * conflict intersection, atomic rename); replay cost is one manifest
+    * read. Readers at any concurrent point see a committed prefix of the
+    * stream, never a torn batch.
+    */
+  private[graft] def e27Dir(spark: SparkSession, dir: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(dir, "events") + "|txnsink",
+      "graft_txnsink") { out =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/manifest_1.txt"),
+        Array.emptyByteArray)
+      val ckp = graft.util.Landing.tempDirOnce("graft_txnsink_ckp").toString
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val staged = splitStageDir(spark, dir).toString
+        val src = graft.Tables.normalizeTs(
+          spark.readStream.schema(rawSchema(spark, staged))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged))
+        val commitBatch: (DataFrame, Long) => Unit =
+          (b, id) => txnCommitBatch(out, b, id)
+        val q = src.select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.outputMode("append")
+          .foreachBatch(commitBatch)
+          .option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
   /** Keep-latest-revision-per-key rewrite of the upsert log — the
     * retention half of MV maintenance (round-6 verdict #5): an
     * append-only MERGE stand-in otherwise grows with (keys × batches

@@ -198,8 +198,33 @@ object StreamQueries {
       |FROM events
       |ORDER BY batch""".stripMargin
 
+  /** E27: the transactional streaming sink — micro-batches committed
+    * into the s19 OCC manifest store with batch-containment exactly-once
+    * and snapshot-isolated readers (see [[EventStream.txnCommitBatch]]).
+    * The head version must hold the stream's rows exactly once, so the
+    * oracle is the plain per-type aggregate over events; `n_versions`
+    * pins the structural shape (empty base + one atomic commit per
+    * micro-batch).
+    */
+  private def e27StreamTxnSink(s: SparkSession, d: String): DataFrame = {
+    val dir = EventStream.e27Dir(s, d)
+    val h = graft.sources.Snapshots.head(dir)
+    graft.sources.Snapshots.readVersion(s, dir, h)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), lit(h.toLong).as("n_versions"),
+        col("n"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val e27Sql =
+    s"""SELECT event_type, CAST(5 AS BIGINT) AS n_versions,
+       |  CAST(COUNT(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e4_stream_tumbling" -> Q(e4Stream, Some(e4Sql)),
+    "e27_stream_txn_sink" -> Q(e27StreamTxnSink, Some(e27Sql)),
     "e25_late_observability" -> Q(e25LateObserved, Some(e25Sql)),
     "e18_stream_heavyhitters" -> Q(e18StreamHH, Some(e18Sql)),
     "e16_stream_upsert_mv" -> Q(e16StreamUpsert, Some(e16Sql)),

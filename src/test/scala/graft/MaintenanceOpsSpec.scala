@@ -263,6 +263,67 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(v2.filter(col("seg").isNotNull).count() === v2.count() - nOld)
   }
 
+  test("e27: versions grow append-only and a replayed batch commit is a " +
+      "no-op before any work") {
+    import graft.sources.Snapshots
+    import graft.streaming.EventStream
+    val dir = EventStream.e27Dir(spark, Sf0001)
+    val h = Snapshots.head(dir)
+    assert(h === 5, "empty base + one version per non-empty micro-batch")
+    // append-only: each manifest strictly extends the previous (readers
+    // at any concurrent point see a committed prefix of the stream)
+    val ms = (1 to h).map(v => Snapshots.manifest(dir, v).toSet)
+    for (i <- 1 until h) {
+      assert(ms(i - 1).subsetOf(ms(i)), s"v${i + 1} must extend v$i")
+      assert(ms(i).size > ms(i - 1).size)
+    }
+    // the head holds the stream exactly once
+    assert(Snapshots.readVersion(spark, dir, h).count() ===
+      Tables.events(spark, Sf0001).count())
+    // replay of an already-committed batch: no version advance, and the
+    // committed files are not rewritten (containment check fires first)
+    val files = ms(h - 1).toSeq.sorted
+    val mt0 = files.map(f => new java.io.File(f).lastModified())
+    EventStream.txnCommitBatch(dir,
+      Tables.events(spark, Sf0001).limit(3)
+        .select(col("event_id"), col("event_type"), col("value")), 2L)
+    assert(Snapshots.head(dir) === h, "replay must not advance the head")
+    assert(files.map(f => new java.io.File(f).lastModified()) === mt0,
+      "replay must not touch committed files")
+  }
+
+  test("e27: a crash between staging and publish converges on replay; " +
+      "empty batches commit nothing") {
+    import graft.sources.Snapshots
+    import graft.streaming.EventStream
+    import spark.implicits._
+    // scratch store (the s19 claim-race discipline — never mutate the
+    // landed e27 layout other specs and the registered query serve from)
+    val scratch = graft.util.Landing.tempDirOnce("graft_txnspec").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$scratch/manifest_1.txt"),
+      Array.emptyByteArray)
+    val b = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value")
+    // simulated crash: batch files staged, manifest never published
+    b.write.mode("overwrite").parquet(s"$scratch/b0000")
+    assert(Snapshots.head(scratch) === 1,
+      "staged-but-unpublished files must be invisible")
+    // replay: restages (overwrite self-cleans) and commits exactly once
+    EventStream.txnCommitBatch(scratch, b, 0L)
+    assert(Snapshots.head(scratch) === 2)
+    val m2 = Snapshots.manifest(scratch, 2)
+    assert(m2.nonEmpty && m2.forall(_.contains("b0000")))
+    assert(spark.read.parquet(m2: _*).count() === 2L)
+    // second replay after the publish: a no-op
+    EventStream.txnCommitBatch(scratch, b, 0L)
+    assert(Snapshots.head(scratch) === 2)
+    assert(Snapshots.manifest(scratch, 2) === m2)
+    // an empty micro-batch commits no version
+    EventStream.txnCommitBatch(scratch, b.limit(0), 1L)
+    assert(Snapshots.head(scratch) === 2)
+  }
+
   // ---- e22: streaming sketch maintenance ----------------------------------
 
   test("e22: streamed partial sketches serve the IDENTICAL weekly frame " +

@@ -200,7 +200,11 @@ object ScaleSweep {
       // x18b = the base graph build (90% of x18's) + insert-by-search
       // over the delta (bounded, partition-pruned) + one file commit;
       // e26 = the same insert in 3 streamed micro-batch commits
-      "x18b_knn_graph_append", "e26_stream_graph_append")
+      "x18b_knn_graph_append", "e26_stream_graph_append",
+      // e27 = one parquet write of each batch's own rows + one metadata
+      // commit per micro-batch (4 batches over the 10× events), then a
+      // manifest-pinned head aggregate — linear in events by construction
+      "e27_stream_txn_sink")
     for (q <- tail if wanted(q)) {
       val small = time(SparkEntry.queries(q)(s, Src).collect())
       val big = time(SparkEntry.queries(q)(s, Out).collect())
