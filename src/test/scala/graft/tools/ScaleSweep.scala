@@ -201,6 +201,10 @@ object ScaleSweep {
       // over the delta (bounded, partition-pruned) + one file commit;
       // e26 = the same insert in 3 streamed micro-batch commits
       "x18b_knn_graph_append", "e26_stream_graph_append",
+      // x19 = x18's shared base-graph build + two thinned-layer builds
+      // (1/8 and 1/64 of nodes — sub-linear extras) + the layered serve
+      // whose per-hop lookups stay beam-bounded
+      "x19_hnsw_layers",
       // e27 = one parquet write of each batch's own rows + one metadata
       // commit per micro-batch (4 batches over the 10× events), then a
       // manifest-pinned head aggregate — linear in events by construction
