@@ -150,6 +150,77 @@ object AsOfJoin {
       |  CAST(COALESCE(SUM(ver_cents), 0) AS BIGINT) AS enriched_cents
       |FROM enr GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- AF5: training/serving skew audit -------------------------------------
+  /** The skew fold, factored for planted-frame specs: per user, how many
+    * events' PIT-correct feature (`ver_cents`, null when no version was
+    * knowable at event time) differs from what a latest-value online
+    * store would serve (`latest_cents`), plus the exact integer-cents
+    * magnitude of that disagreement. Null PIT values compare as distinct
+    * from any real version (an event before the first version IS skewed
+    * the moment serving has one).
+    */
+  private[graft] def skewAudit(enriched: DataFrame,
+      latest: DataFrame): DataFrame = {
+    val sentinel = lit(Long.MinValue)
+    enriched.join(latest, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(coalesce(col("ver_cents"), sentinel) =!=
+            coalesce(col("latest_cents"), sentinel), 1L)
+          .otherwise(0L)).as("n_skewed"),
+        sum(abs(coalesce(col("latest_cents"), lit(0L)) -
+          coalesce(col("ver_cents"), lit(0L)))).as("skew_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** AF5: TRAINING/SERVING SKEW audit — the feature-platform health
+    * check af4 motivates: training sets are built PIT-correct (each
+    * event sees only the version knowable at its time), but a naive
+    * online store serves the LATEST version; every event where the two
+    * disagree is silent train/serve skew. The audit quantifies it
+    * exactly: per user, events scored, events skewed, and the
+    * integer-cents disagreement mass. Composition is af4's PIT
+    * enrichment + a per-user argmax over the same landed version table
+    * (Window above the landed aggregate — the safe topology) + one slim
+    * broadcastable join; at 100 TB it adds nothing beyond af4's cost
+    * profile, and the latest-version frame is users-sized.
+    */
+  private def af5FeatureSkew(s: SparkSession, d: String): DataFrame = {
+    val vers = weeklyVersions(s, d)
+    val latest = vers.withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("eff_from").desc)))
+      .filter(col("_rn") === 1)
+      .select(col("user_id"), col("ver_cents").as("latest_cents"))
+    skewAudit(pitEnrich(s, d, Tables.events(s, d)), latest)
+  }
+
+  private val af5Sql =
+    """WITH vers AS (
+      |  SELECT user_id,
+      |    date_trunc('week', ts) + INTERVAL 7 DAY AS eff_from,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS ver_cents
+      |  FROM events GROUP BY user_id, date_trunc('week', ts)),
+      |latest AS (
+      |  SELECT user_id, ver_cents AS latest_cents FROM (
+      |    SELECT user_id, ver_cents,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY eff_from DESC) AS rn
+      |    FROM vers) WHERE rn = 1),
+      |enr AS (
+      |  SELECT e.user_id, e.event_id, v.ver_cents
+      |  FROM (SELECT user_id, event_id, ts FROM events) e
+      |  ASOF LEFT JOIN vers v
+      |    ON e.user_id = v.user_id AND e.ts >= v.eff_from)
+      |SELECT e.user_id AS user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN COALESCE(e.ver_cents, -9223372036854775808)
+      |      <> COALESCE(l.latest_cents, -9223372036854775808)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_skewed,
+      |  CAST(SUM(ABS(COALESCE(l.latest_cents, 0)
+      |    - COALESCE(e.ver_cents, 0))) AS BIGINT) AS skew_cents
+      |FROM enr e LEFT JOIN latest l ON e.user_id = l.user_id
+      |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
   // ---- E24: the PIT enrichment as a standing stream -------------------------
   /** AF4 inside `foreachBatch` — the online-serving form of the feature
     * store: events ARRIVE (staged 3 files, maxFilesPerTrigger=1 +
@@ -194,6 +265,7 @@ object AsOfJoin {
   val qs: Seq[(String, Q)] = Seq(
     "af1_asof_join" -> Q(af1Asof, Some(af1Sql)),
     "af4_pit_enrich" -> Q(af4PitEnrich, Some(af4Sql)),
+    "af5_feature_skew" -> Q(af5FeatureSkew, Some(af5Sql)),
     "e24_stream_pit" -> Q(e24StreamPit, Some(af4Sql)),
   )
 }

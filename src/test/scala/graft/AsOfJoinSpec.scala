@@ -124,6 +124,27 @@ class AsOfJoinSpec extends SparkSpec {
       s"week-2 event must see week-1's 300-cent version, got ${enr(3L)}")
   }
 
+  test("af5: skew audit counts exactly the events whose PIT feature " +
+      "differs from latest-value serving, null PIT included") {
+    // user 1 versions: 100 cents (eff w2), 200 cents (eff w3) → latest 200
+    //   e1 before w2: pit null  vs latest 200 → skewed, delta 200
+    //   e2 in w2:     pit 100   vs latest 200 → skewed, delta 100
+    //   e3 after w3:  pit 200   =  latest     → clean,  delta 0
+    // user 2 has events but NO latest row (left-join null path): pit null
+    // vs latest null → NOT skewed (both unknown), delta 0
+    val enriched = Seq(
+      (1L, 1L, None: Option[Long]),
+      (1L, 2L, Some(100L)),
+      (1L, 3L, Some(200L)),
+      (2L, 4L, None: Option[Long]))
+      .toDF("user_id", "event_id", "ver_cents")
+    val latest = Seq((1L, 200L)).toDF("user_id", "latest_cents")
+    val got = AsOfJoin.skewAudit(enriched, latest).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> ((3L, 2L, 300L)), 2L -> ((1L, 0L, 0L))))
+  }
+
   test("e24: streamed PIT enrichment equals the batch af4 exactly") {
     def rows(q: String) = SparkEntry.queries(q)(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

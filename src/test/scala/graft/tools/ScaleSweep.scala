@@ -183,6 +183,8 @@ object ScaleSweep {
       // have no corpus-scaled axis; s16/s18/s19 additionally read
       // customer, which the synthetic dir does not ship.
       "af4_pit_enrich", "od3_mad_outliers", "t20_corpus_laws",
+      // af5 = af4's PIT enrichment + a users-sized latest-version argmax
+      "af5_feature_skew",
       "fm5_prefixspan", "a12_correlations",
       // c7 = map-side md5 + one shard-keyed window; d19 = d7's landed
       // pair machinery + per-cluster argmax (near-dup volume exactly
