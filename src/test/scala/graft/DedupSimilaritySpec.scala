@@ -547,6 +547,43 @@ class DedupSimilaritySpec extends SparkSpec {
       "steady-state serve rewrote or re-appended graph files")
   }
 
+  test("x20: compaction folds every supplement into one row per node, " +
+      "caps degrees at the prune bound, keeps edges closed over the " +
+      "corpus, and preserves the serve contract") {
+    val dir = SimilarityOps.x20CompactDir(spark, Sf0001)
+    val emb = Tables.embeddings(spark, Sf0001)
+    val nodes = spark.read.parquet(dir)
+    val n = emb.count()
+    // exactly one row per corpus node, every one vector-bearing (no
+    // supplement rows survive compaction)
+    assert(nodes.count() === n)
+    assert(nodes.select("id").distinct().count() === n)
+    assert(nodes.filter(col("nrm").isNull).count() === 0)
+    // degree cap enforced, edge lists closed over corpus ids, no self-loop
+    assert(nodes.filter(size(col("nbrs")) > SimilarityOps.X20MaxDegree)
+      .count() === 0)
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val refs = nodes.select(explode(col("nbrs")).as("t"))
+      .collect().map(_.getLong(0)).toSet
+    assert(refs.subsetOf(ids), "pruned lists must reference corpus ids only")
+    assert(nodes.filter(array_contains(col("nbrs"), col("id")))
+      .count() === 0, "compaction must not introduce self-loops")
+    // the prune is REAL on this layout: the appended graph has nodes past
+    // the cap (reverse edges + supplements), and they got cut to the cap
+    val overBefore = spark.read.parquet(SimilarityOps.x18bDir(spark, Sf0001))
+      .groupBy(col("id"))
+      .agg(size(array_distinct(flatten(collect_list(col("nbrs")))))
+        .as("deg"))
+      .filter(col("deg") > SimilarityOps.X20MaxDegree).count()
+    assert(overBefore > 0, "fixture corpus grew no over-degree hubs — " +
+      "the cap is untested; lower X20MaxDegree")
+    // serve contract preserved: sidecars in place, beam search answers
+    val q5 = emb.filter(col("vec_id") < 5)
+    val served = SimilarityOps.beamSearchGraph(spark, dir, q5, 10)
+    assert(served.groupBy(col("q_id")).count().collect()
+      .forall(_.getLong(1) === 10L))
+  }
+
   test("e26: streamed graph append lands every delta node exactly once " +
       "across micro-batches, keeps base files untouched, and supplements " +
       "reference inserted nodes only") {

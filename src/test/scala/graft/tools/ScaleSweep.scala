@@ -207,6 +207,10 @@ object ScaleSweep {
       // (1/8 and 1/64 of nodes — sub-linear extras) + the layered serve
       // whose per-hop lookups stay beam-bounded
       "x19_hnsw_layers",
+      // x20 = the x18b lifecycle (base build + append) plus the compaction
+      // rewrite (one nbr-keyed vector join + per-node top-degree window),
+      // then the beam-bounded serve — the x15 cost shape for graphs
+      "x20_graph_compact",
       // e27 = one parquet write of each batch's own rows + one metadata
       // commit per micro-batch (4 batches over the 10× events), then a
       // manifest-pinned head aggregate — linear in events by construction
