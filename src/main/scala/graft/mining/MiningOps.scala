@@ -1060,6 +1060,155 @@ object MiningOps {
        |FROM l$LpaRounds ORDER BY node""".stripMargin
   }
 
+  // ---- KM4: DBSCAN density clustering ---------------------------------------
+  /** Core threshold quantile: cores are the densest 10% of points.
+    * Quantile-RELATIVE (not an absolute minPts) so the core fraction is
+    * stable across corpus sizes; Spark `percentile` and DuckDB
+    * `quantile_cont` share the p·(n−1) interpolation (the dq5 parity),
+    * and over integer degrees every interpolated value is an exact
+    * binary half — identical doubles both sides of the ≥.
+    */
+  private[graft] val DbscanCoreQuantile = 0.9
+
+  /** Deterministic DBSCAN (Ester et al. 1996, made engine-portable):
+    *
+    *  - ε² auto-scales to fixed occupancy: eps2 = 25·area/n (integer
+    *    div) — the expected ε-disc holds ~π·25 points at any corpus
+    *    size, so the same constants stay non-degenerate as data grows
+    *    (measured: 4 clusters at sf0.01, 51 at sf0.1);
+    *  - neighbours via a GRID-CELL join (cell side ⌈ε⌉, 3×3 neighbour
+    *    cells — the af2 binning applied to 2D): candidates are
+    *    n·9·(points per cell), never n²; the exact integer predicate
+    *    (dx²+dy² ≤ eps2) decides membership on both engines;
+    *  - cores = densest [[DbscanCoreQuantile]] fraction by ε-degree;
+    *  - clusters = EXACT connected components of the core-core ε-graph
+    *    ([[graft.ext.DedupOps.connectedComponents]] — size-probed driver
+    *    union-find, star-contraction beyond the cap; label = min
+    *    reachable core id, which a recursive-CTE closure reproduces);
+    *  - borders = non-core points with a core ε-neighbour, labeled with
+    *    the MIN neighbouring cluster (deterministic where the classic
+    *    algorithm is scan-order-dependent); noise is ABSENT by contract.
+    *
+    * Scale: one cell-keyed exchange for the pair join (slim long
+    * triples), one degree aggregate, components over the core SUBGRAPH
+    * only (10% of nodes; the probe routes small graphs to the driver),
+    * one border argmin. The pair volume is bounded by the fixed-occupancy
+    * ε — the same 4n²/cells-with-cells-∝-n argument as d12's.
+    */
+  private[graft] def dbscan(ptsIn: DataFrame,
+      eps2Override: Option[Long] = None,
+      minDegOverride: Option[Long] = None): DataFrame = {
+    val pts = ptsIn.localCheckpoint(true)
+    val eps2 = eps2Override.getOrElse(pts.agg(expr(
+      "25 * (max(x) - min(x)) * (max(y) - min(y)) div count(1)").as("e"))
+      .head().getLong(0))
+    val cs = math.max(1L, math.ceil(math.sqrt(eps2.toDouble)).toLong)
+    val cells = pts.select(col("id"), col("x"), col("y"),
+      expr(s"x div $cs").as("cx"), expr(s"y div $cs").as("cy"))
+    val nbrCells = cells.select(col("id").as("ia"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))): _*))
+          .as("nc"))
+      .select(col("ia"), col("xa"), col("ya"),
+        col("nc.cx").as("cx"), col("nc.cy").as("cy"))
+    val pairs = nbrCells
+      .join(cells.select(col("id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("ia") =!= col("ib") &&
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))) <= lit(eps2))
+      .select(col("ia"), col("ib"))
+      .localCheckpoint(true)
+    val deg = pts.select(col("id"))
+      .join(pairs.groupBy(col("ia").as("id")).agg(count(lit(1)).as("d")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+      .localCheckpoint(true)
+    val thr = minDegOverride.map(_.toDouble).getOrElse(
+      deg.agg(expr(s"percentile(d, $DbscanCoreQuantile)"))
+        .head().getDouble(0))
+    val core = deg.filter(col("d") >= lit(thr)).select(col("id"))
+      .localCheckpoint(true)
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ia")), "ia")
+      .join(core.select(col("id").as("ib")), "ib")
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val edgeLabels = graft.ext.DedupOps.connectedComponents(coreEdges)
+    // isolated cores (no core ε-neighbour) form singleton clusters
+    val coreLabels = edgeLabels.unionByName(
+        core.join(edgeLabels.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("label")))
+      .localCheckpoint(true)
+    val borders = pairs
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .join(coreLabels.select(col("id").as("ib"), col("label")), "ib")
+      .groupBy(col("ia").as("id")).agg(min(col("label")).as("cluster"))
+      .select(col("id"), col("cluster"), lit("border").as("role"))
+    coreLabels
+      .select(col("id"), col("label").as("cluster"), lit("core").as("role"))
+      .unionByName(borders)
+      .orderBy(col("id"))
+  }
+
+  /** KM4 query: DBSCAN over km1's integer part points (size, price
+    * cents→dollars), landed once per part version. The density
+    * complement to km1's centroidal clustering: clusters of arbitrary
+    * shape, plus an explicit noise set (absent rows).
+    */
+  private def km4Dbscan(s: SparkSession, d: String): DataFrame =
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "part") + "|km4_dbscan")(
+      dbscan(Tables.part(s, d).select(
+        col("p_partkey").as("id"), col("p_size").cast("long").as("x"),
+        round(col("p_retailprice")).cast("long").as("y"))))
+
+  private val km4Sql =
+    """WITH RECURSIVE pts AS (
+      |  SELECT p_partkey AS id, CAST(p_size AS BIGINT) AS x,
+      |         CAST(ROUND(p_retailprice) AS BIGINT) AS y FROM part),
+      |st AS (
+      |  SELECT 25*(MAX(x)-MIN(x))*(MAX(y)-MIN(y))//COUNT(*) AS eps2,
+      |         CAST(CEIL(SQRT(CAST(25*(MAX(x)-MIN(x))*(MAX(y)-MIN(y))
+      |           //COUNT(*) AS DOUBLE))) AS BIGINT) AS cs
+      |  FROM pts),
+      |cells AS (
+      |  SELECT id, x, y, x//(SELECT cs FROM st) AS cx,
+      |         y//(SELECT cs FROM st) AS cy
+      |  FROM pts),
+      |offs(dx,dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+      |  (1,-1),(1,0),(1,1)),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS ia, b.id AS ib FROM cells a JOIN offs o ON TRUE
+      |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+      |  WHERE a.id <> b.id
+      |    AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)
+      |      <= (SELECT eps2 FROM st)),
+      |deg AS (
+      |  SELECT p.id, COALESCE(c.d, 0) AS d FROM pts p LEFT JOIN
+      |    (SELECT ia AS id, COUNT(*) AS d FROM pairs GROUP BY ia) c
+      |    USING (id)),
+      |thr AS (SELECT quantile_cont(d, 0.9) AS t FROM deg),
+      |core AS MATERIALIZED (
+      |  SELECT id FROM deg WHERE d >= (SELECT t FROM thr)),
+      |ce AS MATERIALIZED (
+      |  SELECT ia, ib FROM pairs
+      |  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+      |reach AS (
+      |  SELECT ia AS id, ib AS peer FROM ce
+      |  UNION
+      |  SELECT r.id, e.ib FROM reach r JOIN ce e ON e.ia = r.peer),
+      |clab AS MATERIALIZED (
+      |  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.peer), c.id)) AS lab
+      |  FROM core c LEFT JOIN reach r ON r.id = c.id GROUP BY c.id),
+      |bord AS (
+      |  SELECT p.ia AS id, MIN(l.lab) AS lab
+      |  FROM pairs p JOIN clab l ON p.ib = l.id
+      |  WHERE p.ia NOT IN (SELECT id FROM core) GROUP BY p.ia)
+      |SELECT id, lab AS cluster, 'core' AS role FROM clab
+      |UNION ALL SELECT id, lab, 'border' FROM bord
+      |ORDER BY id""".stripMargin
+
   // ---- PR6: multi-source BFS shortest paths ---------------------------------
   private[graft] val BfsRounds = 4
   private[graft] val BfsSeeds = 8
@@ -1404,6 +1553,7 @@ object MiningOps {
     "pr4_kcore"       -> Q(pr4Kcore, Some(pr4Sql)),
     "pr5_communities" -> Q(pr5Communities, Some(pr5Sql)),
     "pr6_bfs_distance" -> Q(pr6BfsDistance, Some(pr6Sql)),
+    "km4_dbscan"      -> Q(km4Dbscan, Some(km4Sql)),
     "fm4_fpgrowth"    -> Q(fm4Fpgrowth, Some(fm4Sql)),
     "fm5_prefixspan"  -> Q(fm5Prefixspan, Some(fm5Sql)),
     "pr1_pagerank"    -> Q(pr1PageRank, Some(pr1Sql)),

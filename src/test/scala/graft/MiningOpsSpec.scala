@@ -262,6 +262,50 @@ class MiningOpsSpec extends SparkSpec {
     assert(gotM === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("km4: two planted lattice blobs cluster separately, corners demote " +
+      "to borders, isolated points are noise (absent)") {
+    import spark.implicits._
+    // two 3×3 unit lattices far apart + two isolated noise points;
+    // eps²=2 (lattice-adjacent incl. diagonals), minDeg=5 → cores are
+    // each blob's center (deg 8) + edge midpoints (deg 5); corners
+    // (deg 3) border them; noise has no core neighbour and must be ABSENT
+    def blob(ox: Long, oy: Long, base: Long) =
+      for (i <- 0L to 2L; j <- 0L to 2L)
+        yield (base + i * 3 + j, ox + i, oy + j)
+    val pts = (blob(0, 0, 0) ++ blob(100, 100, 100) ++
+      Seq((900L, 50L, 50L), (901L, 200L, 0L))).toDF("id", "x", "y")
+    val got = MiningOps.dbscan(pts, eps2Override = Some(2L),
+        minDegOverride = Some(5L)).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("role")))).toMap
+    // blob A ids 0..8 at (i,j): corners 0,2,6,8; edges 1,3,5,7; center 4
+    val coresA = Set(1L, 3L, 4L, 5L, 7L)
+    val coresB = coresA.map(_ + 100L)
+    assert(got.keySet === (0L to 8L).toSet ++ (100L to 108L).toSet,
+      "exactly the blob members are clustered; noise absent")
+    for (c <- coresA) assert(got(c) === ((1L, "core")), s"core $c")
+    for (c <- coresB) assert(got(c) === ((101L, "core")), s"core $c")
+    for (b <- Seq(0L, 2L, 6L, 8L)) assert(got(b) === ((1L, "border")))
+    for (b <- Seq(100L, 102L, 106L, 108L)) assert(got(b) === ((101L, "border")))
+  }
+
+  test("km4: the registered clustering is non-degenerate — plural clusters " +
+      "at the gated SF, real borders and noise everywhere") {
+    // at sf0.001 (200 points) the fixed-occupancy ε legitimately spans
+    // the domain and the cores fuse to ONE cluster — the density
+    // structure only exists from sf0.01 up (measured 4 / 51 clusters),
+    // which is where the driver's hash gate runs
+    for ((d, minClusters) <- Seq(Sf0001 -> 1, Sf001 -> 2)) {
+      val rows = Registry.all.toMap.apply("km4_dbscan").fn(spark, d)
+        .collect()
+      val n = Tables.part(spark, d).count()
+      val clusters = rows.map(_.getAs[Long]("cluster")).distinct.length
+      assert(clusters >= minClusters, s"$d: only $clusters cluster(s)")
+      assert(rows.exists(_.getAs[String]("role") == "border"), s"$d borders")
+      assert(rows.length < n, s"$d: no noise — every point clustered")
+    }
+  }
+
   test("pr3: wheel graph — hub rides every rim triangle despite max degree") {
     import spark.implicits._
     // hub 0 joined to the 5-cycle 1-2-3-4-5: triangles are exactly the

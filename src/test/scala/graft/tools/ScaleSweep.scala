@@ -239,7 +239,7 @@ object ScaleSweep {
     }
     if (only.nonEmpty && !only.exists(f =>
         ("pr1_pagerank pr2_directed km1_kmeans pr3_triangles pr4_kcore " +
-          "pr5_communities pr6_bfs").contains(f)))
+          "pr5_communities pr6_bfs km4_dbscan").contains(f)))
       return
     // pr1-shaped graph, 10 shifted copies of the distinct edge list
     val e0 = Tables.lineitem(s, Src)
@@ -279,6 +279,22 @@ object ScaleSweep {
     val kSmall = time(graft.mining.MiningOps.kmeans(p0, iters = 3).collect())
     val kBig = time(graft.mining.MiningOps.kmeans(p10, iters = 3).collect())
     println(f"[scalesweep] km1_kmeans(10x points)   sf0.1 $kSmall%6.1fs  sf1 $kBig%7.1fs  ratio ${kBig / kSmall}%5.1f")
+    // km4 on 10 y-SHIFTED spatial replicas (the densification discipline
+    // applied to geometry: km1's duplicated coordinates would multiply
+    // DENSITY ×10 — a different object; disjoint spatial replicas keep
+    // density constant). The inter-replica gap is 10 — far past ε (~2.5)
+    // so replicas stay disconnected, but small against the y-range so
+    // the bounding-box area grows ~×10 with n and the fixed-occupancy
+    // ε² stays put.
+    val ySpan = p0.agg(max(col("y")) - min(col("y")) + lit(10L))
+      .head().getLong(0)
+    val db10 = (0 until Copies).map(k =>
+        p0.select((col("id") + lit(k * pSpan)).as("id"), col("x"),
+          (col("y") + lit(k * ySpan)).as("y")))
+      .reduce(_ unionByName _)
+    val dbSmall = time(graft.mining.MiningOps.dbscan(p0).collect())
+    val dbBig = time(graft.mining.MiningOps.dbscan(db10).collect())
+    println(f"[scalesweep] km4_dbscan(10x replicas) sf0.1 $dbSmall%6.1fs  sf1 $dbBig%7.1fs  ratio ${dbBig / dbSmall}%5.1f")
     // pr3 on 10 SHIFTED copies of the co-purchase edge list — plain fact
     // duplication (the $Out lineitem) would DENSIFY the graph instead:
     // degree ×10 ⇒ wedges ×100, a different asymptotic object than
