@@ -517,7 +517,89 @@ object EventOps {
       |GROUP BY touch, n_total
       |ORDER BY n_purchases DESC, touch""".stripMargin
 
+  // ---- TS1: seasonal decomposition -----------------------------------------
+  /** TS1: classic ADDITIVE time-series decomposition of the daily
+    * revenue series (trend + day-of-week seasonal + residual — the
+    * moving-average core of STL without loess), exact-integer
+    * end-to-end so membership hash-gates cross-engine:
+    *
+    *  - daily = Σ cents per day;
+    *  - trend×7 = the centered 7-day window SUM (full windows only —
+    *    the first/last 3 days have no defined trend and are absent);
+    *  - detrended×7 = 7·daily − trend×7 (everything stays ×7-scaled
+    *    longs: no division, no doubles, no cross-engine summation-order
+    *    drift anywhere);
+    *  - seasonal×7 per day-of-week = the LOWER MEDIAN of that weekday's
+    *    detrended values — an ACTUAL data value by construction (the
+    *    a10 percentile_disc discipline), where a mean would reintroduce
+    *    doubles;
+    *  - residual×7 = detrended×7 − seasonal×7 (what od3-style anomaly
+    *    flags should run on — a spike is judged against its weekday,
+    *    not the raw series).
+    *
+    * The trend window is a PARTITION-LESS window over the |days|-sized
+    * daily frame — benign by construction (the m5/m7 class: the series
+    * an analyst decomposes is tens-to-thousands of rows at any corpus
+    * size, because upstream aggregation collapsed the volume; at 100 TB
+    * the daily rollup comes from mv1's landed MV and this stays a
+    * driver-scale frame).
+    */
+  private def ts1SeasonalDecompose(s: SparkSession, d: String): DataFrame =
+    seasonalDecompose(Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents")))
+
+  /** The decomposition over an arbitrary (day, cents) daily frame —
+    * factored for planted-series specs.
+    */
+  private[graft] def seasonalDecompose(daily: DataFrame): DataFrame = {
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val dt = daily
+      .withColumn("t7", sum(col("cents")).over(wTrend))
+      .withColumn("wn", count(lit(1)).over(wTrend))
+      .filter(col("wn") === 7)
+      .withColumn("d7", lit(7L) * col("cents") - col("t7"))
+      .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      .localCheckpoint(true)
+    val wDow = Window.partitionBy(col("dow")).orderBy(col("d7"), col("day"))
+    val seas = dt
+      .withColumn("rn", row_number().over(wDow))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("dow"))))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("dow"), col("d7").as("s7"))
+    dt.join(broadcast(seas), "dow")
+      .select(col("day"), col("cents"), col("t7").as("trend7"),
+        col("d7").as("detr7"), col("s7").as("seas7"),
+        (col("d7") - col("s7")).as("resid7"))
+      .orderBy(col("day"))
+  }
+
+  private val ts1Sql =
+    """WITH daily AS (
+      |  SELECT DATE_TRUNC('day', ts) AS day,
+      |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT day, cents,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS t7, COUNT(*) OVER w AS wn
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (
+      |  SELECT day, cents, t7, 7 * cents - t7 AS d7, dayofweek(day) AS dow
+      |  FROM t WHERE wn = 7),
+      |med AS (
+      |  SELECT dow, d7 AS s7 FROM (
+      |    SELECT dow, d7,
+      |      row_number() OVER (PARTITION BY dow ORDER BY d7, day) AS rn,
+      |      COUNT(*) OVER (PARTITION BY dow) AS cnt
+      |    FROM dt) WHERE rn = (cnt + 1) // 2)
+      |SELECT dt.day AS day, dt.cents AS cents, dt.t7 AS trend7,
+      |  dt.d7 AS detr7, m.s7 AS seas7, dt.d7 - m.s7 AS resid7
+      |FROM dt JOIN med m ON dt.dow = m.dow
+      |ORDER BY day""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
+    "ts1_seasonal_decompose" -> Q(ts1SeasonalDecompose, Some(ts1Sql)),
     "e17_interval_union" -> Q(e17IntervalUnion, Some(e17Sql)),
     "e23_attribution"    -> Q(e23Attribution, Some(e23Sql)),
     "e19_gapfill"        -> Q(e19Gapfill, Some(e19Sql)),

@@ -202,4 +202,36 @@ class EventProfileSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._2).toSeq ==
       Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
   }
+
+  test("ts1: constant-plus-impulse series decomposes in closed form — " +
+      "flat trend, zero seasonal medians, the impulse isolated in the " +
+      "residual") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 28 constant days (1000 cents) with a +700 impulse on day index 14:
+    // full 7-day windows exist for indices 3..24; windows containing the
+    // impulse (indices 11..17) get trend7 = 7700, the rest 7000;
+    // detr7 = 7·cents − trend7 → +4200 on the impulse day, −700 on its
+    // six window neighbours, 0 elsewhere. Each day-of-week contributes
+    // ≥3 full-window days and at most one is impulse-affected, so every
+    // weekday's LOWER MEDIAN is 0 → seas7 = 0 and resid7 = detr7.
+    val daily = (0 until 28).map { i =>
+      (java.sql.Timestamp.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i).atStartOfDay()),
+        if (i == 14) 1700L else 1000L)
+    }.toDF("day", "cents")
+    val got = ext.EventOps.seasonalDecompose(daily).collect()
+      .map(r => r.getTimestamp(0).toLocalDateTime.getDayOfMonth - 1 ->
+        ((r.getAs[Long]("trend7"), r.getAs[Long]("detr7"),
+          r.getAs[Long]("seas7"), r.getAs[Long]("resid7"))))
+      .toMap
+    assert(got.keySet === (3 to 24).toSet, "full windows only")
+    for (i <- 3 to 24) {
+      val inImpulseWindow = i >= 11 && i <= 17
+      val expTrend = if (inImpulseWindow) 7700L else 7000L
+      val expDetr =
+        if (i == 14) 4200L else if (inImpulseWindow) -700L else 0L
+      assert(got(i) === ((expTrend, expDetr, 0L, expDetr)), s"day $i")
+    }
+  }
 }

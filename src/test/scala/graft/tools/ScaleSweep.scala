@@ -185,6 +185,9 @@ object ScaleSweep {
       "af4_pit_enrich", "od3_mad_outliers", "t20_corpus_laws",
       // af5 = af4's PIT enrichment + a users-sized latest-version argmax
       "af5_feature_skew",
+      // ts1 = one day-keyed rollup exchange (10× volume, same ~30 days)
+      // then |days|-sized window work
+      "ts1_seasonal_decompose",
       "fm5_prefixspan", "a12_correlations",
       // c7 = map-side md5 + one shard-keyed window; d19 = d7's landed
       // pair machinery + per-cluster argmax (near-dup volume exactly
