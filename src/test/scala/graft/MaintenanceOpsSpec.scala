@@ -240,6 +240,56 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("orphaned claim"))
   }
 
+  test("s19: eight RACING disjoint writers all land exactly once through " +
+      "rebase; overlapping racers serialize to exactly one winner") {
+    import graft.sources.Snapshots
+    import scala.jdk.CollectionConverters._
+    // real thread interleavings (not the staged winner/loser above);
+    // three trials vary the schedule
+    for (trial <- 1 to 3) {
+      val dir = graft.util.Landing.tempDirOnce(s"graft_occrace$trial").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        (0 until 16).map(i => s"f$i").mkString("\n").getBytes("UTF-8"))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { w =>
+        new Thread(() => {
+          try results.add(
+            Snapshots.occCommit(dir, 1, Set(s"f$w"), Seq(s"f${w}_new"))._1)
+          catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(failures.isEmpty, s"disjoint writers must never conflict: " +
+        failures.asScala.map(_.getMessage).mkString("; "))
+      assert(results.asScala.toSet === (2 to 9).toSet,
+        "every commit must land its own distinct version")
+      assert(Snapshots.head(dir) === 9)
+      assert(Snapshots.manifest(dir, 9).toSet ===
+        ((8 until 16).map(i => s"f$i").toSet ++
+          (0 until 8).map(w => s"f${w}_new")),
+        "the converged head must carry every writer's update exactly once")
+      // overlap under race: both replace f9 from the same read version —
+      // whichever interleaving happens, exactly one lands
+      val h = Snapshots.head(dir)
+      val won = new java.util.concurrent.atomic.AtomicInteger
+      val lost = new java.util.concurrent.atomic.AtomicInteger
+      val racers = (0 until 2).map { k =>
+        new Thread(() => {
+          try { Snapshots.occCommit(dir, h, Set("f9"), Seq(s"f9_v$k"))
+            won.incrementAndGet() }
+          catch { case _: Snapshots.CommitConflictException =>
+            lost.incrementAndGet() }
+        })
+      }
+      racers.foreach(_.start()); racers.foreach(_.join())
+      assert(won.get === 1 && lost.get === 1,
+        s"trial $trial: ${won.get} winners / ${lost.get} losers")
+      assert(Snapshots.head(dir) === h + 1)
+    }
+  }
+
   test("s20: add-column evolution rewrites nothing, old snapshots keep the " +
       "old schema, and the merged read null-backfills exactly the " +
       "pre-evolution rows") {

@@ -289,6 +289,17 @@ class MiningOpsSpec extends SparkSpec {
     for (b <- Seq(100L, 102L, 106L, 108L)) assert(got(b) === ((101L, "border")))
   }
 
+  test("km4: the pair join is cell-keyed — no cartesian or nested-loop " +
+      "join anywhere in the plan") {
+    import spark.implicits._
+    val pts = (0L until 200L).map(i => (i, i % 20, i / 20)).toDF("id", "x", "y")
+    val plan = MiningOps.dbscan(pts, eps2Override = Some(2L),
+      minDegOverride = Some(3L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay an equi-join on grid cells:\n$plan")
+  }
+
   test("km4: the registered clustering is non-degenerate — plural clusters " +
       "at the gated SF, real borders and noise everywhere") {
     // at sf0.001 (200 points) the fixed-occupancy ε legitimately spans
