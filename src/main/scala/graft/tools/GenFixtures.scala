@@ -68,7 +68,8 @@ object GenFixtures {
           "x8" -> (graft.ext.SimilarityOps.x8IvfSq8TopK _),
           "x9" -> (graft.ext.SimilarityOps.x9PqTopK _),
           "x18" -> (graft.ext.SimilarityOps.x18BeamTopK _),
-          "x19" -> (graft.ext.SimilarityOps.x19HnswTopK _)))
+          "x19" -> (graft.ext.SimilarityOps.x19HnswTopK _),
+          "x21" -> (graft.ext.SimilarityOps.x21Sq8TopK _)))
         write(s"${short}_topk_$tag") { build(spark, dir) }
     }
     // mm1: real-decode features over synthesized media (MultimodalSpec),

@@ -38,6 +38,7 @@ object RecallProbe {
           "x18b" -> beamSearchGraph(s, x18bDir(s, dir), q5, 10),
           "x19" -> hnswTopK(s, dir, q5, 10),
           "x20" -> beamSearchGraph(s, x20CompactDir(s, dir), q5, 10),
+          "x21" -> graphSq8TopK(s, dir, q5, 10),
           "e26" -> beamSearchGraph(s, e26LayoutDir(s, dir), q5, 10))) {
         val ap = df.select("q_id", "c_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet

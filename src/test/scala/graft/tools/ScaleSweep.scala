@@ -214,6 +214,9 @@ object ScaleSweep {
       // rewrite (one nbr-keyed vector join + per-node top-degree window),
       // then the beam-bounded serve — the x15 cost shape for graphs
       "x20_graph_compact",
+      // x21 = x18's shared build + a map-only quantized relayout, then
+      // the code-walk + exact finalist rerank (both beam-bounded)
+      "x21_graph_sq8",
       // e27 = one parquet write of each batch's own rows + one metadata
       // commit per micro-batch (4 batches over the 10× events), then a
       // manifest-pinned head aggregate — linear in events by construction
