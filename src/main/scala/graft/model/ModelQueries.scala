@@ -89,9 +89,64 @@ object ModelQueries {
     """SELECT 'gbt' AS classifier, 'split70_30' AS "eval",
       |  CAST(0.8323 AS DOUBLE) AS auc_r4, TRUE AS auc_in_band""".stripMargin
 
+  /** S21: the PRECISION/RECALL CURVE behind s5's single AUC number — the
+    * threshold-sweep table an operator actually reads when picking a
+    * deployment cutoff (sklearn's precision_recall_curve, at the nine
+    * decile thresholds). Exact integer confusion counts per threshold
+    * ride as the payload (tp / predicted-positives / positives), with
+    * precision/recall rounded 4 dp; the no-predicted-positive edge takes
+    * precision 1.0 — s4's zero_division=1 convention. Seeded split +
+    * seeded LR make the whole table deterministic (the s4/s5/s8 golden
+    * discipline; literals regenerate from a verified dump after any
+    * intentional semantic change). Scale: one scan of the scored test
+    * split crossed with 9 threshold rows — counts combine map-side.
+    */
+  private def s21PrCurve(s: SparkSession, d: String): DataFrame = {
+    val prepared = StrokePipeline.prepare(s, StrokePipeline.RawCsv)
+    val res = Classifiers.trainEval("lr", prepared)
+    import org.apache.spark.ml.functions.vector_to_array
+    import s.implicits._
+    val scored = res.predictions.select(col("stroke").cast("long").as("y"),
+      element_at(vector_to_array(col("probability")), 2).as("p1"))
+    val thresholds = (1 to 9).map(_ / 10.0).toDF("thr")
+    scored.crossJoin(broadcast(thresholds))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("p1") >= col("thr") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("p1") >= col("thr"), 1L).otherwise(0L))
+          .as("n_pred_pos"),
+        sum(col("y")).as("n_pos"))
+      .select(col("thr"), col("tp"), col("n_pred_pos"), col("n_pos"),
+        round(when(col("n_pred_pos") === 0, 1.0)
+          .otherwise(col("tp").cast("double") / col("n_pred_pos")), 4)
+          .as("precision_r4"),
+        round(col("tp").cast("double") / col("n_pos"), 4).as("recall_r4"))
+      .orderBy(col("thr"))
+  }
+
+  // golden literals from the verified 2026-08-16 dump (seeded split +
+  // seeded LR; regenerate after intentional semantic changes)
+  private val s21Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(0.1 AS DOUBLE), CAST(46 AS BIGINT), CAST(267 AS BIGINT),
+      |     CAST(70 AS BIGINT), CAST(0.1723 AS DOUBLE),
+      |     CAST(0.6571 AS DOUBLE)),
+      |  (0.2, 23, 101, 70, 0.2277, 0.3286),
+      |  (0.3,  7,  29, 70, 0.2414, 0.1),
+      |  (0.4,  0,   2, 70, 0.0,    0.0),
+      |  (0.5,  0,   0, 70, 1.0,    0.0),
+      |  (0.6,  0,   0, 70, 1.0,    0.0),
+      |  (0.7,  0,   0, 70, 1.0,    0.0),
+      |  (0.8,  0,   0, 70, 1.0,    0.0),
+      |  (0.9,  0,   0, 70, 1.0,    0.0))
+      |AS t(thr, tp, n_pred_pos, n_pos, precision_r4, recall_r4)
+      |ORDER BY thr""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s4_rf_report" -> Q(s4RfReport, Some(s4Sql)),
     "s5_lr_auc"    -> Q(s5LrAuc, Some(s5Sql)),
     "s17_gbt_auc"  -> Q(s17GbtAuc, Some(s17Sql)),
+    "s21_pr_curve" -> Q(s21PrCurve, Some(s21Sql)),
   )
 }
