@@ -119,14 +119,33 @@ object Classifiers {
   }
 
   /** 70/30 split path (stroke_predict.py:148-173): fit on train, score
-    * test, AUC from rawPrediction.
+    * test, AUC from rawPrediction. MEMOIZED per (classifier, prepared
+    * source version, label, seed) — the split7030 accounting one level
+    * up: two registered queries over the same seeded fit (s5's AUC and
+    * s21's PR curve both read the LR scores) pay ONE fit per source
+    * version, exactly as a production model registry serves one trained
+    * artifact to every downstream evaluation. Seeded fits are
+    * deterministic here (PARITY.md), so the memo is value-transparent;
+    * family eviction drops superseded source versions
+    * (Landing.memoVersioned).
     */
+  private val fits =
+    scala.collection.concurrent.TrieMap.empty[String, TrainResult]
+
   def trainEval(name: String, prepared: DataFrame,
       labelCol: String = "stroke", seed: Long = 42L): TrainResult = {
-    val (train, test) = split7030(prepared, seed)
-    val model = estimator(name, labelCol).fit(train)
-    val pred = model.asInstanceOf[Model[_]].transform(test)
-    TrainResult(pred, evaluator(labelCol).evaluate(pred))
+    // drop fits of stopped sessions (the frameLanding liveness guard)
+    fits.filterInPlace((_, v) =>
+      !v.predictions.sparkSession.sparkContext.isStopped)
+    graft.util.Landing.memoVersioned(fits,
+      s"fit:$name:$labelCol|" +
+        s"${graft.util.Landing.planVersionKey(prepared)}|$seed") {
+      val (train, test) = split7030(prepared, seed)
+      val model = estimator(name, labelCol).fit(train)
+      val pred = model.asInstanceOf[Model[_]].transform(test)
+        .localCheckpoint(true)
+      TrainResult(pred, evaluator(labelCol).evaluate(pred))
+    }
   }
 
   /** 5-fold CV grid path with resubstitution evaluation

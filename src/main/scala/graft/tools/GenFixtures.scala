@@ -69,7 +69,8 @@ object GenFixtures {
           "x9" -> (graft.ext.SimilarityOps.x9PqTopK _),
           "x18" -> (graft.ext.SimilarityOps.x18BeamTopK _),
           "x19" -> (graft.ext.SimilarityOps.x19HnswTopK _),
-          "x21" -> (graft.ext.SimilarityOps.x21Sq8TopK _)))
+          "x21" -> (graft.ext.SimilarityOps.x21Sq8TopK _),
+          "x22" -> (graft.ext.SimilarityOps.x22FilteredTopK _)))
         write(s"${short}_topk_$tag") { build(spark, dir) }
     }
     // mm1: real-decode features over synthesized media (MultimodalSpec),

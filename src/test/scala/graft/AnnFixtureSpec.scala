@@ -40,7 +40,8 @@ class AnnFixtureSpec extends SparkSpec {
     "x9" -> (ext.SimilarityOps.x9PqTopK _),
     "x18" -> (ext.SimilarityOps.x18BeamTopK _),
     "x19" -> (ext.SimilarityOps.x19HnswTopK _),
-    "x21" -> (ext.SimilarityOps.x21Sq8TopK _))
+    "x21" -> (ext.SimilarityOps.x21Sq8TopK _),
+    "x22" -> (ext.SimilarityOps.x22FilteredTopK _))
 
   for ((short, build) <- builders;
       (dir, tag) <- Seq(Sf001 -> "sf0.01", Sf01 -> "sf0.1")) {

@@ -53,6 +53,11 @@ object RecallProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[recall] $dir x10b aggregate: ${(exF & apF).size.toDouble / exF.size}%.4f" +
         s" per-query: ${(0L until 5L).map(q => (exF.filter(_._1 == q) & apF).size.toDouble / math.max(1, exF.count(_._1 == q))).mkString(", ")}")
+      // x22: filtered search on the graph index vs the same exact filtered
+      val apG = graphFilteredTopK(s, dir, q5, 10).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] $dir x22 aggregate: ${(exF & apG).size.toDouble / exF.size}%.4f" +
+        s" per-query: ${(0L until 5L).map(q => (exF.filter(_._1 == q) & apG).size.toDouble / math.max(1, exF.count(_._1 == q))).mkString(", ")}")
       val exall = bruteForceTopK(emb, emb, 3).select("q_id", "c_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val kj = knnJoin(emb, 3).select("q_id", "c_id")

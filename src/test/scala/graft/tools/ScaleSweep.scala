@@ -217,6 +217,9 @@ object ScaleSweep {
       // x21 = x18's shared build + a map-only quantized relayout, then
       // the code-walk + exact finalist rerank (both beam-bounded)
       "x21_graph_sq8",
+      // x22 = the shared build + a labeled relayout, then the unfiltered
+      // walk whose scored pool is hops-by-beam-by-degree bounded
+      "x22_graph_filtered",
       // e27 = one parquet write of each batch's own rows + one metadata
       // commit per micro-batch (4 batches over the 10× events), then a
       // manifest-pinned head aggregate — linear in events by construction
