@@ -264,8 +264,57 @@ object QualityAudit {
       |       (abs(n - med) > 3.0 * mad) AS is_anomaly
       |FROM daily, m, md ORDER BY day""".stripMargin
 
+  // ---- DQ6: per-stream freshness audit --------------------------------------
+  /** The staleness fold over a (stream, last timestamp) frame — exposed
+    * for the planted-stale-stream spec. Lag is measured against the
+    * freshest stream's watermark (exact integer seconds — the af1
+    * µs-div discipline), the production convention when no external
+    * clock is trustworthy at audit time.
+    */
+  private[graft] def freshness(lastSeen: DataFrame,
+      staleAfterS: Long): DataFrame = {
+    val wm = lastSeen.agg(max(col("last_us")).as("wm_us"))
+    lastSeen.crossJoin(broadcast(wm))
+      .select(col("stream"), col("n"),
+        expr("(wm_us - last_us) div 1000000").as("lag_s"))
+      .select(col("stream"), col("n"), col("lag_s"),
+        (col("lag_s") <= staleAfterS).as("fresh"))
+      .orderBy(col("stream"))
+  }
+
+  /** DQ6: per-stream FRESHNESS — the remaining pillar of the dq family
+    * (dq1 validity, dq2 content diff, dq3 distribution drift, dq4
+    * embedding drift, dq5 volume): a dead upstream producer shows up as
+    * one event_type's last-seen timestamp falling behind the others'
+    * long before volume statistics move (the per-day granularity dq5
+    * watches). Emits per stream the exact last-seen lag in integer
+    * seconds behind the corpus watermark plus a freshness flag at a
+    * 24 h SLO. At 100 TB last-seen-per-stream comes from partition
+    * metadata or the streaming engine's commit log — the audit itself
+    * is |streams|-sized either way; here it is one max-by-type scan
+    * with map-side partials.
+    */
+  private def dq6Freshness(s: SparkSession, d: String): DataFrame =
+    freshness(Tables.events(s, d)
+      .groupBy(col("event_type").as("stream"))
+      .agg(count(lit(1)).as("n"),
+        max(unix_micros(col("ts"))).as("last_us")),
+      staleAfterS = 24L * 3600L)
+
+  private val dq6Sql =
+    """WITH ls AS (
+      |  SELECT event_type AS stream, CAST(COUNT(*) AS BIGINT) AS n,
+      |         MAX(EPOCH_US(ts)) AS last_us
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT MAX(last_us) AS wm_us FROM ls)
+      |SELECT stream, n,
+      |  CAST((wm_us - last_us) // 1000000 AS BIGINT) AS lag_s,
+      |  ((wm_us - last_us) // 1000000 <= 86400) AS fresh
+      |FROM ls, wm ORDER BY stream""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "dq1_constraint_audit" -> Q(dq1Audit, Some(dq1Sql)),
+    "dq6_freshness"        -> Q(dq6Freshness, Some(dq6Sql)),
     "dq2_table_diff"       -> Q(dq2TableDiff, Some(dq2Sql)),
     "dq3_psi_drift"        -> Q(dq3PsiDrift, Some(dq3Sql)),
     "dq5_volume_anomaly"   -> Q(dq5VolumeAnomaly, Some(dq5Sql)),

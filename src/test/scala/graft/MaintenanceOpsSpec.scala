@@ -53,6 +53,24 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(got.length === 6 && got.forall(_._2 === 0L))
   }
 
+  test("dq6: a planted dead stream is flagged stale at the 24h SLO; " +
+      "lag is exact seconds behind the freshest stream") {
+    import spark.implicits._
+    val base = 1700000000000000L // µs
+    val lastSeen = Seq(
+      ("a", 10L, base),
+      ("b", 5L, base - 25L * 3600L * 1000000L),
+      ("c", 7L, base - 3600L * 1000000L))
+      .toDF("stream", "n", "last_us")
+    val got = QualityAudit.freshness(lastSeen, 24L * 3600L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map(
+      "a" -> ((10L, 0L, true)),
+      "b" -> ((5L, 90000L, false)),
+      "c" -> ((7L, 3600L, true))))
+  }
+
   // ---- dq5: volume anomaly scan --------------------------------------------
 
   test("dq5: a planted volume spike is the only flagged day; the robust " +

@@ -188,6 +188,8 @@ object ScaleSweep {
       // ts1 = one day-keyed rollup exchange (10× volume, same ~30 days)
       // then |days|-sized window work
       "ts1_seasonal_decompose",
+      // dq6 = one max-by-type scan with map-side partials, |streams| out
+      "dq6_freshness",
       "fm5_prefixspan", "a12_correlations",
       // c7 = map-side md5 + one shard-keyed window; d19 = d7's landed
       // pair machinery + per-cluster argmax (near-dup volume exactly
