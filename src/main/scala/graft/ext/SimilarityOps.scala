@@ -1804,8 +1804,11 @@ object SimilarityOps {
         val candIds = cand.select(col("c_id")).distinct()
           .collect().map(_.getLong(0)).toSeq.sorted
         if (candIds.nonEmpty) {
-          val scored = scoreOf(cand.select(col("q_id"), col("c_id")),
-            candIds).localCheckpoint(true)
+          // checkpoint `scored` only when it joins the keepAllScored
+          // pool (round-14 advice): the common float walk already gets
+          // its single per-hop materialization from `front`'s checkpoint
+          val raw = scoreOf(cand.select(col("q_id"), col("c_id")), candIds)
+          val scored = if (keepAllScored) raw.localCheckpoint(true) else raw
           if (keepAllScored)
             all = all.unionByName(scored).localCheckpoint(true)
           // Aggregate-under-Window (the x7-proven safe topology; also

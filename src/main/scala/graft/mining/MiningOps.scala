@@ -1226,8 +1226,15 @@ object MiningOps {
     */
   private[graft] def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
+    // eager-checkpoint the symmetric edge list ONCE before the round
+    // loop (round-14 advice): it re-joins every round, and for pr6 its
+    // lineage carries the full co-purchase group-by/having derivation —
+    // without the checkpoint each round re-pays that build. Slim frame
+    // (2 longs per directed edge); blocks free on GC like every
+    // localCheckpoint here.
     val sym = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
     var frontier = dist.select(col("node"))

@@ -1069,6 +1069,10 @@ object CoreOps {
     "sql19_tpch_q8"      -> Q(sql19TpchQ8, Some(q8Sql)),
     "sql20_tpch_q9"      -> Q(sql20TpchQ9, Some(q9Sql)),
     "sql21_tpch_q2"      -> Q(sql21TpchQ2, Some(q2Sql)),
+    // q6 has lived here as q6_forecast_revenue since round 1; the sql22
+    // alias completes the contiguous 22-query TPC-H set under the
+    // identical-expression-tree oracle-reuse discipline (t18)
+    "sql22_tpch_q6"      -> Q(q6Forecast, Some(q6Sql)),
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

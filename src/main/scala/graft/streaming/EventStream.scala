@@ -410,6 +410,19 @@ object EventStream {
     * file-by-file publish explicitly documents it cannot give. Empty
     * micro-batches are skipped (a contentless version would also be
     * invisible to the containment check on replay).
+    *
+    * SINGLE WRITER PER QUERY assumed (round-14 advice): Spark runs one
+    * foreachBatch invocation per batch per streaming query, and replay
+    * only happens after that invocation FAILED — so two stagings of one
+    * batchId are never concurrent under the engine's contract. If two
+    * INDEPENDENT copies of the same query (same checkpoint dir — itself
+    * unsupported by Spark) ever raced here, the second's mode(overwrite)
+    * stage could delete files the first's commit already referenced. A
+    * filesystem claim file cannot close that gap without breaking crash
+    * replay (an orphaned claim is indistinguishable from a live writer);
+    * real stores close it with a metastore CAS, which is exactly where
+    * [[graft.sources.Snapshots.occCommit]]'s scaladoc places the same
+    * residual window.
     */
   private[graft] def txnCommitBatch(dir: String, batch: DataFrame,
       batchId: Long): Unit = {
