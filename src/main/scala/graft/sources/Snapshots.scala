@@ -476,10 +476,195 @@ object Snapshots {
       |FROM customer
       |ORDER BY version""".stripMargin
 
+  // ---- S22: transactional row-level MERGE (copy-on-write + OCC) ------------
+  /** One MERGE attempt against snapshot `readV`: rewrite ONLY the files
+    * whose partition buckets contain matched keys (the s16 copy-on-write
+    * file-granularity contract), publish through [[occCommit]] so a
+    * concurrent commit either rebases cleanly (disjoint files) or raises
+    * [[CommitConflictException]] (our base rows were rewritten under us —
+    * a blind publish would lose the other writer's update).
+    *
+    * `changes` is the MERGE source, (nk, k, op, val): op `U` replaces the
+    * matched row's value, `D` drops it, `I`/unmatched upserts (the cdc2
+    * [[graft.relational.Scd.scd1Merge]] action logic, here landed
+    * transactionally instead of just computed). Data files carry the
+    * bucket key as a DATA column `nkd` beside the partition dir — the s20
+    * lesson: explicit leaf-file manifest reads lose `partitionBy` columns,
+    * so snapshot-read logic must never depend on them.
+    *
+    * At 100 TB this is MERGE INTO on a lakehouse table: cost is one
+    * driver-side manifest filter (metadata), one scan+shuffle of ONLY the
+    * matched buckets joined with the change batch, one partitioned write
+    * of those buckets, one atomic metadata publish. Unmatched buckets —
+    * the overwhelming majority under any locality-clustered layout — are
+    * shared byte-identical with the parent snapshot (spec-asserted).
+    */
+  private[graft] def mergeAttempt(s: SparkSession, dir: String,
+      changes: DataFrame, touched: Seq[Int], readV: Int,
+      sub: String): Int = {
+    val sep = java.io.File.separator
+    val replaced = manifest(dir, readV)
+      .filter(p => touched.exists(nk => p.contains(s"${sep}nk=$nk$sep")))
+      .toSet
+    val current =
+      if (replaced.isEmpty)
+        changes.select(col("k"), col("nk").as("nkd"), col("val").as("bal"))
+          .limit(0)
+      else s.read.parquet(replaced.toSeq.sorted: _*)
+    val merged = current.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        coalesce(col("nkd"), col("nk")).as("nkd"),
+        when(col("op").isNull, col("bal")).otherwise(col("val")).as("bal"))
+    merged.select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+      .repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
+    val added = leafFiles(dir, sub)
+    occCommit(dir, readV, replaced, added)._1
+  }
+
+  /** Transactional MERGE with the standard OCC retry: each attempt
+    * prepares against the CURRENT head; on [[CommitConflictException]]
+    * (a concurrent writer rewrote one of our buckets between our head
+    * fetch and publish) the merge re-reads the new head — which now
+    * contains that writer's rows — and re-applies the change batch, so
+    * both updates land exactly once in some serial order. Returns
+    * (committedVersion, attempts). The change batch is eagerly
+    * checkpointed once: retries re-shuffle only the touched buckets,
+    * never re-derive the changes.
+    */
+  private[graft] def cowMerge(s: SparkSession, dir: String,
+      changes: DataFrame, tag: String, maxAttempts: Int = 5): (Int, Int) = {
+    val chg = changes.localCheckpoint(true)
+    val touched = chg.select(col("nk")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: ≤ |buckets|
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = head(dir)
+      try return (mergeAttempt(s, dir, chg, touched, h, s"$tag${h}a$attempt"),
+        attempt)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The MERGE demo's change batch, fully engine-derivable: per-customer
+    * order totals as upserts (`D` on k%23==0, else `U`), restricted to
+    * nations nk%5==2 so most buckets stay untouched; inserts plant keys
+    * past max(k) for k%31==0 (the cdc2 offset discipline — a fixed offset
+    * collides with real keys past SF≈67), carrying the source customer's
+    * nation so they land in already-matched buckets.
+    */
+  private def s22Changes(s: SparkSession, d: String,
+      base: DataFrame): DataFrame = {
+    val off = base.agg(max(col("k")).cast("long")).first().getLong(0) + 1L
+    val chg0 = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("val"))
+      .select(col("k"),
+        when(col("k") % 23 === 0, "D").otherwise("U").as("op"), col("val"))
+    val chgu = chg0.join(base.select(col("k"), col("nk")), "k")
+      .filter(col("nk") % 5 === 2)
+      .select(col("nk").cast("int").as("nk"), col("k"), col("op"),
+        col("val"))
+    chgu.unionByName(
+      chgu.filter(col("k") % 31 === 0)
+        .select(col("nk"), (col("k") + lit(off)).as("k"),
+          lit("I").as("op"), col("val")))
+  }
+
+  /** Lands the MERGE demo once per source version (customer + orders —
+    * both feed the change batch, so both mtimes ride the key): v1 base
+    * bucketed by nation with the `nkd` data column, manifest_1, then ONE
+    * [[cowMerge]] commit of the order-derived change batch — head lands
+    * at 2.
+    */
+  private[graft] def s22Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      s"$d|custorders|${graft.util.Landing.sourceMtime(d,
+        Seq("customer", "orders"))}|snapmerge",
+      "graft_snapmerge") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+      base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+      val (v, _) = cowMerge(s, dir, s22Changes(s, d, base), "m")
+      require(v == 2, s"MERGE demo expected v2, committed v$v")
+    }
+
+  /** S22: the registered transactional-MERGE read — the converged head
+    * snapshot aggregated PER NATION, each row carrying the structural
+    * `rewritten` flag derived from the MANIFEST diff (head files differ
+    * from v1's). The oracle recomputes the converged table from customer
+    * + orders with the same merge action logic and derives the same flag
+    * from the data (a nation is rewritten iff the change batch touches
+    * it) — so the hash gate pins that the commit rewrote EXACTLY the
+    * matched buckets, not just that the values converged.
+    */
+  private def s22TxnMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = s22Dir(s, d)
+    val h = head(dir)
+    val v1 = manifest(dir, 1).toSet
+    val nkRe = raw"nk=(\d+)".r
+    def nkOf(p: String): Int =
+      nkRe.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    val flags = manifest(dir, h).groupBy(nkOf)
+      .map { case (nk, fs) => (nk, fs.exists(f => !v1.contains(f))) }
+      .toSeq
+    import s.implicits._
+    val flagDf = flags.toDF("nk", "rewritten")
+    readVersion(s, dir, h)
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .join(broadcast(flagDf), "nk")
+      .select(col("nk"), col("n_rows"), col("bal_cents"), col("rewritten"))
+      .orderBy(col("nk"))
+  }
+
+  private val s22Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val
+      |  FROM orders GROUP BY o_custkey),
+      |chgu AS (
+      |  SELECT b.nk, g.k, g.op, g.val FROM chg0 g
+      |  JOIN base b ON b.k = g.k WHERE b.nk % 5 = 2),
+      |chg AS (
+      |  SELECT nk, k, op, val FROM chgu
+      |  UNION ALL
+      |  SELECT nk,
+      |    k + (SELECT CAST(MAX(c_custkey) AS BIGINT) + 1 FROM customer),
+      |    'I', val FROM chgu WHERE k % 31 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.k, c.k) AS k, COALESCE(b.nk, c.nk) AS nk,
+      |    CASE WHEN c.op IS NULL THEN b.bal ELSE c.val END AS bal
+      |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(bal) AS BIGINT) AS bal_cents,
+      |  nk IN (SELECT DISTINCT nk FROM chg) AS rewritten
+      |FROM merged GROUP BY nk ORDER BY nk""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),
     "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
     "s20_schema_evolution" -> Q(s20SchemaEvolution, Some(s20Sql)),
+    "s22_txn_merge" -> Q(s22TxnMerge, Some(s22Sql)),
   )
 }

@@ -331,6 +331,142 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(v2.filter(col("seg").isNotNull).count() === v2.count() - nOld)
   }
 
+  // ---- s22: transactional copy-on-write MERGE -------------------------------
+
+  /** Scratch merge store: n rows over `nations` buckets, bal = k*10,
+    * data files carrying the nkd data column (the s22 layout). Returns
+    * the store dir with manifest_1 published.
+    */
+  private def buildMergeStore(tag: String, n: Int = 40,
+      nations: Int = 4): String = {
+    val dir = graft.util.Landing.tempDirOnce(tag).toString
+    import spark.implicits._
+    (0 until n).map(k => (k.toLong, k % nations, k.toLong * 10L))
+      .toDF("k", "nkd", "bal")
+      .withColumn("nk", col("nkd"))
+      .repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      files.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("s22: the landed MERGE rewrites exactly the matched buckets, shares " +
+      "every untouched file by path, and v1 time-travels unchanged") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s22Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 2, "base + one merge commit")
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m2 = Snapshots.manifest(dir, 2).toSet
+    // the change batch touches only nations nk%5==2 — COW at file
+    // granularity means exactly those buckets' files drop out of head
+    val nkRe = raw"nk=(\d+)".r
+    def nkOf(p: String): Int = nkRe.findFirstMatchIn(p).get.group(1).toInt
+    val dropped = m1 -- m2
+    assert(dropped.nonEmpty && dropped.forall(f => nkOf(f) % 5 == 2),
+      s"head must drop only matched buckets, dropped: $dropped")
+    val shared = m1 & m2
+    assert(shared.nonEmpty && shared.forall(f => nkOf(f) % 5 != 2),
+      "every unmatched bucket must be shared by path")
+    // untouched files are the SAME bytes (paths never rewritten: their
+    // mtimes predate the merge subdir's files)
+    assert((m2 -- m1).forall(new java.io.File(_).exists()))
+    // v1 time-travels: the pre-merge table is intact after the commit
+    val v1Sum = Snapshots.readVersion(spark, dir, 1)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val baseSum = Tables.customer(spark, Sf0001)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")))
+      .first().getLong(0)
+    assert(v1Sum === baseSum)
+  }
+
+  test("s22: a merge against a stale snapshot raises a conflict; the " +
+      "retrying merge re-reads the new head and both changes land " +
+      "exactly once with upsert/delete/insert semantics") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = buildMergeStore("graft_mergespec")
+    // writer A: replace bal with 111 on three nation-1 keys (k%4==1)
+    val aKeys = Seq(1L, 5L, 9L)
+    val chgA = aKeys.map(k => (1, k, "U", 111L)).toDF("nk", "k", "op", "val")
+    val (vA, attA) = Snapshots.cowMerge(spark, dir, chgA, "wa")
+    assert(vA === 2 && attA === 1)
+    // writer B prepared against v1 (STALE — A rewrote nation 1 under it):
+    // updates nation-1 keys disjoint from A's, deletes one nation-2 key,
+    // inserts a new key into nation 2
+    val chgB = (Seq(13L, 17L).map(k => (1, k, "U", 222L)) ++
+      Seq((2, 6L, "D", 0L), (2, 100L, "I", 999L)))
+      .toDF("nk", "k", "op", "val")
+    intercept[Snapshots.CommitConflictException] {
+      Snapshots.mergeAttempt(spark, dir, chgB.localCheckpoint(true),
+        Seq(1, 2), readV = 1, sub = "wb_stale")
+    }
+    assert(Snapshots.head(dir) === 2, "rejected merge must not advance head")
+    // the MERGE-level retry (fresh head fetch) lands it
+    val (vB, attB) = Snapshots.cowMerge(spark, dir, chgB, "wb")
+    assert(vB === 3 && attB === 1)
+    // converged table: A's and B's actions applied exactly once each
+    val rows = Snapshots.readVersion(spark, dir, 3)
+      .select(col("k"), col("nkd"), col("bal"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .toMap
+    assert(rows.size === 40, "40 base − 1 delete + 1 insert")
+    aKeys.foreach(k => assert(rows(k) === ((1, 111L)), s"A's update on $k"))
+    Seq(13L, 17L).foreach(k => assert(rows(k) === ((1, 222L))))
+    assert(!rows.contains(6L), "deleted key must be gone")
+    assert(rows(100L) === ((2, 999L)), "inserted key must land in its bucket")
+    assert(rows(3L) === ((3, 30L)), "untouched nation-3 row intact")
+    // nations 0 and 3 never rewritten: files shared across all 3 manifests
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m3 = Snapshots.manifest(dir, 3).toSet
+    val untouched = m1.filter(f => f.contains("nk=0") || f.contains("nk=3"))
+    assert(untouched.nonEmpty && untouched.subsetOf(m3))
+  }
+
+  test("s22: two RACING row-disjoint merges over the same bucket both " +
+      "land exactly once (one serializes behind the other via retry)") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      val dir = buildMergeStore(s"graft_mergerace$trial")
+      // both touch nation 1 (file-level overlap) on disjoint KEY sets, so
+      // the converged value set is the same whichever commit wins
+      val chgA = Seq(1L, 5L).map(k => (1, k, "U", 111L))
+        .toDF("nk", "k", "op", "val")
+      val chgB = Seq(9L, 13L).map(k => (1, k, "U", 222L))
+        .toDF("nk", "k", "op", "val")
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val attempts = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val threads = Seq(("ra", chgA), ("rb", chgB)).map { case (tag, chg) =>
+        new Thread(() => {
+          try attempts.add(Snapshots.cowMerge(spark, dir, chg, tag)._2)
+          catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty,
+        s"trial $trial: ${failures.asScala.map(_.toString).mkString("; ")}")
+      assert(Snapshots.head(dir) === 3, "both merges must commit")
+      val rows = Snapshots.readVersion(spark, dir, 3)
+        .select(col("k"), col("bal"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      Seq(1L, 5L).foreach(k => assert(rows(k) === 111L))
+      Seq(9L, 13L).foreach(k => assert(rows(k) === 222L))
+      assert(rows(0L) === 0L && rows(2L) === 20L, "unmatched rows intact")
+      assert(rows.size === 40)
+    }
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
