@@ -30,6 +30,7 @@ object Registry {
       sources.IncrementalRollup.qs ++
       sources.Compaction.qs ++
       sources.Snapshots.qs ++
+      sources.FileStats.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

@@ -467,6 +467,48 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- s23: file stats + data skipping --------------------------------------
+
+  test("s23: the stats-pruned scan reads a strict subset of the files " +
+      "under a selective predicate, loses no rows, and the manifest " +
+      "stats are sound per file") {
+    import graft.sources.FileStats
+    val dir = FileStats.s23Dir(spark, Sf0001)
+    val (lo, hi) = ("1996-01-01", "1997-01-01")
+    val (pruned, nKept, nAll) = FileStats.statsPrunedRead(spark, dir, lo, hi)
+    assert(nKept > 0 && nKept < nAll,
+      s"window must keep some and skip some files, kept $nKept/$nAll")
+    val full = spark.read.parquet(s"$dir/data")
+    // the SCAN's actual input files are a strict subset (the verdict ask)
+    val prunedFiles = pruned.inputFiles.toSet
+    val allFiles = full.inputFiles.toSet
+    assert(prunedFiles.subsetOf(allFiles) &&
+      prunedFiles.size < allFiles.size,
+      s"scan must read a strict subset: ${prunedFiles.size}/${allFiles.size}")
+    // skipping is LOSSLESS: pruned + residual filter == full + filter
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("od") >= lo && col("od") < hi)
+        .agg(count(lit(1)), sum(col("cents"))).first()
+    assert(res(pruned) === res(full), "a skipped file held matching rows")
+    // manifest stats match a per-file recomputation exactly
+    val recomputed = full
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("od")).as("lo"), max(col("od")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getString(2),
+        r.getLong(3)))).toMap
+    val st = FileStats.stats(dir)
+    assert(st.size === recomputed.size)
+    st.foreach { case (p, l, h, n) =>
+      assert(recomputed(p) === ((l, h, n)), s"stale stats for $p") }
+    // every SKIPPED file is provably outside the window by its stats
+    val keptPaths = st.filter(t => t._3 >= lo && t._2 < hi).map(_._1).toSet
+    st.filterNot(t => keptPaths(t._1)).foreach { case (p, l, h, _) =>
+      assert(h < lo || l >= hi, s"skipped a file overlapping the window: $p")
+    }
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
