@@ -1718,19 +1718,36 @@ object SimilarityOps {
       queries: DataFrame, k: Int, beam: Int = X18Beam,
       hops: Int = X18Hops, nEntries: Int = X18Entries,
       seeds: Option[DataFrame] = None): DataFrame = {
-    val q = withNorm(s, queries, "q").localCheckpoint(true)
-    graphBeamWalk(s, dir, beam, hops, nEntries, seeds,
-      (cand, nodeRows) => {
-        val cn = nodeRows.filter(col("nrm").isNotNull && col("nrm") > 0)
-          .select(col("id").as("c_id"), col("emb").as("c_emb"),
-            col("nrm").as("c_norm"))
-        cand.join(broadcast(cn), "c_id").join(broadcast(q), "q_id")
-          .filter(col("q_id") =!= col("c_id"))
-          .select(col("q_id"), col("c_id"),
-            (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
-              (col("q_norm") * col("c_norm"))).as("sim"))
-      },
-      q.select(col("q_id")))
+    // land the walked front per (query-set version, graph version,
+    // knobs): the per-hop driver collects otherwise re-run on EVERY
+    // fresh DataFrame build — the d13 class (round-14 verdict #3). The
+    // key is version-transparent: planVersionKey carries the query
+    // frame's source identity+mtime, versionedPathKey the layout
+    // version; checkpoint-derived seed frames (x19's descent) key on
+    // their unique plan hash — never a stale hit, and the outer
+    // hnswTopK landing makes their misses once-per-version. k stays
+    // OUTSIDE the landing (the front is k-independent; beam bounds it).
+    val landedFront = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(queries) +
+        seeds.map(sd =>
+          "|sd." + graft.util.Landing.planVersionKey(sd)).getOrElse("") +
+        s"|bwF.b$beam.h$hops.e$nEntries|" +
+        graft.util.Landing.versionedPathKey(dir)) {
+      val q = withNorm(s, queries, "q").localCheckpoint(true)
+      graphBeamWalk(s, dir, beam, hops, nEntries, seeds,
+        (cand, nodeRows) => {
+          val cn = nodeRows.filter(col("nrm").isNotNull && col("nrm") > 0)
+            .select(col("id").as("c_id"), col("emb").as("c_emb"),
+              col("nrm").as("c_norm"))
+          cand.join(broadcast(cn), "c_id").join(broadcast(q), "q_id")
+            .filter(col("q_id") =!= col("c_id"))
+            .select(col("q_id"), col("c_id"),
+              (VecOps.fdot(s, col("q_emb"), col("c_emb")) /
+                (col("q_norm") * col("c_norm"))).as("sim"))
+        },
+        q.select(col("q_id")))
+    }
+    landedFront
       .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("sim").desc, col("c_id"))))
       .filter(col("rank") <= k)
@@ -2096,19 +2113,30 @@ object SimilarityOps {
   def hnswTopK(s: SparkSession, d: String, queries: DataFrame,
       k: Int): DataFrame = {
     val root = x19LayersDir(s, d)
-    val layerSubs = {
-      val src = scala.io.Source.fromFile(s"$root/_layers.txt")
-      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    val base = knnGraphDir(s, d)
+    // land the whole descent per (query-set version, layers+base graph
+    // versions): the per-layer seed frames are checkpoint-derived, so
+    // the inner beamSearchGraph landings can't hit across fresh builds
+    // — this outer landing is what makes a fresh x19 build flat
+    // (round-14 verdict #3)
+    graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(queries) + s"|x19d.k$k|" +
+        graft.util.Landing.versionedPathKey(root) + "|" +
+        graft.util.Landing.versionedPathKey(base)) {
+      val layerSubs = {
+        val src = scala.io.Source.fromFile(s"$root/_layers.txt")
+        try src.getLines().filter(_.nonEmpty).toList finally src.close()
+      }
+      var seeds: Option[DataFrame] = None
+      for (sub <- layerSubs) {
+        val res = beamSearchGraph(s, s"$root/$sub", queries,
+          k = X19SeedsPerLayer, beam = 8, hops = 2, nEntries = 2,
+          seeds = seeds)
+        seeds = Some(res.select(col("q_id"), col("c_id")))
+      }
+      beamSearchGraph(s, base, queries, k,
+        beam = X19Beam, hops = X19Hops, seeds = seeds)
     }
-    var seeds: Option[DataFrame] = None
-    for (sub <- layerSubs) {
-      val res = beamSearchGraph(s, s"$root/$sub", queries,
-        k = X19SeedsPerLayer, beam = 8, hops = 2, nEntries = 2,
-        seeds = seeds)
-      seeds = Some(res.select(col("q_id"), col("c_id")))
-    }
-    beamSearchGraph(s, knnGraphDir(s, d), queries, k,
-      beam = X19Beam, hops = X19Hops, seeds = seeds)
   }
 
   /** Raw x19 builder on the 5-probe query set (fixture-pinned like x18;
@@ -2270,6 +2298,19 @@ object SimilarityOps {
       k: Int): DataFrame = {
     val codesDir = x21Sq8Dir(s, d)
     val floatDir = knnGraphDir(s, d)
+    // land the whole walk+rerank per (query-set version, codes+float
+    // layout versions): the hop collects AND the finalist-id collect
+    // otherwise re-run per fresh build (round-14 verdict #3)
+    graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(queries) + s"|x21s.k$k|" +
+        graft.util.Landing.versionedPathKey(codesDir) + "|" +
+        graft.util.Landing.versionedPathKey(floatDir)) {
+      graphSq8TopKBuild(s, codesDir, floatDir, queries, k)
+    }
+  }
+
+  private def graphSq8TopKBuild(s: SparkSession, codesDir: String,
+      floatDir: String, queries: DataFrame, k: Int): DataFrame = {
     val qk = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"),
         VecOps.fnorm(s, col("embedding")).as("q_norm"),
@@ -2381,6 +2422,17 @@ object SimilarityOps {
   def graphFilteredTopK(s: SparkSession, d: String, queries: DataFrame,
       k: Int): DataFrame = {
     val dir = x22LabeledDir(s, d)
+    // land the pooled walk + label lookup per (query-set version,
+    // labeled-layout version) — round-14 verdict #3, as above
+    graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(queries) + s"|x22f.k$k|" +
+        graft.util.Landing.versionedPathKey(dir)) {
+      graphFilteredTopKBuild(s, dir, queries, k)
+    }
+  }
+
+  private def graphFilteredTopKBuild(s: SparkSession, dir: String,
+      queries: DataFrame, k: Int): DataFrame = {
     val qk = queries.select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"),
         VecOps.fnorm(s, col("embedding")).as("q_norm"),

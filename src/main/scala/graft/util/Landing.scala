@@ -267,6 +267,16 @@ object Landing {
     * file relations (local/checkpointed inputs) key on the hash alone —
     * their canonicalized plan embeds the data/RDD identity.
     */
+  /** Memo-key segment for a landed-layout PATH: tempDirOnce dirs embed a
+    * random numeric suffix per version, so a raw path segment would give
+    * every layout version its own [[frameFamily]] and superseded memo
+    * entries would never evict. Split the digits into their own
+    * `|`-segment: the letters keep the family stable across versions,
+    * the digits carry the version and strip out of the family.
+    */
+  def versionedPathKey(p: String): String =
+    p.replaceAll("[0-9]+", "") + "|" + p.filter(_.isDigit)
+
   def planVersionKey(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val plan = df.queryExecution.analyzed
