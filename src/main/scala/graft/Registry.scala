@@ -31,6 +31,7 @@ object Registry {
       sources.Compaction.qs ++
       sources.Snapshots.qs ++
       sources.FileStats.qs ++
+      sources.TxnPair.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

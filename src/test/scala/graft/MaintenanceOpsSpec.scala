@@ -509,6 +509,94 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- s24: multi-table atomic commit ---------------------------------------
+
+  test("s24: a crash between the two member-table manifest writes leaves " +
+      "readers on the old consistent pair; recovery publishes once and " +
+      "the pair flips atomically") {
+    import graft.sources.TxnPair
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_txnpairspec").toString
+    def land(sub: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.write.mode("overwrite").parquet(s"$dir/$sub")
+      TxnPair.leaves(s"$dir/$sub")
+    }
+    // txn 1: a consistent fact/MV pair
+    val f1 = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("rf", "qty")
+    val m1 = Seq(("a", 2L, 3L), ("b", 1L, 5L)).toDF("rf", "n_rows", "sum_qty")
+    TxnPair.writeManifest(s"$dir/A", 1, land("A/v1", f1))
+    TxnPair.writeManifest(s"$dir/B", 1, land("B/v1", m1))
+    assert(TxnPair.commitTxn(dir, Map("A" -> 1, "B" -> 1)) === 1)
+    // prepare txn 2 — the fact manifest lands, then the writer CRASHES
+    // before the MV manifest (and the txn publish) are written
+    val f2 = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 7L))
+      .toDF("rf", "qty")
+    TxnPair.writeManifest(s"$dir/A", 2, land("A/v2", f2))
+    // readers are untorn: the txn head still pins the OLD pair — the new
+    // fact manifest is invisible because no transaction names it
+    assert(TxnPair.txnHead(dir) === 1)
+    assert(TxnPair.txnRead(dir, 1) === Map("A" -> 1, "B" -> 1))
+    assert(TxnPair.readAtHead(spark, dir, "A").count() === 3)
+    assert(TxnPair.readAtHead(spark, dir, "B")
+      .agg(sum(col("sum_qty"))).first().getLong(0) === 8L)
+    // recovery: re-prepare the MV member, publish ONCE — the pair flips
+    // in one atomic rename
+    val m2 = Seq(("a", 2L, 3L), ("b", 2L, 12L))
+      .toDF("rf", "n_rows", "sum_qty")
+    TxnPair.writeManifest(s"$dir/B", 2, land("B/v2", m2))
+    assert(TxnPair.commitTxn(dir, Map("A" -> 2, "B" -> 2)) === 2)
+    assert(TxnPair.readAtHead(spark, dir, "A").count() === 4)
+    val mv = TxnPair.readAtHead(spark, dir, "B")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(mv === Map("a" -> ((2L, 3L)), "b" -> ((2L, 12L))))
+    // racing txn publishers land distinct slots (no torn interleaving)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        results.add(TxnPair.commitTxn(dir, Map("A" -> 2, "B" -> 2))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet === (3 to 6).toSet)
+  }
+
+  test("s24: the landed pair store appends the fact member (shared files) " +
+      "and rewrites the MV member; the head MV equals a recompute from " +
+      "the head fact") {
+    import graft.sources.{Snapshots, TxnPair}
+    val dir = TxnPair.s24Dir(spark, Sf0001)
+    assert(TxnPair.txnHead(dir) === 2)
+    // append-only member: txn-2's fact manifest shares every txn-1 file
+    val a1 = Snapshots.manifest(s"$dir/A", 1).toSet
+    val a2 = Snapshots.manifest(s"$dir/A", 2).toSet
+    assert(a1.subsetOf(a2) && (a2 -- a1).nonEmpty)
+    // copy-on-write member: the MV rewrite shares nothing
+    val b1 = Snapshots.manifest(s"$dir/B", 1).toSet
+    val b2 = Snapshots.manifest(s"$dir/B", 2).toSet
+    assert((b1 & b2).isEmpty && b2.nonEmpty)
+    // pair consistency at the head: stored MV == recompute from fact
+    val mv = TxnPair.readAtHead(spark, dir, "B")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val rec = TxnPair.readAtHead(spark, dir, "A")
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(mv === rec)
+    // and txn 1's pair was ALSO consistent (history stays readable)
+    val mv1 = spark.read.parquet(Snapshots.manifest(s"$dir/B", 1): _*)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val rec1 = spark.read.parquet(Snapshots.manifest(s"$dir/A", 1): _*)
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("q"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(mv1 === rec1)
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
