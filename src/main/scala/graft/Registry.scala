@@ -32,6 +32,7 @@ object Registry {
       sources.Snapshots.qs ++
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
+      sources.DeletionVectors.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

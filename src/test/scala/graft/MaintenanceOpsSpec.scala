@@ -597,6 +597,47 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(mv1 === rec1)
   }
 
+  // ---- s25: merge-on-read deletes + purge ------------------------------------
+
+  test("s25: a delete commits without touching a data file, merge-on-read " +
+      "hides exactly the deleted keys, and the purge rewrites only the " +
+      "touched buckets with reads staying equal") {
+    import graft.sources.{DeletionVectors => DV, Snapshots}
+    val dir = DV.s25Dir(spark, Sf0001)
+    val m1 = Snapshots.manifest(dir, 1)
+    // the DELETE is metadata + one delete file: data manifest UNCHANGED
+    assert(Snapshots.manifest(dir, 2) === m1)
+    assert(DV.deletesOf(dir, 2).nonEmpty, "v2 must carry a delete file")
+    assert(DV.deletesOf(dir, 3).isEmpty, "the purge must drop the DV debt")
+    val delKeys = spark.read.parquet(DV.deletesOf(dir, 2): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(delKeys.nonEmpty, "fixture produced no deleted keys")
+    val v1 = spark.read.parquet(m1: _*)
+    val v1Keys = v1.select("k").collect().map(_.getLong(0)).toSet
+    assert(delKeys.subsetOf(v1Keys))
+    // merge-on-read: exactly the deleted keys disappear
+    val v2Keys = DV.readMergeOnRead(spark, dir, 2)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(v2Keys === (v1Keys -- delKeys))
+    // purge equivalence: the compacted snapshot reads identically
+    val v3Keys = DV.readMergeOnRead(spark, dir, 3)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(v3Keys === v2Keys)
+    // purge COW: dropped files are exactly the touched nations' buckets,
+    // untouched buckets shared by path
+    val touchedNk = v1.join(
+        broadcast(spark.read.parquet(DV.deletesOf(dir, 2): _*)), Seq("k"))
+      .select(col("nkd").cast("int")).collect().map(_.getInt(0)).toSet
+    val m3 = Snapshots.manifest(dir, 3).toSet
+    val nkRe = raw"nk=(\d+)".r
+    def nkOf(p: String): Int = nkRe.findFirstMatchIn(p).get.group(1).toInt
+    val dropped = m1.toSet -- m3
+    assert(dropped.nonEmpty && dropped.forall(f => touchedNk(nkOf(f))),
+      s"purge rewrote an untouched bucket: ${dropped.filterNot(f => touchedNk(nkOf(f)))}")
+    val shared = m1.toSet & m3
+    assert(shared.nonEmpty && shared.forall(f => !touchedNk(nkOf(f))))
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
