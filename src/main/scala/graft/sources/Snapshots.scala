@@ -660,11 +660,87 @@ object Snapshots {
       |  nk IN (SELECT DISTINCT nk FROM chg) AS rewritten
       |FROM merged GROUP BY nk ORDER BY nk""".stripMargin
 
+  // ---- CDC3: change data feed between snapshots -----------------------------
+  /** CDC3: the CHANGE DATA FEED read between two committed snapshots of
+    * the MERGE store (Delta CDF / Iceberg incremental read): row-level
+    * (insert | update | delete) changes with before/after values,
+    * computed from ONLY the manifest delta — the files v2 removed hold
+    * every pre-image, the files it added hold every post-image, and the
+    * untouched files (the overwhelming majority under COW) are never
+    * opened. Rows that merely RODE a bucket rewrite (same key, same
+    * value on both sides) are suppressed by the value filter, so the
+    * feed is exactly the net row-level change set of the s22 MERGE —
+    * which the oracle recomputes from the raw tables with the same
+    * action logic.
+    *
+    * At 100 TB this is what makes downstream incremental consumers
+    * (MV refresh, index maintenance, replication) viable: the feed
+    * costs O(changed files), not O(table), and needs no change log —
+    * the COW manifests already ARE one.
+    */
+  private def cdc3ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = s22Dir(s, d)
+    val m1 = manifest(dir, 1).toSet
+    val m2 = manifest(dir, 2).toSet
+    val pre = s.read.parquet((m1 -- m2).toSeq.sorted: _*)
+      .select(col("k"), col("bal").as("bal_before"))
+    val post = s.read.parquet((m2 -- m1).toSeq.sorted: _*)
+      .select(col("k"), col("bal").as("bal_after"))
+    pre.join(post, Seq("k"), "full_outer")
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .select(col("k"),
+        when(col("bal_after").isNull, "delete")
+          .when(col("bal_before").isNull, "insert")
+          .otherwise("update").as("change_type"),
+        col("bal_before"), col("bal_after"))
+      .orderBy(col("k"))
+  }
+
+  private val cdc3Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val
+      |  FROM orders GROUP BY o_custkey),
+      |chgu AS (
+      |  SELECT b.nk, g.k, g.op, g.val FROM chg0 g
+      |  JOIN base b ON b.k = g.k WHERE b.nk % 5 = 2),
+      |chg AS (
+      |  SELECT nk, k, op, val FROM chgu
+      |  UNION ALL
+      |  SELECT nk,
+      |    k + (SELECT CAST(MAX(c_custkey) AS BIGINT) + 1 FROM customer),
+      |    'I', val FROM chgu WHERE k % 31 = 0),
+      |touched AS (SELECT DISTINCT nk FROM chg),
+      |pre AS (
+      |  SELECT k, bal FROM base WHERE nk IN (SELECT nk FROM touched)),
+      |post AS (
+      |  SELECT COALESCE(b.k, c.k) AS k,
+      |    CASE WHEN c.op IS NULL THEN b.bal ELSE c.val END AS bal
+      |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |  WHERE (c.op IS NULL OR c.op <> 'D')
+      |    AND COALESCE(b.nk, c.nk) IN (SELECT nk FROM touched))
+      |SELECT COALESCE(pre.k, post.k) AS k,
+      |  CASE WHEN post.k IS NULL THEN 'delete'
+      |       WHEN pre.k IS NULL THEN 'insert'
+      |       ELSE 'update' END AS change_type,
+      |  pre.bal AS bal_before, post.bal AS bal_after
+      |FROM pre FULL OUTER JOIN post ON pre.k = post.k
+      |WHERE pre.k IS NULL OR post.k IS NULL OR pre.bal <> post.bal
+      |ORDER BY k""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),
     "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
     "s20_schema_evolution" -> Q(s20SchemaEvolution, Some(s20Sql)),
     "s22_txn_merge" -> Q(s22TxnMerge, Some(s22Sql)),
+    "cdc3_change_feed" -> Q(cdc3ChangeFeed, Some(cdc3Sql)),
   )
 }

@@ -597,6 +597,58 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(mv1 === rec1)
   }
 
+  // ---- cdc3: change data feed between snapshots ------------------------------
+
+  test("cdc3: the change feed reads only the manifest-delta files, " +
+      "suppresses rows that merely rode a bucket rewrite, and its change " +
+      "set replays v1 into exactly v2") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s22Dir(spark, Sf0001)
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val m2 = Snapshots.manifest(dir, 2).toSet
+    val removed = (m1 -- m2).toSeq.sorted
+    val added = (m2 -- m1).toSeq.sorted
+    val pre = spark.read.parquet(removed: _*)
+      .select(col("k"), col("bal").as("bal_before"))
+    val post = spark.read.parquet(added: _*)
+      .select(col("k"), col("bal").as("bal_after"))
+    val feed = pre.join(post, Seq("k"), "full_outer")
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+    // the feed's scan surface is exactly the delta files — COW-shared
+    // files are never opened (inputFiles reports file: URIs; manifests
+    // store raw paths)
+    val scanned = (pre.inputFiles.toSet ++ post.inputFiles.toSet)
+      .map(f => new java.net.URI(f).getPath)
+    val extra = scanned -- (removed.toSet ++ added.toSet)
+    assert(extra.isEmpty,
+      s"scan read beyond the delta: ${extra.take(3)} | delta sample: " +
+        s"${removed.take(1)} ${added.take(1)}")
+    val rows = feed.collect()
+      .map(r => (r.getLong(0),
+        (Option(r.get(1)).map(_ => r.getLong(1)),
+          Option(r.get(2)).map(_ => r.getLong(2))))).toMap
+    assert(rows.nonEmpty, "fixture produced an empty change set")
+    // every change type present and typed correctly
+    val dels = rows.filter(_._2._2.isEmpty)
+    val ins = rows.filter(_._2._1.isEmpty)
+    val upd = rows.filter(t => t._2._1.nonEmpty && t._2._2.nonEmpty)
+    assert(upd.nonEmpty, "no updates in the feed")
+    upd.foreach { case (k, (b, a)) => assert(b != a, s"unchanged row $k") }
+    // REPLAY: v1 ⊎ feed == v2 exactly (the incremental-consumer contract)
+    val v1Rows = spark.read.parquet(Snapshots.manifest(dir, 1): _*)
+      .select(col("k"), col("bal")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val v2Rows = spark.read.parquet(Snapshots.manifest(dir, 2): _*)
+      .select(col("k"), col("bal")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val replayed = (v1Rows -- dels.keySet) ++
+      upd.map { case (k, (_, a)) => k -> a.get } ++
+      ins.map { case (k, (_, a)) => k -> a.get }
+    assert(replayed === v2Rows,
+      "applying the change feed to v1 must reproduce v2 exactly")
+  }
+
   // ---- s25: merge-on-read deletes + purge ------------------------------------
 
   test("s25: a delete commits without touching a data file, merge-on-read " +
