@@ -48,5 +48,6 @@ object Registry {
       balance.BalanceQueries.qs ++
       model.ModelQueries.qs ++
       model.Experiments.qs ++
-      streaming.StreamQueries.qs
+      streaming.StreamQueries.qs ++
+      streaming.StreamMerge.qs
 }

@@ -511,11 +511,17 @@ object Snapshots {
         changes.select(col("k"), col("nk").as("nkd"), col("val").as("bal"))
           .limit(0)
       else s.read.parquet(replaced.toSeq.sorted: _*)
+    // op semantics: U/I replace (upsert), D drops, A INCREMENTS — the
+    // CDC-stream merge mode (e28): increments compose order-free across
+    // batches, so exactly-once replay protection is what carries
+    // correctness (a replayed A-batch would double-apply)
     val merged = current.join(changes, Seq("k"), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
       .select(col("k"),
         coalesce(col("nkd"), col("nk")).as("nkd"),
-        when(col("op").isNull, col("bal")).otherwise(col("val")).as("bal"))
+        when(col("op").isNull, col("bal"))
+          .when(col("op") === "A", coalesce(col("bal"), lit(0L)) + col("val"))
+          .otherwise(col("val")).as("bal"))
     merged.select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
       .repartition(col("nk"))
       .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")

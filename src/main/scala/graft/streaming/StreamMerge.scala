@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{Q, Tables}
+import graft.sources.Snapshots
+
+/** E28: STREAMING CDC MERGE — the change-capture stream applied to the
+  * lakehouse table transactionally, composing the round's pieces into
+  * the production pipeline they exist for: per micro-batch, the change
+  * batch (per-customer order totals, op `A` = increment) commits
+  * through [[Snapshots.cowMerge]] — copy-on-write at bucket
+  * granularity, OCC-published, conflict-retried — so readers pinning
+  * any manifest see a transactionally consistent table at every point
+  * of the stream.
+  *
+  * EXACTLY-ONCE matters here more than for e27's appends: increments
+  * are NOT idempotent, so a replayed foreachBatch would double-apply.
+  * Containment is structural, like e27's but across ALL committed
+  * versions (a later merge may rewrite an earlier batch's files out of
+  * the HEAD manifest, so the head alone is not evidence): the batch's
+  * merge subdirs carry the deterministic `mb<id>x` prefix, and a replay
+  * whose prefix appears in ANY committed manifest returns before any
+  * work. A crash before the atomic manifest publish leaves no
+  * reference → the replay re-stages and commits once; after it, the
+  * replay is a no-op. (Versions are immutable and retained; a vacuum
+  * that expires old manifests must keep the batch ledger — the same
+  * rule Delta applies to its txn actions.) Single writer per query
+  * assumed, as documented on [[EventStream.txnCommitBatch]].
+  *
+  * At 100 TB this is the streaming MERGE INTO cost model: per batch,
+  * one scan+shuffle of ONLY the touched buckets joined with the batch's
+  * changes, one partitioned write of those buckets, one metadata
+  * publish; replay costs a manifest scan. The dimension lookup that
+  * routes changes to buckets reads the base mapping (k → bucket),
+  * which is version-invariant for increments.
+  */
+object StreamMerge {
+
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Orders staged as 4 chunk files (o_orderkey mod 4 — the events
+    * splitStageDir discipline), memoized per source version.
+    */
+  private def stageOrders(spark: SparkSession, dir: String)
+      : java.nio.file.Path =
+    stagedDirs.getOrElseUpdate(
+      graft.util.Landing.mtimeKey(dir, "orders"), {
+      import java.nio.file.Files
+      val staged = Files.createTempDirectory("graft_orders_split")
+      val raw = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      for (k <- 0 until 4) {
+        val tmpOut = Files.createTempDirectory("graft_orders_chunk")
+        raw.filter(pmod(col("o_orderkey"), lit(4)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmpOut).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, staged.resolve(f"chunk_$k%02d.parquet"))
+        val walk = Files.walk(tmpOut)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        val walk = Files.walk(staged)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      staged
+    })
+
+  /** One micro-batch's transactional increment-MERGE, replay-safe via
+    * all-manifests batch containment.
+    */
+  private[graft] def mergeBatch(s: SparkSession, store: String,
+      batch: DataFrame, id: Long): Unit = {
+    val sep = java.io.File.separator
+    val h = Snapshots.head(store)
+    val marker = s"${sep}mb${id}x"
+    if ((1 to h).exists(v =>
+        Snapshots.manifest(store, v).exists(_.contains(marker))))
+      return // replay: this batch already committed in some version
+    if (batch.isEmpty) return
+    val dim = s.read.parquet(Snapshots.manifest(store, 1): _*)
+      .select(col("k"), col("nkd").cast("int").as("nk"))
+    val chg = batch.groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("val"))
+      .join(dim, "k")
+      .select(col("nk"), col("k"), lit("A").as("op"), col("val"))
+    Snapshots.cowMerge(s, store, chg, s"mb${id}x")
+    ()
+  }
+
+  /** The landed streaming-MERGE store, once per source version: v1 =
+    * the customer base (nation-bucketed, nkd data column), then the
+    * 4-chunk staged order stream merged batch-by-batch — head lands at
+    * 5 versions (base + one transactional merge per non-empty batch).
+    */
+  private[graft] def e28Dir(spark: SparkSession, dir: String): String =
+    graft.util.Landing.landedLayout(
+      s"$dir|custorders|${graft.util.Landing.sourceMtime(dir,
+        Seq("customer", "orders"))}|streammerge",
+      "graft_smerge") { out =>
+      val base = Tables.customer(spark, dir)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal") * 100).cast("long").as("bal"))
+      base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$out/v1")
+      val m1 = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$out/v1"))
+        try walk.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally walk.close()
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/manifest_1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      val staged = stageOrders(spark, dir).toString
+      val ckp = graft.util.Landing.tempDirOnce("graft_smerge_ckp").toString
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val src = spark.readStream
+          .schema(spark.read.parquet(staged).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staged)
+        val q = src.writeStream.outputMode("append")
+          .foreachBatch((b: DataFrame, id: Long) =>
+            mergeBatch(spark, out, b, id))
+          .option("checkpointLocation", ckp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+  /** E28: the registered read — the converged head snapshot (every
+    * order's cents incremented onto its customer exactly once, across
+    * 4 transactional micro-batch merges) plus `n_versions` as the
+    * structural exactly-once pin (base + exactly one commit per chunk).
+    */
+  private def e28StreamMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = e28Dir(s, d)
+    val h = Snapshots.head(dir).toLong
+    Snapshots.readVersion(s, dir, h.toInt)
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("n_rows"), col("bal_cents"),
+        lit(h).as("n_versions"))
+  }
+
+  private val e28Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + COALESCE(tot, 0)) AS BIGINT) AS bal_cents,
+      |  CAST(5 AS BIGINT) AS n_versions
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS tot
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "e28_stream_merge" -> Q(e28StreamMerge, Some(e28Sql)),
+  )
+}

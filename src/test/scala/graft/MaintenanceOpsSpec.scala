@@ -690,6 +690,56 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(shared.nonEmpty && shared.forall(f => !touchedNk(nkOf(f))))
   }
 
+  // ---- e28: streaming CDC merge ----------------------------------------------
+
+  test("e28: each micro-batch merges transactionally (head = base + one " +
+      "commit per chunk), a replayed increment batch is a no-op, and the " +
+      "converged table equals base + all order totals exactly once") {
+    import graft.sources.Snapshots
+    import graft.streaming.StreamMerge
+    val dir = StreamMerge.e28Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 5, "base + 4 chunk merges")
+    def headAgg(): (Long, Long) = {
+      val r = Snapshots.readVersion(spark, dir, Snapshots.head(dir))
+        .agg(count(lit(1)), sum(col("bal"))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = headAgg()
+    val m5 = Snapshots.manifest(dir, 5)
+    // REPLAY batch 0 (increments — double-apply would corrupt): the
+    // containment check must return before any work
+    val chunk0 = spark.read.parquet(
+      s"${Tables.orders(spark, Sf0001).inputFiles.head}")
+      .filter(pmod(col("o_orderkey"), lit(4)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    StreamMerge.mergeBatch(spark, dir, chunk0, 0L)
+    assert(Snapshots.head(dir) === 5, "replay must not commit a version")
+    assert(Snapshots.manifest(dir, 5) === m5)
+    assert(headAgg() === before, "replay must not re-apply increments")
+    // converged: every order's cents landed on its customer EXACTLY once
+    val expected = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .join(Tables.orders(spark, Sf0001)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("tot")),
+        Seq("k"), "left")
+      .agg(count(lit(1)),
+        sum(col("bal") + coalesce(col("tot"), lit(0L)))).first()
+    assert(before === ((expected.getLong(0), expected.getLong(1))))
+    // mid-stream snapshot isolation: v2 = base + chunk-0 totals only
+    val v2 = Snapshots.readVersion(spark, dir, 2)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val baseSum = Tables.customer(spark, Sf0001)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")))
+      .first().getLong(0)
+    val c0 = chunk0
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .first().getLong(0)
+    assert(v2 === baseSum + c0,
+      "v2 must carry exactly the first chunk's increments")
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
