@@ -33,6 +33,7 @@ object Registry {
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++
+      sources.PartitionEvolution.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

@@ -690,6 +690,48 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(shared.nonEmpty && shared.forall(f => !touchedNk(nkOf(f))))
   }
 
+  // ---- s26: partition-spec evolution -----------------------------------------
+
+  test("s26: the evolution adds spec-2 files without touching spec-1 " +
+      "history, and a straddling read prunes each spec at its own " +
+      "granularity losslessly") {
+    import graft.sources.{PartitionEvolution => PE}
+    val dir = PE.s26Dir(spark, Sf0001)
+    // no rewrite: the evolved manifest contains every pre-evolution line
+    val m1 = PE.specManifest(dir, 1)
+    val m2 = PE.specManifest(dir, 2)
+    assert(m1.toSet.subsetOf(m2.toSet) && m1.forall(_._1 == 1))
+    assert(m2.exists(_._1 == 2), "evolution must add spec-2 files")
+    val (lo, hi) = ("1998-06-01", "1999-07-01")
+    val (pruned, counts) = PE.prunedRead(spark, dir, lo, hi)
+    val (k1, n1) = counts(1)
+    val (k2, n2) = counts(2)
+    assert(k1 > 0 && k1 < n1, s"spec-1 pruning vacuous: $k1/$n1")
+    assert(k2 > 0 && k2 < n2, s"spec-2 pruning vacuous: $k2/$n2")
+    // every skipped file is provably outside the window by its period
+    m2.foreach { case (spec, p) =>
+      val (ps, pe) = PE.filePeriod(spec, p)
+      val keep = ps < hi && pe > lo
+      if (!keep) assert(pe <= lo || ps >= hi)
+    }
+    // lossless: pruned + residual == full-scan + residual
+    val all = spark.read.parquet(m2.map(_._2): _*)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("od") >= lo && col("od") < hi)
+        .agg(count(lit(1)), sum(col("cents"))).first()
+    assert(res(pruned) === res(all), "a skipped file held matching rows")
+    // month-grain beats year-grain: the spec-2 kept set is strictly
+    // smaller than what year-level pruning alone would keep
+    val yearGrainKept = m2.count { case (spec, p) =>
+      spec == 2 && {
+        val y = raw"y=(\d+)".r.findFirstMatchIn(p).get.group(1).toInt
+        f"$y%04d-01-01" < hi && f"${y + 1}%04d-01-01" > lo
+      }
+    }
+    assert(k2 < yearGrainKept,
+      s"finer spec bought no pruning: $k2 vs year-grain $yearGrainKept")
+  }
+
   // ---- e28: streaming CDC merge ----------------------------------------------
 
   test("e28: each micro-batch merges transactionally (head = base + one " +
