@@ -34,6 +34,7 @@ object Registry {
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++
       sources.PartitionEvolution.qs ++
+      sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++
       profile.Profiling.qs ++
       profile.QualityAudit.qs ++

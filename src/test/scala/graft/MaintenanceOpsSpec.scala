@@ -732,6 +732,45 @@ class MaintenanceOpsSpec extends SparkSpec {
       s"finer spec bought no pruning: $k2 vs year-grain $yearGrainKept")
   }
 
+  // ---- s27: write-audit-publish -----------------------------------------------
+
+  test("s27: a red audit publishes nothing — the dirty candidate stays " +
+      "staged and invisible, the head keeps only audited-green data") {
+    import graft.sources.{Snapshots, WriteAuditPublish => WAP}
+    val dir = WAP.s27Dir(spark, Sf0001)
+    // the dirty candidate was REJECTED: head never moved past the clean
+    // publish, and its stage file is still there (vacuum fodder), while
+    // no manifest_3.txt exists for readers to resolve
+    assert(Snapshots.head(dir) === 2)
+    assert(new java.io.File(s"$dir/manifest_3.txt.audit").exists(),
+      "rejected candidate's stage must remain (unpublished)")
+    assert(!new java.io.File(s"$dir/manifest_3.txt").exists())
+    // reader-visible data is audit-clean: no out-of-domain balance, no
+    // duplicate key, row count conserved
+    val head = Snapshots.readVersion(spark, dir, 2)
+    assert(head.filter(col("bal") < WAP.BalFloor).count() === 0,
+      "out-of-domain rows leaked into a published snapshot")
+    assert(head.count() === head.select("k").distinct().count())
+    assert(head.count() ===
+      Snapshots.readVersion(spark, dir, 1).count())
+    // the staged candidate WOULD have been bad — the audit caught a real
+    // violation set, not a vacuous one
+    val staged = {
+      val src = scala.io.Source.fromFile(s"$dir/manifest_3.txt.audit")
+      try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    }
+    val bad = spark.read.parquet(staged: _*)
+    assert(bad.filter(col("bal") < WAP.BalFloor).count() > 0)
+    assert(bad.count() > bad.select("k").distinct().count())
+    // audit log records both outcomes
+    val log = {
+      val src = scala.io.Source.fromFile(s"$dir/_audit_log.txt")
+      try src.mkString finally src.close()
+    }
+    assert(log.contains("candidate 2") && log.contains("PUBLISH"))
+    assert(log.contains("candidate 3") && log.contains("REJECT"))
+  }
+
   // ---- e28: streaming CDC merge ----------------------------------------------
 
   test("e28: each micro-batch merges transactionally (head = base + one " +
