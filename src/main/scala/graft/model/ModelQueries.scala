@@ -143,10 +143,52 @@ object ModelQueries {
       |AS t(thr, tp, n_pred_pos, n_pos, precision_r4, recall_r4)
       |ORDER BY thr""".stripMargin
 
+  /** S28: the CALIBRATION (reliability) table behind s5's AUC — does a
+    * predicted probability MEAN what it says? Scores bin into ten
+    * fixed-width probability buckets; each row carries the exact
+    * integer payload (n, positives) plus mean-predicted and
+    * observed-positive-fraction rounded 4 dp — sklearn's
+    * `calibration_curve(strategy='uniform')` as a table. AUC ranks;
+    * calibration is what a threshold-picking operator needs NEXT to
+    * the s21 curve (an over-confident model with good AUC still burns
+    * whoever reads its probabilities as probabilities). Same
+    * seeded-golden discipline as s4/s5/s21; empty bins are absent, not
+    * zero-filled. Scale: one scan of the scored split, ten groups,
+    * map-side partials.
+    */
+  private def s28Calibration(s: SparkSession, d: String): DataFrame = {
+    val prepared = StrokePipeline.prepare(s, StrokePipeline.RawCsv)
+    val res = Classifiers.trainEval("lr", prepared)
+    import org.apache.spark.ml.functions.vector_to_array
+    res.predictions.select(col("stroke").cast("long").as("y"),
+        element_at(vector_to_array(col("probability")), 2).as("p1"))
+      .withColumn("bin", least(floor(col("p1") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        round(avg(col("p1")), 4).as("mean_pred_r4"))
+      .select(col("bin"), col("n"), col("n_pos"), col("mean_pred_r4"),
+        round(col("n_pos").cast("double") / col("n"), 4).as("frac_pos_r4"))
+      .orderBy(col("bin"))
+  }
+
+  // golden literals from the verified round-15 dump (seeded split +
+  // seeded LR; regenerate after intentional semantic changes)
+  private val s28Sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS INTEGER), CAST(1203 AS BIGINT), CAST(24 AS BIGINT),
+      |     CAST(0.0218 AS DOUBLE), CAST(0.02 AS DOUBLE)),
+      |  (1, 166, 23, 0.1413, 0.1386),
+      |  (2,  72, 16, 0.2389, 0.2222),
+      |  (3,  27,  7, 0.3417, 0.2593),
+      |  (4,   2,  0, 0.4287, 0.0))
+      |AS t(bin, n, n_pos, mean_pred_r4, frac_pos_r4)
+      |ORDER BY bin""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s4_rf_report" -> Q(s4RfReport, Some(s4Sql)),
     "s5_lr_auc"    -> Q(s5LrAuc, Some(s5Sql)),
     "s17_gbt_auc"  -> Q(s17GbtAuc, Some(s17Sql)),
     "s21_pr_curve" -> Q(s21PrCurve, Some(s21Sql)),
+    "s28_calibration" -> Q(s28Calibration, Some(s28Sql)),
   )
 }

@@ -3,6 +3,7 @@ package graft
 import graft.model.Classifiers
 import graft.pipeline.StrokePipeline
 import graft.eval.ClassificationReport
+import org.apache.spark.sql.functions._
 
 /** Model-quality goldens (BASELINE.md). Exact row membership of
   * randomSplit differs from the PySpark runs (partitioning-dependent), so
@@ -90,5 +91,40 @@ class StrokeModelSpec extends SparkSpec {
     import spark.implicits._
     val pred = Seq((1, 1), (0, 1), (0, 0), (1, 0)).toDF("label", "prediction")
     assert(ClassificationReport.accuracy(pred, "label", "prediction") === 0.5)
+  }
+
+  test("s28 calibration table: bins partition the scored test split, " +
+      "fractions are consistent, and the model is monotone-calibrated " +
+      "at the low-probability end") {
+    import graft.pipeline.StrokePipeline
+    import graft.model.Classifiers
+    val prepared = StrokePipeline.prepare(spark, StrokePipeline.RawCsv)
+    val res = Classifiers.trainEval("lr", prepared)
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = res.predictions.select(col("stroke").cast("long").as("y"),
+      element_at(vector_to_array(col("probability")), 2).as("p1"))
+    val rows = scored
+      .withColumn("bin", least(floor(col("p1") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"),
+        avg(col("p1")).as("mp"))
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bins partition the split exactly
+    assert(rows.values.map(_._1).sum === scored.count())
+    rows.foreach { case (b, (n, np, mp)) =>
+      assert(np >= 0 && np <= n, s"bin $b fraction out of range")
+      // mean prediction sits inside its own bin
+      assert(mp >= b / 10.0 - 1e-12 && mp < (b + 1) / 10.0 + 1e-12,
+        s"bin $b mean $mp outside [${b / 10.0}, ${(b + 1) / 10.0})")
+    }
+    // observed positive rate rises with predicted probability across the
+    // populated low bins (n large enough to be stable)
+    val fr = rows.toSeq.sortBy(_._1)
+      .filter(_._2._1 >= 20)
+      .map { case (b, (n, np, _)) => (b, np.toDouble / n) }
+    assert(fr.size >= 3, "too few populated bins to test monotonicity")
+    assert(fr.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"calibration not monotone over populated bins: $fr")
   }
 }
