@@ -987,9 +987,43 @@ object CoreOps {
     * re-execution); region→nation→supplier broadcast-prunes both
     * sides; top-100 rides TakeOrderedAndProject.
     */
+  /** TPC-H Q2 (min-cost supplier) Spark-first: the SQL's correlated
+    * scalar subquery re-derives the part/supplier cost CTE — the big
+    * lineitem group-by — a second time; the DataFrame form computes the
+    * pairs ONCE and takes the per-part EUROPE minimum as a window
+    * aggregate over them (one exchange keyed by part; Window above
+    * Aggregate, the spec-safe topology). Dimension sides broadcast.
+    * Decimal MIN compares exactly, cast to double on output only; the
+    * oracle keeps TPC-H's correlated-subquery SQL and the hash gate
+    * proves value identity. (Round 15: 1.85 s → single-derivation form.)
+    */
   private def sql21TpchQ2(s: SparkSession, d: String): DataFrame = {
-    registerViews(s, d)
-    s.sql(q2Sql)
+    val psupp = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(14, 2)))
+        .as("ps_supplycost"))
+    val esupp = Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_name"),
+        col("n_name"))
+    val parts = Tables.part(s, d)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ps_partkey"))
+    psupp.join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"),
+        col("ps_supplycost").cast("double").as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
   }
 
   private val q2Sql =
