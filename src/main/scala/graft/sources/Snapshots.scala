@@ -741,8 +741,93 @@ object Snapshots {
       |WHERE pre.k IS NULL OR post.k IS NULL OR pre.bal <> post.bal
       |ORDER BY k""".stripMargin
 
+  // ---- S29: snapshot rollback ------------------------------------------------
+  /** Roll the table back to `target`: publish a NEW version whose
+    * manifest equals the target's — a forward-moving commit (Iceberg's
+    * `rollback_to_snapshot`), never a mutation or deletion. The bad
+    * version stays readable for audit until vacuum retires it, readers
+    * that pinned it are unaffected, and the rollback costs one manifest
+    * copy through the standard claim+rename publish. Replaced-file
+    * metadata: the rollback "replaces" exactly the files the undone
+    * commits added (so a concurrent writer REBASING over those files
+    * conflicts, correctly — its base rows were unwound).
+    */
+  private[graft] def rollbackTo(dir: String, target: Int): Int = {
+    val h = head(dir)
+    val headFiles = manifest(dir, h).toSet
+    val targetFiles = manifest(dir, target).toSet
+    // replace what the undone commits added (head − target: a concurrent
+    // writer rebasing over those files conflicts, correctly — its base
+    // rows were unwound); add back only what the head LOST (target −
+    // head) — files still shared ride through occCommit's rebase,
+    // never duplicated
+    occCommit(dir, h, headFiles -- targetFiles,
+      (targetFiles -- headFiles).toSeq.sorted)._1
+  }
+
+  /** Lands the rollback demo once per source version: v1 base, a
+    * fat-finger credit commit v2 (every nation-6 account +9999), then
+    * the ROLLBACK — head v3's manifest equals v1's by content.
+    */
+  private[graft] def s29Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|snaprollback",
+      "graft_snapback") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+      base.repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      val m1 = Option(new java.io.File(s"$dir/v1").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+        .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(_.getAbsolutePath))
+        .toSeq.sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      val (rep, add) = prepareCredit(dir, 1, base, 6, 9999L, "oops")
+      val (v2, _) = occCommit(dir, 1, rep, add)
+      require(v2 == 2)
+      require(rollbackTo(dir, 1) == 3, "rollback must publish as v3")
+    }
+
+  /** S29: the registered rollback read — per-version aggregates proving
+    * the three contract points: the head (v3) equals v1 exactly (the
+    * rollback undid the bad commit), the bad v2 STAYS readable for
+    * audit (its aggregate carries the fat-finger credit), and the
+    * rollback was a forward commit (`n_versions` = 3, nothing deleted).
+    */
+  private def s29SnapshotRollback(s: SparkSession, d: String): DataFrame = {
+    val dir = s29Dir(s, d)
+    def agg(v: Int): DataFrame =
+      readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("bal_cents"))
+    agg(1).unionByName(agg(2)).unionByName(agg(3))
+      .withColumn("n_versions", lit(head(dir).toLong))
+      .orderBy(col("version"))
+  }
+
+  private val s29Sql =
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |      AS bal_cents,
+      |    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |      + CASE WHEN c_nationkey = 6 THEN 9999 ELSE 0 END) AS BIGINT)
+      |      AS bad_cents
+      |  FROM customer)
+      |SELECT 1 AS version, n_rows, bal_cents,
+      |  CAST(3 AS BIGINT) AS n_versions FROM base
+      |UNION ALL SELECT 2, n_rows, bad_cents, 3 FROM base
+      |UNION ALL SELECT 3, n_rows, bal_cents, 3 FROM base
+      |ORDER BY version""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
+    "s29_snapshot_rollback" -> Q(s29SnapshotRollback, Some(s29Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),
     "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
     "s20_schema_evolution" -> Q(s20SchemaEvolution, Some(s20Sql)),

@@ -331,6 +331,34 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(v2.filter(col("seg").isNotNull).count() === v2.count() - nOld)
   }
 
+  // ---- s29: snapshot rollback -------------------------------------------------
+
+  test("s29: rollback is a forward commit — the head manifest equals the " +
+      "target's content, the bad version stays readable for audit, and " +
+      "the rollback's conflict metadata covers exactly the undone files") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s29Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 3, "base + bad commit + rollback")
+    // content-equal to the target, published as a NEW version
+    assert(Snapshots.manifest(dir, 3) === Snapshots.manifest(dir, 1))
+    // nothing deleted: every bad-version file survives (audit + pinned
+    // readers), retirement is vacuum's job
+    val m2 = Snapshots.manifest(dir, 2)
+    m2.foreach(f => assert(new java.io.File(f).exists(),
+      s"rollback deleted a v2 file: $f"))
+    // conflict metadata: the rollback replaces exactly what it undoes,
+    // so a concurrent writer rebasing over those files conflicts
+    val undone = m2.toSet -- Snapshots.manifest(dir, 1).toSet
+    assert(undone.nonEmpty && Snapshots.replacedOf(dir, 3) === undone)
+    // values: head clean, bad version auditable with the fat-finger sum
+    def sumOf(v: Int) = Snapshots.readVersion(spark, dir, v)
+      .agg(sum(col("bal"))).first().getLong(0)
+    val n6 = Tables.customer(spark, Sf0001)
+      .filter(col("c_nationkey") === 6).count()
+    assert(sumOf(3) === sumOf(1))
+    assert(sumOf(2) === sumOf(1) + 9999L * n6)
+  }
+
   // ---- s22: transactional copy-on-write MERGE -------------------------------
 
   /** Scratch merge store: n rows over `nations` buckets, bal = k*10,
