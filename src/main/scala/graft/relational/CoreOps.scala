@@ -1014,10 +1014,16 @@ object CoreOps {
       .select(col("p_partkey"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ps_partkey"))
-    psupp.join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
+    // parts joins BELOW the window (round-15 verdict #7): the per-part
+    // EUROPE min is unaffected by restricting to the filtered parts, so
+    // pushing the selective broadcast join under the window shrinks the
+    // window exchange from |all part×EUROPE-supplier pairs| to the
+    // filtered subset — the difference between O(selectivity·pairs) and
+    // O(pairs) shuffled at 100 TB
+    psupp.join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
       .withColumn("min_cost", min(col("ps_supplycost")).over(w))
       .filter(col("ps_supplycost") === col("min_cost"))
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"),
         col("ps_supplycost").cast("double").as("ps_supplycost"))
@@ -1120,10 +1126,10 @@ object CoreOps {
     "sql19_tpch_q8"      -> Q(sql19TpchQ8, Some(q8Sql)),
     "sql20_tpch_q9"      -> Q(sql20TpchQ9, Some(q9Sql)),
     "sql21_tpch_q2"      -> Q(sql21TpchQ2, Some(q2Sql)),
-    // q6 has lived here as q6_forecast_revenue since round 1; the sql22
-    // alias completes the contiguous 22-query TPC-H set under the
-    // identical-expression-tree oracle-reuse discipline (t18)
-    "sql22_tpch_q6"      -> Q(q6Forecast, Some(q6Sql)),
+    // TPC-H Q6 is q6_forecast_revenue (registered since round 1) — the
+    // 22-query set is complete; the former sql22_tpch_q6 alias was
+    // retired in round 16 (same builder + oracle registered twice
+    // double-counted one computation and benched it twice)
     "q6_forecast_revenue" -> Q(q6Forecast, Some(q6Sql)),
     "p1_project"         -> Q(p1Project, Some(p1Sql)),
     "p2_drop_cast"       -> Q(p2DropCast, Some(p2Sql)),

@@ -131,6 +131,28 @@ class CoreOpsSpec extends SparkSpec {
       "w5 must not fall back to a window")
   }
 
+  test("sql21: parts filter joins BELOW the per-part min window") {
+    // Round-15 verdict #7: the window exchange must carry only the
+    // filtered parts' pairs. Structural pin: the part scan sits in the
+    // Window operator's SUBTREE (joined before the min-over-part), and
+    // the window still sits above the psupp Aggregate (the spec-safe
+    // Window-above-Aggregate topology).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    val df = SparkEntry.queries("sql21_tpch_q2")(spark, Sf001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty, "sql21 lost its window form")
+    def subtreeHas(p: LogicalPlan, f: LogicalPlan => Boolean): Boolean =
+      p.collectFirst { case n if f(n) => n }.isDefined
+    val w = windows.head
+    assert(subtreeHas(w.child,
+      n => n.children.isEmpty && n.output.exists(_.name == "p_partkey")),
+      "part scan not below the window:\n" + w.toString.take(1500))
+    assert(subtreeHas(w.child, { case _: Aggregate => true; case _ => false }),
+      "psupp aggregate not below the window")
+  }
+
   test("w5: ties break exactly like w1 and survive partitioning changes") {
     import spark.implicits._
     // planted ties: equal keys resolve by smaller payload first

@@ -32,6 +32,39 @@ class DocsConsistencySpec extends AnyFunSuite {
     val names = Registry.all.map(_._1)
     assert(names.distinct.size === names.size,
       "duplicate registered query name")
+    // No undeclared aliases (round-15 verdict: the sql22_tpch_q6
+    // registration reused q6's builder + oracle under a second name,
+    // double-counting one computation and benching it twice). Builder
+    // identity is unobservable after eta-expansion, but an alias
+    // necessarily reuses the same oracle-SQL val — so group by the SQL
+    // string INSTANCE and require every shared-oracle group to be one
+    // of the declared identical-expression-tree reuse pairs (distinct
+    // builders deliberately gated against one oracle, the t18
+    // discipline).
+    val declaredShared = Set(
+      Set("q1_pricing_summary", "sql1_tpch_q1"),
+      Set("sql2_tpch_q5", "j2_join_snowflake"),
+      Set("q17_small_qty_rev", "sql8_tpch_q17"),
+      Set("t17_bm25", "t18_bm25_indexed"),
+      Set("mv2_sketch_rollup", "e22_stream_sketch"),
+      Set("d8_incremental_dedup", "d8b_incremental_indexed"),
+      Set("d15_neardup_search", "e21_stream_neardup"),
+      Set("b1_smote_balance", "b3_smote_lsh"),
+      Set("af4_pit_enrich", "e24_stream_pit"),
+      Set("e1_tumbling_window", "e4_stream_tumbling"),
+      Set("e10_sliding_window", "e11_stream_sliding"),
+      Set("x10b_filtered_ivf", "x17_filtered_persisted",
+        "x22_graph_filtered"))
+    val bySqlInstance = Registry.all
+      .flatMap { case (n, q) => q.sql.map(sql => (n, sql)) }
+      .groupBy { case (_, sql) => System.identityHashCode(sql) }
+      .values.filter(_.size > 1)
+      .map(_.map(_._1).toSet)
+    val undeclared = bySqlInstance.filterNot(declaredShared)
+    assert(undeclared.isEmpty,
+      s"undeclared shared-oracle registrations (alias or new reuse " +
+        s"pair — declare it here if deliberate): " +
+        undeclared.map(_.mkString("=")).mkString(", "))
     val running = txt.split(raw"## Running").last
     assert(raw"\d+ (tests|suites)".r.findFirstIn(running).isEmpty,
       "the Running section must not duplicate test/suite counts — " +
