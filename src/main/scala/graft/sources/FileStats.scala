@@ -88,7 +88,13 @@ object FileStats {
     val st = stats(dir)
     val kept = st.filter { case (_, lo, hi, _) =>
       hi >= loIncl && lo < hiExcl }
-    (s.read.parquet(kept.map(_._1): _*), kept.size, st.size)
+    // a window intersecting NO file still returns an empty frame with
+    // the table schema (round-15 advice: zero paths would throw
+    // UNABLE_TO_INFER_SCHEMA) — one known file, constant-false filter
+    val df =
+      if (kept.nonEmpty) s.read.parquet(kept.map(_._1): _*)
+      else s.read.parquet(st.head._1).filter(lit(false))
+    (df, kept.size, st.size)
   }
 
   /** S23: the registered data-skipping read — an exact one-year

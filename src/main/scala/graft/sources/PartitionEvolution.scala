@@ -117,7 +117,12 @@ object PartitionEvolution {
     val counts = files.groupBy(_._1).map { case (spec, fs) =>
       spec -> (kept.count(_._1 == spec), fs.size)
     }
-    (s.read.parquet(kept.map(_._2): _*), counts)
+    // empty-intersection guard (round-15 advice): keep the table schema
+    // via one known file behind a constant-false filter
+    val df =
+      if (kept.nonEmpty) s.read.parquet(kept.map(_._2): _*)
+      else s.read.parquet(files.head._2).filter(lit(false))
+    (df, counts)
   }
 
   /** S26: the registered evolved read — an exact aggregate over a

@@ -539,6 +539,14 @@ object Snapshots {
     * checkpointed once: retries re-shuffle only the touched buckets,
     * never re-derive the changes.
     */
+  /** Writer-unique token for staging subdirs — two concurrent
+    * [[cowMerge]] calls sharing a tag at the same head must not clobber
+    * each other's staged files before commit (round-15 advice; tags
+    * ride FIRST in the subdir name, so marker-prefix containment checks
+    * like e28's are unaffected).
+    */
+  private val stagingSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def cowMerge(s: SparkSession, dir: String,
       changes: DataFrame, tag: String, maxAttempts: Int = 5): (Int, Int) = {
     val chg = changes.localCheckpoint(true)
@@ -548,8 +556,8 @@ object Snapshots {
     while (true) {
       attempt += 1
       val h = head(dir)
-      try return (mergeAttempt(s, dir, chg, touched, h, s"$tag${h}a$attempt"),
-        attempt)
+      val sub = s"$tag${h}a${attempt}u${stagingSeq.incrementAndGet()}"
+      try return (mergeAttempt(s, dir, chg, touched, h, sub), attempt)
       catch {
         case e: CommitConflictException =>
           if (attempt >= maxAttempts) throw e

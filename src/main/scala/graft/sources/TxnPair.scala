@@ -58,8 +58,19 @@ object TxnPair {
     * table's manifest must already be durable — the caller's prepare
     * step). O_EXCL slot claim + rename of a fully-written temp: the s19
     * publication discipline, one level up. Returns the txn number.
+    *
+    * A LOST claim does not blindly take the next slot (round-15 advice:
+    * readers resolve the MAX slot, so publishing an older table-version
+    * pair under a higher slot than a concurrent newer pair would make
+    * the newer commit permanently invisible — a lost update with no
+    * conflict signal). Instead the loser waits for the winner's txn to
+    * publish (the occCommit discipline), verifies its own pins still
+    * SUPERSEDE every table the winner pinned, and only then claims the
+    * next slot; a regression throws [[Snapshots.CommitConflictException]]
+    * and the caller must re-prepare against the new head.
     */
-  private[graft] def commitTxn(dir: String, vers: Map[String, Int]): Int = {
+  private[graft] def commitTxn(dir: String, vers: Map[String, Int],
+      claimWaitMs: Long = 10000L): Int = {
     var n = txnHead(dir) + 1
     while (true) {
       val claim = new java.io.File(dir, s"txn_$n.txt.claim")
@@ -74,7 +85,24 @@ object TxnPair {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         return n
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => n += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val tf = new java.io.File(dir, s"txn_$n.txt")
+          val deadline = System.nanoTime() + claimWaitMs * 1000000L
+          while (!tf.exists() && System.nanoTime() < deadline)
+            Thread.sleep(2)
+          if (!tf.exists())
+            throw new Snapshots.CommitConflictException(
+              s"orphaned txn claim for slot $n (claimant died mid-" +
+                "publish); manual recovery: remove " + claim.getPath)
+          val winner = txnRead(dir, n)
+          val regressed = winner.filter { case (t, v) =>
+            !vers.get(t).exists(_ >= v) }
+          if (regressed.nonEmpty)
+            throw new Snapshots.CommitConflictException(
+              s"txn slot $n pinned newer versions for " +
+                s"${regressed.keys.mkString(",")} — re-prepare against " +
+                "the new transaction head before committing")
+          n += 1
       }
     }
     throw new IllegalStateException("unreachable")

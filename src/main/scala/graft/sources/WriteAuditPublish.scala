@@ -48,28 +48,63 @@ object WriteAuditPublish {
     (r.getLong(0), r.getLong(1), r.getLong(2) - parentRows)
   }
 
+  /** Unique suffix per staged candidate — two concurrent publishers at
+    * the same head must not clobber each other's stage file.
+    */
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Stage → audit → publish-or-reject. The staged manifest lives at
-    * `manifest_<n>.txt.audit` (invisible: [[Snapshots.head]] matches
-    * only `.txt`); publish is one atomic rename. Returns true iff
-    * published.
+    * `manifest_<n>.txt.audit.<tok>` (invisible: [[Snapshots.head]]
+    * matches only `.txt`); publish takes the version slot with the
+    * occCommit O_EXCL claim FIRST (round-15 advice: a bare ATOMIC_MOVE
+    * onto `manifest_N.txt` is a silent POSIX rename replace — two
+    * concurrent publishers picking the same N would lose one audited-
+    * green commit), then renames the stage in. A publisher that loses
+    * the claim race waits for the winner's manifest and re-runs the
+    * WHOLE stage+audit from the new head — the audit's row-conservation
+    * premise is against the parent snapshot, so a moved head invalidates
+    * it. A red audit never claims a slot at all: rejects consume
+    * nothing. Returns true iff published.
     */
   private[graft] def auditedPublish(s: SparkSession, dir: String,
-      files: Seq[String], auditLog: StringBuilder): Boolean = {
-    val h = Snapshots.head(dir)
-    val parentRows = s.read.parquet(Snapshots.manifest(dir, h): _*).count()
-    val n = h + 1
-    val stage = java.nio.file.Paths.get(s"$dir/manifest_$n.txt.audit")
-    java.nio.file.Files.write(stage,
-      files.sorted.mkString("\n").getBytes("UTF-8"))
-    val (dups, oob, delta) = audit(s, dir, files, parentRows)
-    val ok = dups == 0 && oob == 0 && delta == 0
-    auditLog.append(s"candidate $n: dups=$dups outOfDomain=$oob " +
-      s"rowDelta=$delta -> ${if (ok) "PUBLISH" else "REJECT"}\n")
-    if (ok)
-      java.nio.file.Files.move(stage,
-        java.nio.file.Paths.get(s"$dir/manifest_$n.txt"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ok
+      files: Seq[String], auditLog: StringBuilder,
+      claimWaitMs: Long = 10000L): Boolean = {
+    while (true) {
+      val h = Snapshots.head(dir)
+      val parentRows = s.read.parquet(Snapshots.manifest(dir, h): _*).count()
+      val n = h + 1
+      val stage = java.nio.file.Paths.get(
+        s"$dir/manifest_$n.txt.audit.${stageSeq.incrementAndGet()}")
+      java.nio.file.Files.write(stage,
+        files.sorted.mkString("\n").getBytes("UTF-8"))
+      val (dups, oob, delta) = audit(s, dir, files, parentRows)
+      val ok = dups == 0 && oob == 0 && delta == 0
+      auditLog.append(s"candidate $n: dups=$dups outOfDomain=$oob " +
+        s"rowDelta=$delta -> ${if (ok) "PUBLISH" else "REJECT"}\n")
+      if (!ok) return false
+      val claim = new java.io.File(dir, s"manifest_$n.txt.claim")
+      try {
+        java.nio.file.Files.createFile(claim.toPath) // atomic test-and-set
+        java.nio.file.Files.move(stage,
+          java.nio.file.Paths.get(s"$dir/manifest_$n.txt"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        return true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // lost the slot: wait for the winner's publish (claims here
+          // are only ever taken by green candidates about to rename),
+          // then re-stage and RE-AUDIT against the new head
+          val mf = new java.io.File(dir, s"manifest_$n.txt")
+          val deadline = System.nanoTime() + claimWaitMs * 1000000L
+          while (!mf.exists() && System.nanoTime() < deadline)
+            Thread.sleep(2)
+          if (!mf.exists())
+            throw new Snapshots.CommitConflictException(
+              s"orphaned claim for version $n (claimant died mid-" +
+                "publish); manual recovery: remove " + claim.getPath)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def nkFiles(m: Seq[String], nk: Int): Seq[String] = {

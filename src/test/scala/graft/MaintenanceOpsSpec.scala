@@ -770,7 +770,11 @@ class MaintenanceOpsSpec extends SparkSpec {
     // publish, and its stage file is still there (vacuum fodder), while
     // no manifest_3.txt exists for readers to resolve
     assert(Snapshots.head(dir) === 2)
-    assert(new java.io.File(s"$dir/manifest_3.txt.audit").exists(),
+    // stage names carry a writer-unique suffix since round 16
+    val stageFiles = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("manifest_3.txt.audit"))
+    assert(stageFiles.nonEmpty,
       "rejected candidate's stage must remain (unpublished)")
     assert(!new java.io.File(s"$dir/manifest_3.txt").exists())
     // reader-visible data is audit-clean: no out-of-domain balance, no
@@ -784,7 +788,7 @@ class MaintenanceOpsSpec extends SparkSpec {
     // the staged candidate WOULD have been bad — the audit caught a real
     // violation set, not a vacuous one
     val staged = {
-      val src = scala.io.Source.fromFile(s"$dir/manifest_3.txt.audit")
+      val src = scala.io.Source.fromFile(stageFiles.head)
       try src.getLines().filter(_.nonEmpty).toList finally src.close()
     }
     val bad = spark.read.parquet(staged: _*)
