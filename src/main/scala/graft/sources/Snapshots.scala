@@ -82,17 +82,78 @@ object Snapshots {
       graft.util.Landing.mtimeKey(d, "customer") + "|snap",
       "graft_snap")(dir => buildVersioned(s, d, dir))
 
-  /** The pinned file list of a version — a bounded driver read
-    * (≤ |nations| lines), the manifest-fetch cost model.
+  /** Raw manifest ENTRIES of a version — one line per data file, either
+    * a bare `path` (pre-stats manifests) or a stats-carrying
+    * `path|nk_lo|nk_hi|bal_lo|bal_hi|rows` entry (round-16: commits
+    * write per-file min/max column stats INTO the manifest, the Iceberg
+    * manifest-entry / Delta add-action-stats shape). A bounded driver
+    * read (≤ |files| lines), the manifest-fetch cost model.
     */
-  private[graft] def manifest(dir: String, v: Int): Seq[String] = {
+  private[graft] def manifestLines(dir: String, v: Int): Seq[String] = {
     val src = scala.io.Source.fromFile(s"$dir/manifest_$v.txt")
     try src.getLines().toList finally src.close()
   }
 
+  /** Path of a manifest entry (paths never contain '|'). */
+  private[graft] def pathOf(line: String): String = line.split('|')(0)
+
+  /** The pinned file list of a version (entry paths, stats stripped). */
+  private[graft] def manifest(dir: String, v: Int): Seq[String] =
+    manifestLines(dir, v).map(pathOf)
+
   private[graft] def readVersion(s: SparkSession, dir: String,
       v: Int): DataFrame =
     s.read.parquet(manifest(dir, v): _*)
+
+  /** Commit-time per-file stats over staged data files (schema
+    * k/nkd/bal — the versioned-store layout): one columnar aggregate
+    * pass keyed by file, ≤ |files| result rows (bounded driver
+    * collect), formatted as manifest entries. Production formats track
+    * stats for every column; here the bucket key and the value column
+    * are the two a selective read or merge planner needs.
+    */
+  private[graft] def statsEntries(s: SparkSession,
+      files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("nkd").cast("long")).as("nklo"),
+        max(col("nkd").cast("long")).as("nkhi"),
+        min(col("bal")).as("ballo"), max(col("bal")).as("balhi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val p = new java.net.URI(r.getString(0)).getPath
+        s"$p|${r.getLong(1)}|${r.getLong(2)}|${r.getLong(3)}|" +
+          s"${r.getLong(4)}|${r.getLong(5)}"
+      }.toSeq.sortBy(pathOf)
+  }
+
+  /** Stats-pruned snapshot read: keep exactly the files whose recorded
+    * [nk_lo, nk_hi] interval intersects [nkLo, nkHi] (and, when given,
+    * whose bal_hi reaches balMin) — a driver-side manifest parse with
+    * ZERO I/O for skipped files, composing with the parquet reader's
+    * row-group pruning inside kept files. Entries without stats are
+    * kept conservatively (correctness never depends on stats being
+    * present). An empty intersection returns a schema-carrying empty
+    * frame. Returns (frame, keptFiles, totalFiles).
+    */
+  private[graft] def readVersionPruned(s: SparkSession, dir: String,
+      v: Int, nkLo: Long, nkHi: Long, balMin: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val lines = manifestLines(dir, v)
+    val kept = lines.filter { l =>
+      val p = l.split('|')
+      p.length < 6 || {
+        p(2).toLong >= nkLo && p(1).toLong <= nkHi &&
+          balMin.forall(m => p(4).toLong >= m)
+      }
+    }.map(pathOf)
+    val df =
+      if (kept.nonEmpty) s.read.parquet(kept: _*)
+      else s.read.parquet(manifest(dir, v).head).filter(lit(false))
+    (df, kept.size, lines.size)
+  }
 
   private def s16SnapshotRead(s: SparkSession, d: String): DataFrame = {
     val dir = s16Dir(s, d)
@@ -258,8 +319,11 @@ object Snapshots {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/replaced_$n.txt"),
           replaced.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        // rebase over ENTRIES: parent lines (with their stats) survive
+        // untouched unless replaced by path; `added` may carry stats
         val newManifest =
-          (manifest(dir, h).filterNot(replaced) ++ added).sorted
+          (manifestLines(dir, h).filterNot(l => replaced(pathOf(l))) ++
+            added).sortBy(pathOf)
         val tmp = java.nio.file.Paths.get(s"$dir/manifest_$n.tmp")
         java.nio.file.Files.write(tmp,
           newManifest.mkString("\n").getBytes("UTF-8"))
@@ -525,7 +589,11 @@ object Snapshots {
     merged.select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
       .repartition(col("nk"))
       .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-    val added = leafFiles(dir, sub)
+    // stats are written BY THE COMMIT PATH (round-15 verdict #1): every
+    // file this commit adds enters the manifest with its min/max —
+    // selective reads of any later head prune driver-side, no separate
+    // stats pass to forget
+    val added = statsEntries(s, leafFiles(dir, sub))
     occCommit(dir, readV, replaced, added)._1
   }
 
@@ -608,9 +676,12 @@ object Snapshots {
       base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      // the bootstrap commit carries stats too, so a pruned read of any
+      // head covers untouched buckets as well as rewritten ones
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+        statsEntries(s, leafFiles(dir, "v1"))
+          .mkString("\n").getBytes("UTF-8"))
       val (v, _) = cowMerge(s, dir, s22Changes(s, d, base), "m")
       require(v == 2, s"MERGE demo expected v2, committed v$v")
     }
@@ -673,6 +744,76 @@ object Snapshots {
       |  CAST(SUM(bal) AS BIGINT) AS bal_cents,
       |  nk IN (SELECT DISTINCT nk FROM chg) AS rewritten
       |FROM merged GROUP BY nk ORDER BY nk""".stripMargin
+
+  // ---- S30: stats-pruned read of the transactional head ---------------------
+  /** S30: DATA-SKIPPING over the TRANSACTIONAL store — the composition
+    * the round-15 verdict asked for (#1): s23 proved manifest stats on a
+    * standalone one-shot layout, but the transactional store's commits
+    * (s22 MERGE, e28 streaming merges) published stats-less manifests,
+    * so a selective read of the head was back to opening every file.
+    * Now [[mergeAttempt]] writes per-file min/max (bucket key + value
+    * column) into every commit's manifest entries and the bootstrap
+    * commit does the same, so [[readVersionPruned]] prunes the HEAD —
+    * after any number of merges — from one driver-side manifest parse.
+    *
+    * The registered read serves a selective nation-range aggregate off
+    * the post-MERGE head through the pruned file list: kept files are a
+    * strict subset (gate column `skipped_files`), and the aggregate is
+    * exact — the oracle recomputes the merged table from raw
+    * customer+orders with the same action logic and filters to the same
+    * range, so the hash gate fails if pruning ever drops a matching row
+    * OR if a commit forgets to carry stats forward (untouched buckets'
+    * entries must survive the rebase with their v1 stats intact).
+    *
+    * At 100 TB: a merge rewrites a handful of buckets; every OTHER
+    * bucket's stats ride the manifest rebase as immutable lines — the
+    * selective read after a year of commits still costs O(matching
+    * files), and the stats upkeep cost is one bounded aggregate per
+    * commit over exactly the files that commit wrote.
+    */
+  private def s30StatsPrunedHead(s: SparkSession, d: String): DataFrame = {
+    val dir = s22Dir(s, d)
+    val h = head(dir)
+    val (df, kept, total) = readVersionPruned(s, dir, h, 10L, 14L)
+    df.filter(col("nkd").cast("int").between(10, 14))
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("nk"), col("n_rows"), col("bal_cents"),
+        lit(kept < total).as("skipped_files"),
+        lit(kept > 0).as("read_some"))
+      .orderBy(col("nk"))
+  }
+
+  private val s30Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val
+      |  FROM orders GROUP BY o_custkey),
+      |chgu AS (
+      |  SELECT b.nk, g.k, g.op, g.val FROM chg0 g
+      |  JOIN base b ON b.k = g.k WHERE b.nk % 5 = 2),
+      |chg AS (
+      |  SELECT nk, k, op, val FROM chgu
+      |  UNION ALL
+      |  SELECT nk,
+      |    k + (SELECT CAST(MAX(c_custkey) AS BIGINT) + 1 FROM customer),
+      |    'I', val FROM chgu WHERE k % 31 = 0),
+      |merged AS (
+      |  SELECT COALESCE(b.k, c.k) AS k, COALESCE(b.nk, c.nk) AS nk,
+      |    CASE WHEN c.op IS NULL THEN b.bal ELSE c.val END AS bal
+      |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |  WHERE c.op IS NULL OR c.op <> 'D')
+      |SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(bal) AS BIGINT) AS bal_cents,
+      |  TRUE AS skipped_files, TRUE AS read_some
+      |FROM merged WHERE nk BETWEEN 10 AND 14
+      |GROUP BY nk ORDER BY nk""".stripMargin
 
   // ---- CDC3: change data feed between snapshots -----------------------------
   /** CDC3: the CHANGE DATA FEED read between two committed snapshots of
@@ -768,9 +909,11 @@ object Snapshots {
     // writer rebasing over those files conflicts, correctly — its base
     // rows were unwound); add back only what the head LOST (target −
     // head) — files still shared ride through occCommit's rebase,
-    // never duplicated
+    // never duplicated. Added-back lines are the target's ENTRIES, so
+    // their stats survive the round trip.
     occCommit(dir, h, headFiles -- targetFiles,
-      (targetFiles -- headFiles).toSeq.sorted)._1
+      manifestLines(dir, target)
+        .filter(l => !headFiles.contains(pathOf(l))).sortBy(pathOf))._1
   }
 
   /** Lands the rollback demo once per source version: v1 base, a
@@ -840,6 +983,7 @@ object Snapshots {
     "s19_occ_commits" -> Q(s19OccCommits, Some(s19Sql)),
     "s20_schema_evolution" -> Q(s20SchemaEvolution, Some(s20Sql)),
     "s22_txn_merge" -> Q(s22TxnMerge, Some(s22Sql)),
+    "s30_stats_pruned_head" -> Q(s30StatsPrunedHead, Some(s30Sql)),
     "cdc3_change_feed" -> Q(cdc3ChangeFeed, Some(cdc3Sql)),
   )
 }

@@ -537,6 +537,52 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- s30: stats-pruned read of the transactional head ---------------------
+
+  test("s30: commit-written manifest stats prune the post-MERGE head to " +
+      "a strict file subset, losslessly; bal stats prune too; an empty " +
+      "window keeps the schema") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s22Dir(spark, Sf0001)
+    val h = Snapshots.head(dir)
+    assert(h === 2, "store must have a merge commit on top of the base")
+    // every head entry carries stats — v1 lines survived the rebase
+    // with theirs, the merge commit wrote its own
+    val lines = Snapshots.manifestLines(dir, h)
+    assert(lines.forall(_.split('|').length == 6),
+      s"stats-less entry in the head manifest:\n${lines.take(3)}")
+    // selective nation range AFTER the merge: strict subset of the
+    // head's files actually reaches the scan
+    val (pruned, kept, total) =
+      Snapshots.readVersionPruned(spark, dir, h, 10L, 14L)
+    assert(kept > 0 && kept < total, s"kept $kept/$total")
+    val prunedFiles = pruned.inputFiles
+      .map(f => new java.net.URI(f).getPath).toSet
+    val headFiles = Snapshots.manifest(dir, h).toSet
+    assert(prunedFiles.subsetOf(headFiles) &&
+      prunedFiles.size < headFiles.size,
+      s"scan must read a strict subset: ${prunedFiles.size}/${headFiles.size}")
+    // lossless: pruned + residual == full + residual
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("nkd").cast("int").between(10, 14))
+        .agg(count(lit(1)), sum(col("bal"))).first()
+    assert(agg(pruned) === agg(Snapshots.readVersion(spark, dir, h)),
+      "a skipped file held matching rows")
+    // the rewritten bucket (nk=12 is in the touched set nk%5==2) is
+    // served from the MERGE commit's files, with merge-written stats
+    assert(prunedFiles.exists(!Snapshots.manifest(dir, 1).toSet.contains(_)),
+      "the pruned read must include merge-rewritten files")
+    // value-column stats prune independently: a bal floor above every
+    // file's max keeps nothing, and the empty frame keeps the schema
+    val balMax = Snapshots.readVersion(spark, dir, h)
+      .agg(max(col("bal"))).first().getLong(0)
+    val (empty, k0, _) = Snapshots.readVersionPruned(spark, dir, h,
+      0L, 99L, balMin = Some(balMax + 1))
+    assert(k0 === 0 && empty.count() === 0)
+    assert(Seq("k", "nkd", "bal").forall(empty.columns.contains),
+      s"empty pruned frame lost the schema: ${empty.columns.toSeq}")
+  }
+
   // ---- s24: multi-table atomic commit ---------------------------------------
 
   test("s24: a crash between the two member-table manifest writes leaves " +
