@@ -833,14 +833,33 @@ object Snapshots {
     * costs O(changed files), not O(table), and needs no change log —
     * the COW manifests already ARE one.
     */
-  private def cdc3ChangeFeed(s: SparkSession, d: String): DataFrame = {
-    val dir = s22Dir(s, d)
-    val m1 = manifest(dir, 1).toSet
-    val m2 = manifest(dir, 2).toSet
-    val pre = s.read.parquet((m1 -- m2).toSeq.sorted: _*)
-      .select(col("k"), col("bal").as("bal_before"))
-    val post = s.read.parquet((m2 -- m1).toSeq.sorted: _*)
-      .select(col("k"), col("bal").as("bal_after"))
+  /** NET change feed over the snapshot range (vFrom, vTo] — Delta CDF's
+    * actual contract (round-15 verdict #2 generalized cdc3's hardcoded
+    * adjacent pair): the files vFrom holds that vTo no longer references
+    * carry every PRE-image of a row whose file was rewritten anywhere in
+    * the range; the files vTo holds that vFrom didn't carry every final
+    * POST-image. Files both added AND removed INSIDE the range —
+    * intermediate states of a row updated twice — appear in neither
+    * side, so the fold to net effect (first-pre joined to last-post,
+    * one row per touched key) falls out of the manifest set algebra for
+    * free; rows that merely rode a rewrite unchanged are suppressed by
+    * the value filter. Cost is O(changed files across the range), never
+    * O(table), and empty delta sides return schema-carrying empty
+    * frames.
+    */
+  private[graft] def changeFeed(s: SparkSession, dir: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    val mFrom = manifest(dir, vFrom)
+    val mTo = manifest(dir, vTo)
+    val fromSet = mFrom.toSet
+    val toSet = mTo.toSet
+    def readOr(files: Seq[String], alias: String): DataFrame =
+      (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+       else s.read.parquet(mFrom.head).filter(lit(false)))
+        .select(col("k"), col("bal").as(alias))
+    val pre = readOr(mFrom.filterNot(toSet), "bal_before")
+    val post = readOr(mTo.filterNot(fromSet), "bal_after")
     pre.join(post, Seq("k"), "full_outer")
       .filter(col("bal_before").isNull || col("bal_after").isNull ||
         col("bal_before") =!= col("bal_after"))
@@ -849,8 +868,10 @@ object Snapshots {
           .when(col("bal_before").isNull, "insert")
           .otherwise("update").as("change_type"),
         col("bal_before"), col("bal_after"))
-      .orderBy(col("k"))
   }
+
+  private def cdc3ChangeFeed(s: SparkSession, d: String): DataFrame =
+    changeFeed(s, s22Dir(s, d), 1, 2).orderBy(col("k"))
 
   private val cdc3Sql =
     """WITH base AS (

@@ -169,7 +169,45 @@ object StreamMerge {
       |      AS tot
       |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey""".stripMargin
 
+  /** CDC4: the ARBITRARY-RANGE change feed over the streaming-merge
+    * store — [[Snapshots.changeFeed]] exercised where it matters: the
+    * e28 store holds FIVE versions (base + four increment-merge
+    * commits), and an incremental consumer that was last caught up at
+    * v1 needs the NET feed to the head, not four pairwise feeds — a
+    * customer whose orders span several micro-batches was rewritten
+    * several times, and must surface ONCE with its v1 pre-image and its
+    * head post-image (intermediate states cancel in the manifest set
+    * algebra; the spec pins a multi-batch key). Every fed row here is
+    * an `update` (increments on existing keys), and the oracle
+    * recomputes the whole net change set from raw customer+orders: a
+    * customer appears iff it has orders, before = base balance, after =
+    * base + ALL its order cents — so the hash gate fails if a batch
+    * applied twice (double increment), was lost, or a rider row leaked.
+    *
+    * At 100 TB: catch-up cost for a consumer v_from→head is O(files
+    * changed across the range) — reading four pairwise feeds would pay
+    * the intermediate rewrites; the net feed never opens them.
+    */
+  private def cdc4ChangeFeedRange(s: SparkSession, d: String): DataFrame = {
+    val dir = e28Dir(s, d)
+    Snapshots.changeFeed(s, dir, 1, Snapshots.head(dir))
+      .orderBy(col("k"))
+  }
+
+  private val cdc4Sql =
+    """SELECT c_custkey AS k, 'update' AS change_type,
+      |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_before,
+      |  CAST(ROUND(c_acctbal * 100) AS BIGINT) + tot AS bal_after
+      |FROM customer
+      |JOIN (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS tot
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+      |ORDER BY k""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e28_stream_merge" -> Q(e28StreamMerge, Some(e28Sql)),
+    "cdc4_change_feed_range" -> Q(cdc4ChangeFeedRange, Some(cdc4Sql)),
   )
 }

@@ -899,6 +899,67 @@ class MaintenanceOpsSpec extends SparkSpec {
       "v2 must carry exactly the first chunk's increments")
   }
 
+  test("cdc4: the net change feed folds multi-batch rewrites — a key " +
+      "touched in several batches surfaces ONCE with first-pre/last-post, " +
+      "over full and mid ranges") {
+    import graft.sources.Snapshots
+    import graft.streaming.StreamMerge
+    val dir = StreamMerge.e28Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 5)
+    // a customer with orders in >= 2 distinct chunks (o_orderkey % 4)
+    // was MERGE-rewritten in >= 2 versions
+    val multi = Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(countDistinct(pmod(col("o_orderkey"), lit(4))).as("nchunks"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("tot"))
+      .filter(col("nchunks") >= 2)
+      .orderBy(col("k")).limit(1).collect().head
+    val (key, tot) = (multi.getLong(0), multi.getLong(2))
+    val base = Tables.customer(spark, Sf0001)
+      .filter(col("c_custkey") === key)
+      .select(round(col("c_acctbal") * 100).cast("long"))
+      .first().getLong(0)
+    val fed = Snapshots.changeFeed(spark, dir, 1, 5)
+      .filter(col("k") === key).collect()
+    assert(fed.length === 1,
+      s"multi-batch key must surface once, got ${fed.length}")
+    assert(fed.head.getString(1) === "update")
+    assert(fed.head.getLong(2) === base, "pre-image must be the v1 value")
+    assert(fed.head.getLong(3) === base + tot,
+      "post-image must fold ALL the key's batches")
+    // mid-range (2, 4]: net effect of exactly chunks 1 and 2
+    val midTot = Tables.orders(spark, Sf0001)
+      .filter(col("o_custkey") === key &&
+        pmod(col("o_orderkey"), lit(4)).isin(1, 2))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+      .first().getLong(0)
+    val midFed = Snapshots.changeFeed(spark, dir, 2, 4)
+      .filter(col("k") === key).collect()
+    if (midTot > 0) {
+      assert(midFed.length === 1)
+      val (b, a) = (midFed.head.getLong(2), midFed.head.getLong(3))
+      assert(a - b === midTot,
+        "mid-range net delta must equal the in-range chunks' sum")
+    } else assert(midFed.isEmpty,
+      "a key untouched in the range must not be fed (rider suppression)")
+    // feed-wide: updates only (increments on existing keys), and the
+    // full-range feed equals the raw-table recomputation row-for-row
+    val feed = Snapshots.changeFeed(spark, dir, 1, 5)
+    assert(feed.filter(col("change_type") =!= "update").count() === 0)
+    val expected = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_before"))
+      .join(Tables.orders(spark, Sf0001)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("tot")),
+        Seq("k"))
+      .select(col("k"), lit("update").as("change_type"),
+        col("bal_before"), (col("bal_before") + col("tot")).as("bal_after"))
+    assert(feed.exceptAll(expected).count() === 0 &&
+      expected.exceptAll(feed).count() === 0,
+      "net feed must equal the raw-table recomputation exactly")
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
