@@ -75,26 +75,94 @@ object StreamMerge {
       staged
     })
 
+  /** Batch markers embedded in merge-commit file paths (`mb<id>x`,
+    * staged first in the subdir name so containment checks survive any
+    * staging suffix).
+    */
+  private[graft] val MarkerRe = raw"mb\d+x".r
+
+  /** The compacted replay ledger (`_batches.txt`): batch markers whose
+    * commits are PROVEN even after retention expired the manifests that
+    * carried them — the rule e28's scaladoc demanded of any vacuum
+    * (Delta keeps txn actions alive the same way). Absent file = empty.
+    */
+  private[graft] def ledger(store: String): Set[String] = {
+    val f = new java.io.File(store, "_batches.txt")
+    if (!f.exists()) Set.empty
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+  }
+
+  /** Every batch marker with commit evidence: the ledger plus all
+    * SURVIVING manifests' paths (retention may have expired early
+    * manifests — their markers must already be in the ledger).
+    */
+  private[graft] def committedBatches(store: String): Set[String] = {
+    val h = Snapshots.head(store)
+    val fromManifests = (1 to h).iterator
+      .filter(v => new java.io.File(store, s"manifest_$v.txt").exists())
+      .flatMap(v => Snapshots.manifest(store, v))
+      .flatMap(p => MarkerRe.findAllIn(p))
+      .toSet
+    fromManifests ++ ledger(store)
+  }
+
   /** One micro-batch's transactional increment-MERGE, replay-safe via
-    * all-manifests batch containment.
+    * batch containment across the ledger + all surviving manifests.
+    * The k→bucket routing dimension reads the HEAD manifest (the
+    * mapping is version-invariant under increments, and the head is the
+    * one version retention always keeps).
     */
   private[graft] def mergeBatch(s: SparkSession, store: String,
       batch: DataFrame, id: Long): Unit = {
-    val sep = java.io.File.separator
-    val h = Snapshots.head(store)
-    val marker = s"${sep}mb${id}x"
-    if ((1 to h).exists(v =>
-        Snapshots.manifest(store, v).exists(_.contains(marker))))
+    val marker = s"mb${id}x"
+    if (committedBatches(store).contains(marker))
       return // replay: this batch already committed in some version
     if (batch.isEmpty) return
-    val dim = s.read.parquet(Snapshots.manifest(store, 1): _*)
+    val dim = s.read.parquet(
+        Snapshots.manifest(store, Snapshots.head(store)): _*)
       .select(col("k"), col("nkd").cast("int").as("nk"))
     val chg = batch.groupBy(col("o_custkey").as("k"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("val"))
       .join(dim, "k")
       .select(col("nk"), col("k"), lit("A").as("op"), col("val"))
-    Snapshots.cowMerge(s, store, chg, s"mb${id}x")
+    Snapshots.cowMerge(s, store, chg, marker)
     ()
+  }
+
+  /** S31's retention job: expire every version below the head, DELETE
+    * the data files only they reference, drop their manifests — but
+    * FIRST compact every committed batch marker into `_batches.txt`
+    * (temp + atomic rename, durable before any delete), so the
+    * exactly-once replay check stays sound after the manifests that
+    * carried the evidence are gone. Crash anywhere mid-delete leaves
+    * extra files and a complete ledger — replays stay no-ops, re-running
+    * the vacuum converges. Returns (manifestsExpired, filesDeleted).
+    */
+  private[graft] def ledgerVacuum(store: String): (Int, Int) = {
+    val h = Snapshots.head(store)
+    val batches = committedBatches(store)
+    val tmp = java.nio.file.Paths.get(s"$store/_batches.tmp")
+    java.nio.file.Files.write(tmp,
+      batches.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$store/_batches.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val live = Snapshots.manifest(store, h).toSet
+    val expired = (1 until h).flatMap(v => Snapshots.manifest(store, v))
+      .toSet -- live
+    expired.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    (1 until h).foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$store/manifest_$v.txt"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$store/replaced_$v.txt"))
+    }
+    (h - 1, expired.size)
   }
 
   /** The landed streaming-MERGE store, once per source version: v1 =
@@ -106,7 +174,14 @@ object StreamMerge {
     graft.util.Landing.landedLayout(
       s"$dir|custorders|${graft.util.Landing.sourceMtime(dir,
         Seq("customer", "orders"))}|streammerge",
-      "graft_smerge") { out =>
+      "graft_smerge")(out => buildMergeStore(spark, dir, out))
+
+  /** Builds the streaming-merge store into `out` (shared by e28's read
+    * layout and s31's vacuumed copy — the s18-vs-s16 discipline: a
+    * retention demo never mutates the store another query reads).
+    */
+  private[graft] def buildMergeStore(spark: SparkSession, dir: String,
+      out: String): Unit = {
       val base = Tables.customer(spark, dir)
         .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
           round(col("c_acctbal") * 100).cast("long").as("bal"))
@@ -169,6 +244,72 @@ object StreamMerge {
       |      AS tot
       |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey""".stripMargin
 
+  /** Lands the vacuumed merge store once per source version: the same
+    * streaming build as e28 into its OWN layout (never mutating e28's),
+    * then [[ledgerVacuum]] — expire versions 1..4, delete the data files
+    * only they referenced, compact the 4 batch markers into
+    * `_batches.txt` BEFORE the manifests carrying them are dropped.
+    */
+  private[graft] def s31Dir(spark: SparkSession, dir: String): String =
+    graft.util.Landing.landedLayout(
+      s"$dir|custorders|${graft.util.Landing.sourceMtime(dir,
+        Seq("customer", "orders"))}|smergevac",
+      "graft_smergevac") { out =>
+      buildMergeStore(spark, dir, out)
+      val (nExp, nDel) = ledgerVacuum(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/_vacuum_stats"),
+        s"$nExp|$nDel".getBytes("UTF-8"))
+    }
+
+  /** S31: LEDGER-PRESERVING VACUUM on the merge store (round-15 verdict
+    * #3): s18's vacuum deletes expired manifests — but e28's exactly-once
+    * replay check is BATCH CONTAINMENT ACROSS MANIFESTS, so naive expiry
+    * would re-open the double-apply window for every batch whose files a
+    * later merge rewrote out of the head (their markers survive nowhere
+    * else). s31's retention compacts every committed batch marker into
+    * `_batches.txt` (durable before any delete), then expires versions
+    * 1..head-1 and deletes exactly the data files only they referenced.
+    * The registered read proves the converged totals survived retention
+    * (oracle recomputes base + all order cents), plus the structural
+    * columns: 4 manifests expired, orphan files actually deleted, and
+    * the ledger carrying exactly the 4 committed batches.
+    *
+    * At 100 TB: retention cost is |expired manifests| driver-side list
+    * work + one delete per orphan — never a data scan; the ledger is
+    * O(batches) tiny metadata that makes retention and exactly-once
+    * COMPOSABLE instead of mutually exclusive (the same reason Delta
+    * retains txn actions past log compaction).
+    */
+  private def s31LedgerVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = s31Dir(s, d)
+    val h = Snapshots.head(dir)
+    val Array(nExp, nDel) = {
+      val src = scala.io.Source.fromFile(s"$dir/_vacuum_stats")
+      try src.mkString.trim.split('|').map(_.toLong) finally src.close()
+    }
+    Snapshots.readVersion(s, dir, h)
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("n_rows"), col("bal_cents"),
+        lit(nExp).as("n_manifests_expired"),
+        lit(nDel > 0).as("files_deleted"),
+        lit(ledger(dir).size.toLong).as("ledger_batches"))
+  }
+
+  private val s31Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + COALESCE(tot, 0)) AS BIGINT) AS bal_cents,
+      |  CAST(4 AS BIGINT) AS n_manifests_expired,
+      |  TRUE AS files_deleted,
+      |  CAST(4 AS BIGINT) AS ledger_batches
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS tot
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey""".stripMargin
+
   /** CDC4: the ARBITRARY-RANGE change feed over the streaming-merge
     * store — [[Snapshots.changeFeed]] exercised where it matters: the
     * e28 store holds FIVE versions (base + four increment-merge
@@ -209,5 +350,6 @@ object StreamMerge {
   val qs: Seq[(String, Q)] = Seq(
     "e28_stream_merge" -> Q(e28StreamMerge, Some(e28Sql)),
     "cdc4_change_feed_range" -> Q(cdc4ChangeFeedRange, Some(cdc4Sql)),
+    "s31_ledger_vacuum" -> Q(s31LedgerVacuum, Some(s31Sql)),
   )
 }

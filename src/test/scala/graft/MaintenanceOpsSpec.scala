@@ -960,6 +960,49 @@ class MaintenanceOpsSpec extends SparkSpec {
       "net feed must equal the raw-table recomputation exactly")
   }
 
+  test("s31: ledger-preserving vacuum — expired manifests and orphan " +
+      "files are gone, live files intact, and a replayed batch whose " +
+      "markers survive ONLY in the ledger is still a no-op") {
+    import graft.sources.Snapshots
+    import graft.streaming.StreamMerge
+    val dir = StreamMerge.s31Dir(spark, Sf0001)
+    val h = Snapshots.head(dir)
+    assert(h === 5, "vacuum keeps the head version number")
+    (1 until 5).foreach { v =>
+      assert(!new java.io.File(s"$dir/manifest_$v.txt").exists(),
+        s"manifest_$v must be expired")
+    }
+    // every live file survives the vacuum
+    val live = Snapshots.manifest(dir, 5)
+    live.foreach(p => assert(new java.io.File(p).exists(),
+      s"vacuum deleted a live file: $p"))
+    // the ledger carries all four batches; at least one batch's files
+    // were ALL rewritten out of the head (its markers survive nowhere
+    // but the ledger — the exact case naive expiry double-applies)
+    val led = StreamMerge.ledger(dir)
+    assert(led === Set("mb0x", "mb1x", "mb2x", "mb3x"))
+    val headMarkers = live
+      .flatMap(p => StreamMerge.MarkerRe.findAllIn(p)).toSet
+    val dangerous = led -- headMarkers
+    assert(dangerous.nonEmpty,
+      "every batch still has head-manifest evidence — the spec needs " +
+        "the ledger-only case; check the merge store's rewrite pattern")
+    // replay the dangerous batch: must return before any work
+    val bid = dangerous.head.stripPrefix("mb").stripSuffix("x").toLong
+    val before = Snapshots.readVersion(spark, dir, 5)
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    val chunk = spark.read.parquet(
+      s"${Tables.orders(spark, Sf0001).inputFiles.head}")
+      .filter(pmod(col("o_orderkey"), lit(4)) === bid)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    StreamMerge.mergeBatch(spark, dir, chunk, bid)
+    assert(Snapshots.head(dir) === 5, "replay must not commit")
+    assert(Snapshots.manifest(dir, 5) === live)
+    assert(Snapshots.readVersion(spark, dir, 5)
+      .agg(count(lit(1)), sum(col("bal"))).first() === before,
+      "replay after vacuum re-applied increments — ledger check broken")
+  }
+
   test("e27: versions grow append-only and a replayed batch commit is a " +
       "no-op before any work") {
     import graft.sources.Snapshots
