@@ -634,6 +634,49 @@ object Snapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Maintenance: compact one bucket's files into a single file through
+    * the standard OCC publish — the maintenance writer a streaming
+    * merge must tolerate racing (round-15 verdict #4; x15's small-file
+    * problem solved transactionally). Each attempt reads the CURRENT
+    * head's bucket files, rewrites them as one file with fresh stats,
+    * and publishes with replaced = exactly those files: a concurrent
+    * commit touching the same bucket raises the conflict and the
+    * compaction RETRIES from the new head (its rewrite is derived
+    * state, always safe to redo — it can never lose an update, only
+    * waste its own work); commits over disjoint buckets rebase past it
+    * untouched. Returns (committedVersion, attempts).
+    *
+    * At 100 TB this is the background OPTIMIZE job running against a
+    * live stream: contention cost is re-compacting one bucket, and the
+    * OCC file-granularity conflict check is what makes "maintenance
+    * never blocks ingest, ingest never corrupts maintenance" structural
+    * rather than operational.
+    */
+  private[graft] def compactBucket(s: SparkSession, dir: String, nk: Int,
+      tag: String, maxAttempts: Int = 10): (Int, Int) = {
+    val sep = java.io.File.separator
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = head(dir)
+      val bucket = manifest(dir, h)
+        .filter(_.contains(s"${sep}nk=$nk$sep")).toSet
+      require(bucket.nonEmpty, s"no files for bucket nk=$nk at v$h")
+      val sub = s"$tag${h}a${attempt}u${stagingSeq.incrementAndGet()}"
+      s.read.parquet(bucket.toSeq.sorted: _*)
+        .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
+      val added = statsEntries(s, leafFiles(dir, sub))
+      try return (occCommit(dir, h, bucket, added)._1, attempt)
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The MERGE demo's change batch, fully engine-derivable: per-customer
     * order totals as upserts (`D` on k%23==0, else `U`), restricted to
     * nations nk%5==2 so most buckets stay untouched; inserts plant keys

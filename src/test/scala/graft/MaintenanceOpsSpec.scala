@@ -495,6 +495,117 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("compaction vs merge: a stale compaction over a merged bucket " +
+      "conflicts and its retry preserves the merge; a compaction racing " +
+      "a DISJOINT merge rebases — both land") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = buildMergeStore("graft_compactrace")
+    val sep = java.io.File.separator
+    // stage a compaction of nk=1 against v1, then let a merge win the race
+    val staleBucket = Snapshots.manifest(dir, 1)
+      .filter(_.contains(s"${sep}nk=1$sep")).toSet
+    spark.read.parquet(staleBucket.toSeq.sorted: _*)
+      .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/staleC")
+    val chg = Seq(1L, 5L).map(k => (1, k, "U", 111L))
+      .toDF("nk", "k", "op", "val")
+    assert(Snapshots.cowMerge(spark, dir, chg, "cm")._1 === 2)
+    // the stale compaction's publish MUST conflict — a rebase would
+    // resurrect the pre-merge bucket contents (lost update)
+    intercept[Snapshots.CommitConflictException] {
+      // conflict detection runs before `added` is touched — Nil suffices
+      Snapshots.occCommit(dir, 1, staleBucket, Nil)
+    }
+    // the retrying compactor re-reads the post-merge head: merged values
+    // survive the rewrite, the bucket collapses to ONE file
+    val (v3, _) = Snapshots.compactBucket(spark, dir, 1, "cc")
+    assert(v3 === 3)
+    val nk1Files = Snapshots.manifest(dir, 3)
+      .filter(_.contains(s"${sep}nk=1$sep"))
+    assert(nk1Files.size === 1, s"bucket not compacted: $nk1Files")
+    val rows = Snapshots.readVersion(spark, dir, 3)
+      .select(col("k"), col("bal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(1L, 5L).foreach(k => assert(rows(k) === 111L,
+      "compaction lost the merge's update"))
+    assert(rows.size === 40)
+    // disjoint race: merge on nk=2 vs compaction of nk=3, concurrently —
+    // whichever publishes second rebases, both land exactly once
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() => {
+      try Snapshots.cowMerge(spark, dir,
+        Seq((2, 6L, "U", 222L)).toDF("nk", "k", "op", "val"), "dm")
+      catch { case t: Throwable => failures.add(t) }
+    })
+    val t2 = new Thread(() => {
+      try Snapshots.compactBucket(spark, dir, 3, "dc")
+      catch { case t: Throwable => failures.add(t) }
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      failures.asScala.map(_.toString).mkString("; "))
+    assert(Snapshots.head(dir) === 5, "both writers must commit")
+    val fin = Snapshots.readVersion(spark, dir, 5)
+      .select(col("k"), col("bal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fin(6L) === 222L && fin(1L) === 111L && fin.size === 40)
+    assert(Snapshots.manifest(dir, 5)
+      .count(_.contains(s"${sep}nk=3$sep")) === 1)
+  }
+
+  test("compaction races the LIVE e28 stream: background bucket " +
+      "compactions interleave with transactional micro-batch merges and " +
+      "the store converges to the exact batch answer") {
+    import graft.sources.Snapshots
+    import graft.streaming.StreamMerge
+    val out = graft.util.Landing.tempDirOnce("graft_streamrace").toString
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val streamer = new Thread(() => {
+      try StreamMerge.buildMergeStore(spark, Sf0001, out)
+      catch { case t: Throwable => failures.add(t) }
+    })
+    val compactor = new Thread(() => {
+      try {
+        // wait for the bootstrap commit, then compact buckets while the
+        // stream merges — every publish goes through the same OCC gate
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!new java.io.File(out, "manifest_1.txt").exists() &&
+            System.nanoTime() < deadline) Thread.sleep(10)
+        for (nk <- Seq(3, 7, 3)) {
+          Snapshots.compactBucket(spark, out, nk, s"bg$nk")
+          compactions.incrementAndGet()
+          Thread.sleep(50)
+        }
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    streamer.start(); compactor.start()
+    streamer.join(); compactor.join()
+    import scala.jdk.CollectionConverters._
+    assert(failures.isEmpty,
+      failures.asScala.map(_.toString).mkString("; "))
+    assert(compactions.get() === 3)
+    assert(Snapshots.head(out) === 5 + 3,
+      "4 merge commits + 3 compactions must all publish")
+    // convergence: the interleaving changed nothing about the answer
+    val got = Snapshots.readVersion(spark, out, Snapshots.head(out))
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    val expected = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+      .join(Tables.orders(spark, Sf0001)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("tot")),
+        Seq("k"), "left")
+      .agg(count(lit(1)),
+        sum(col("bal") + coalesce(col("tot"), lit(0L)))).first()
+    assert(got === expected,
+      "racing maintenance corrupted the converged table")
+  }
+
   // ---- s23: file stats + data skipping --------------------------------------
 
   test("s23: the stats-pruned scan reads a strict subset of the files " +
