@@ -30,6 +30,7 @@ object Registry {
       sources.IncrementalRollup.qs ++
       sources.Compaction.qs ++
       sources.Snapshots.qs ++
+      sources.ManifestTree.qs ++
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++

@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** S32: TWO-LEVEL MANIFEST TREE — the metadata layer a million-file
+  * table needs (round-15 verdict #6): every other store here reads ONE
+  * flat manifest driver-side, fine at ≤ dozens of files but O(|table
+  * files|) per read on a 100 TB table. Iceberg's answer is a tree: a
+  * snapshot points at a MANIFEST LIST (one line per bucket/partition
+  * range, carrying bucket-level stats), and each line points at a
+  * PER-BUCKET MANIFEST enumerating that bucket's data files with their
+  * file-level stats. A selective read parses the list (O(|buckets|)),
+  * fetches ONLY the bucket manifests the predicate intersects, and
+  * scans only their files; a merge resolves its touched buckets the
+  * same way and REUSES every untouched bucket's manifest file verbatim
+  * in the next version's list — commit metadata cost is O(touched
+  * buckets), not O(table).
+  *
+  * Layout on disk (all driver-readable text, every publish a distinct
+  * file — the s16 immutability discipline):
+  *   mlist_<V>.txt            one `nk|bmPath|rows` line per bucket
+  *   bm_nk<k>_v<V>.txt        stats entries (Snapshots format) for the
+  *                            files bucket k holds AS OF version V —
+  *                            written only when V changed bucket k
+  *   v1/, m2/                 the data files themselves
+  *
+  * The demo: customer bucketed by nation; the v2 commit credits every
+  * nk%5==2 customer +777 cents — a pure bucket rewrite resolved
+  * through the tree (the build records how many bucket manifests the
+  * MERGE fetched; the spec pins it to |touched|, not |buckets|).
+  */
+object ManifestTree {
+
+  final case class BucketRef(nk: Int, bm: String, rows: Long)
+
+  private[graft] val CreditCents = 777L
+
+  private[graft] def mlist(dir: String, v: Int): Seq[BucketRef] = {
+    val src = scala.io.Source.fromFile(s"$dir/mlist_$v.txt")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val p = l.split('|')
+      BucketRef(p(0).toInt, p(1), p(2).toLong)
+    }.toList
+    finally src.close()
+  }
+
+  /** One bucket manifest's file list (entry paths, stats stripped). */
+  private[graft] def bucketFiles(bm: String): Seq[String] = {
+    val src = scala.io.Source.fromFile(bm)
+    try src.getLines().filter(_.nonEmpty)
+      .map(Snapshots.pathOf).toList
+    finally src.close()
+  }
+
+  private def writeLines(path: String, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  /** Group stats entries by the bucket their path's `nk=` dir names. */
+  private def byBucket(entries: Seq[String]): Map[Int, Seq[String]] = {
+    val nkRe = raw"nk=(\d+)".r
+    entries.groupBy(e =>
+      nkRe.findFirstMatchIn(Snapshots.pathOf(e)).get.group(1).toInt)
+  }
+
+  private def leafFiles(dir: String, sub: String): Seq[String] =
+    Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath))
+      .toSeq.sorted
+
+  /** Lands the tree store once per customer version: v1 (one bucket
+    * manifest per nation + the list), then the v2 bucket-rewrite commit
+    * resolved THROUGH the tree. Sidecar `_merge_bm_fetched` records how
+    * many bucket manifests the merge actually opened.
+    */
+  private[graft] def s32Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|mtree",
+      "graft_mtree") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal") * 100).cast("long").as("bal"))
+      base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      val v1ByBucket = byBucket(Snapshots.statsEntries(s, leafFiles(dir, "v1")))
+      val refs1 = v1ByBucket.toSeq.sortBy(_._1).map { case (nk, entries) =>
+        val bm = s"$dir/bm_nk${nk}_v1.txt"
+        writeLines(bm, entries)
+        val rows = entries.map(_.split('|')(5).toLong).sum
+        BucketRef(nk, bm, rows)
+      }
+      writeLines(s"$dir/mlist_1.txt",
+        refs1.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
+      // ---- the v2 commit, resolved through the TREE -------------------
+      val touched = refs1.map(_.nk).filter(_ % 5 == 2).toSet
+      // merge-side metadata fetch: ONLY the touched buckets' manifests
+      val touchedRefs = mlist(dir, 1).filter(r => touched(r.nk))
+      val inputFiles = touchedRefs.flatMap(r => bucketFiles(r.bm))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_merge_bm_fetched"),
+        touchedRefs.size.toString.getBytes("UTF-8"))
+      s.read.parquet(inputFiles.sorted: _*)
+        .withColumn("bal", col("bal") + lit(CreditCents))
+        .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/m2")
+      val v2ByBucket = byBucket(Snapshots.statsEntries(s, leafFiles(dir, "m2")))
+      val refs2 = refs1.map { r =>
+        if (!touched(r.nk)) r // untouched: the v1 bucket manifest VERBATIM
+        else {
+          val entries = v2ByBucket(r.nk)
+          val bm = s"$dir/bm_nk${r.nk}_v2.txt"
+          writeLines(bm, entries)
+          BucketRef(r.nk, bm, entries.map(_.split('|')(5).toLong).sum)
+        }
+      }
+      writeLines(s"$dir/mlist_2.txt",
+        refs2.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
+    }
+
+  /** The tree-pruned read: parse the list (O(|buckets|) driver lines),
+    * fetch ONLY the bucket manifests inside [nkLo, nkHi], read their
+    * files. Returns (frame, bucketManifestsParsed, bucketManifestsTotal).
+    */
+  private[graft] def treePrunedRead(s: SparkSession, dir: String, v: Int,
+      nkLo: Int, nkHi: Int): (DataFrame, Int, Int) = {
+    val refs = mlist(dir, v)
+    val kept = refs.filter(r => r.nk >= nkLo && r.nk <= nkHi)
+    val files = kept.flatMap(r => bucketFiles(r.bm))
+    val df =
+      if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+      else s.read.parquet(bucketFiles(refs.head.bm).head)
+        .filter(lit(false))
+    (df, kept.size, refs.size)
+  }
+
+  /** S32: the registered tree read — a selective nation-range aggregate
+    * over the post-commit head, served by parsing the manifest LIST plus
+    * only the matching per-bucket manifests (gate: strictly fewer bucket
+    * manifests than buckets). The oracle recomputes the credited table
+    * and the same range from raw customer, so the hash gate fails if the
+    * tree loses a file, double-lists one, or serves a stale bucket.
+    *
+    * At 100 TB with a million files over 10k buckets: the flat-manifest
+    * read costs a million driver lines per query; the tree costs 10k
+    * list lines + the matched buckets' manifests — and commit metadata
+    * is O(touched buckets) because untouched bucket manifests are reused
+    * byte-identical (spec-pinned by path equality across versions).
+    */
+  private def s32ManifestTree(s: SparkSession, d: String): DataFrame = {
+    val dir = s32Dir(s, d)
+    val (df, kept, total) = treePrunedRead(s, dir, 2, 10, 14)
+    df.groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("nk"), col("n_rows"), col("bal_cents"),
+        lit(kept < total).as("skipped_buckets"),
+        lit(kept > 0).as("read_some"))
+      .orderBy(col("nk"))
+  }
+
+  private val s32Sql =
+    """SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey % 5 = 2 THEN 777 ELSE 0 END) AS BIGINT)
+      |    AS bal_cents,
+      |  TRUE AS skipped_buckets, TRUE AS read_some
+      |FROM customer WHERE c_nationkey BETWEEN 10 AND 14
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "s32_manifest_tree" -> Q(s32ManifestTree, Some(s32Sql)),
+  )
+}

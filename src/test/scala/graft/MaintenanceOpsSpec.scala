@@ -694,6 +694,55 @@ class MaintenanceOpsSpec extends SparkSpec {
       s"empty pruned frame lost the schema: ${empty.columns.toSeq}")
   }
 
+  // ---- s32: two-level manifest tree ------------------------------------------
+
+  test("s32: a selective read parses a strict subset of per-bucket " +
+      "manifests, the merge fetched only touched buckets' manifests, and " +
+      "untouched bucket manifests are reused verbatim across versions") {
+    import graft.sources.ManifestTree
+    val dir = ManifestTree.s32Dir(spark, Sf0001)
+    val refs1 = ManifestTree.mlist(dir, 1)
+    val refs2 = ManifestTree.mlist(dir, 2)
+    assert(refs1.size === refs2.size, "the bucket set is stable")
+    // selective read: strictly fewer bucket manifests than buckets
+    val (pruned, kept, total) =
+      ManifestTree.treePrunedRead(spark, dir, 2, 10, 14)
+    assert(kept === refs2.count(r => r.nk >= 10 && r.nk <= 14))
+    assert(kept > 0 && kept < total, s"kept $kept/$total bucket manifests")
+    // lossless vs the full tree read
+    val (full, _, _) =
+      ManifestTree.treePrunedRead(spark, dir, 2, Int.MinValue, Int.MaxValue)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("nkd").cast("int").between(10, 14))
+        .agg(count(lit(1)), sum(col("bal"))).first()
+    assert(agg(pruned) === agg(full))
+    // the merge opened only the touched buckets' manifests
+    val touched = refs1.map(_.nk).filter(_ % 5 == 2).toSet
+    val fetched = {
+      val src = scala.io.Source.fromFile(s"$dir/_merge_bm_fetched")
+      try src.mkString.trim.toInt finally src.close()
+    }
+    assert(fetched === touched.size && fetched < total,
+      s"merge fetched $fetched bucket manifests, touched ${touched.size}")
+    // untouched buckets: the v2 list points at the v1 bucket manifest
+    // FILE (commit metadata is O(touched), not O(buckets)); touched
+    // buckets got fresh manifests and fresh data files
+    val bm1 = refs1.map(r => r.nk -> r.bm).toMap
+    refs2.foreach { r =>
+      if (touched(r.nk)) {
+        assert(r.bm !== bm1(r.nk), s"touched bucket ${r.nk} kept its bm")
+        ManifestTree.bucketFiles(r.bm).foreach(p =>
+          assert(p.contains("/m2/"), s"touched bucket file not rewritten: $p"))
+      } else assert(r.bm === bm1(r.nk),
+        s"untouched bucket ${r.nk} must reuse its v1 manifest verbatim")
+    }
+    // row counts in the list are sound per bucket
+    refs2.foreach { r =>
+      val n = spark.read.parquet(ManifestTree.bucketFiles(r.bm): _*).count()
+      assert(n === r.rows, s"stale row count for bucket ${r.nk}")
+    }
+  }
+
   // ---- s24: multi-table atomic commit ---------------------------------------
 
   test("s24: a crash between the two member-table manifest writes leaves " +
