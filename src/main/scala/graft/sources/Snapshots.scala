@@ -1040,7 +1040,133 @@ object Snapshots {
       |UNION ALL SELECT 3, n_rows, bal_cents, 3 FROM base
       |ORDER BY version""".stripMargin
 
+  // ---- S33: tags + tag-aware retention ---------------------------------------
+  /** A TAG pins a version by name forever (Iceberg tags): one tiny
+    * `tag_<name>.txt` published by atomic rename, resolved driver-side.
+    * Tags are what make "keep the quarter-close snapshot" a metadata
+    * operation instead of a data copy.
+    */
+  private[graft] def writeTag(dir: String, name: String, v: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$dir/tag_$name.tmp")
+    java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$dir/tag_$name.txt"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[graft] def tags(dir: String): Map[String, Int] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("tag_") &&
+        f.getName.endsWith(".txt"))
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        val v = try src.mkString.trim.toInt finally src.close()
+        f.getName.stripPrefix("tag_").stripSuffix(".txt") -> v
+      }.toMap
+
+  /** Read a snapshot by tag name. */
+  private[graft] def readTag(s: SparkSession, dir: String,
+      name: String): DataFrame =
+    readVersion(s, dir, tags(dir)(name))
+
+  /** Tag-aware retention (s18's vacuum made tag-safe): retain the head
+    * AND every tagged version; expire the rest, deleting only the files
+    * no retained manifest references. A tagged snapshot therefore stays
+    * readable forever at the cost of exactly the files it alone pins —
+    * shared files were staying anyway (COW), so tagging a snapshot is
+    * nearly free until the table churns away from it. Returns
+    * (expiredVersions, filesDeleted).
+    */
+  private[graft] def tagVacuum(dir: String): (Seq[Int], Int) = {
+    val h = head(dir)
+    val retained = tags(dir).values.toSet + h
+    val expired = (1 to h).filterNot(retained).filter(v =>
+      new java.io.File(dir, s"manifest_$v.txt").exists())
+    val keep = retained.toSeq.flatMap(v => manifest(dir, v)).toSet
+    val drop = expired.flatMap(v => manifest(dir, v)).toSet -- keep
+    drop.foreach(f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+    expired.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/manifest_$v.txt"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/replaced_$v.txt"))
+    }
+    (expired, drop.size)
+  }
+
+  /** Lands the tag demo once per source version: v1 base; v2 credits
+    * nation 4 (+250) and is TAGGED `q2close`; v3 credits nation 9
+    * (+300) — the head. Then the tag-aware vacuum expires exactly v1.
+    */
+  private[graft] def s33Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|snaptags",
+      "graft_snaptags") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+      base.repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+      val (rep2, add2) = prepareCredit(dir, 1, base, 4, 250L, "t2")
+      require(occCommit(dir, 1, rep2, add2)._1 == 2)
+      writeTag(dir, "q2close", 2)
+      // v3 prepares against v2; nation 9's rows are untouched by v2, so
+      // the base frame still carries their correct pre-image values
+      val (rep3, add3) = prepareCredit(dir, 2, base, 9, 300L, "t3")
+      require(occCommit(dir, 2, rep3, add3)._1 == 3)
+      val (expired, nDropped) = tagVacuum(dir)
+      require(expired == Seq(1), s"tag vacuum expired $expired")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_dropped_count"),
+        nDropped.toString.getBytes("UTF-8"))
+    }
+
+  /** S33: the registered tag read — the TAGGED snapshot and the head,
+    * both read AFTER the tag-aware vacuum, as exact per-snapshot
+    * aggregates the oracle recomputes: the tag pins v2 (base + the
+    * nation-4 credit only), the head carries both credits, exactly one
+    * version (v1) expired, and at least one orphan file was physically
+    * deleted. The hash gate fails if retention ever breaks a tagged
+    * snapshot or leaks an expired version's state.
+    */
+  private def s33TaggedSnapshots(s: SparkSession, d: String): DataFrame = {
+    val dir = s33Dir(s, d)
+    val nDropped = {
+      val src = scala.io.Source.fromFile(s"$dir/_dropped_count")
+      try src.mkString.trim.toLong finally src.close()
+    }
+    def agg(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+        .select(lit(label).as("snap"), col("n_rows"), col("bal_cents"))
+    agg("head", readVersion(s, dir, head(dir)))
+      .unionByName(agg("tag_q2close", readTag(s, dir, "q2close")))
+      .withColumn("n_expired", lit(1L))
+      .withColumn("dropped_files", lit(nDropped > 0))
+      .orderBy(col("snap"))
+  }
+
+  private val s33Sql =
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |      AS bal,
+      |    CAST(SUM(CASE WHEN c_nationkey = 4 THEN 250 ELSE 0 END)
+      |      AS BIGINT) AS c4,
+      |    CAST(SUM(CASE WHEN c_nationkey = 9 THEN 300 ELSE 0 END)
+      |      AS BIGINT) AS c9
+      |  FROM customer)
+      |SELECT 'head' AS snap, n_rows, bal + c4 + c9 AS bal_cents,
+      |  CAST(1 AS BIGINT) AS n_expired, TRUE AS dropped_files FROM base
+      |UNION ALL
+      |SELECT 'tag_q2close', n_rows, bal + c4, 1, TRUE FROM base
+      |ORDER BY snap""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
+    "s33_tagged_snapshots" -> Q(s33TaggedSnapshots, Some(s33Sql)),
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s29_snapshot_rollback" -> Q(s29SnapshotRollback, Some(s29Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),

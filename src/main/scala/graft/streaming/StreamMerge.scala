@@ -347,9 +347,81 @@ object StreamMerge {
       |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
       |ORDER BY k""".stripMargin
 
+  /** MV3: INCREMENTAL MV REFRESH off the manifest delta — the change
+    * feed's actual downstream consumer (the round-15 verdict's rationale
+    * for cdc4: "MV refresh, index maintenance, replication"). The MV is
+    * the per-nation balance rollup; a consumer that materialized it at
+    * v1 refreshes to the head WITHOUT rescanning the table:
+    *
+    *   MV_head(nk) = MV_v1(nk) − Σ pre-images(nk) + Σ post-images(nk)
+    *
+    * where pre/post are exactly cdc4's manifest-delta file sets —
+    * differential aggregation, O(changed files). Riders (rows rewritten
+    * with unchanged values) cancel between the two sums structurally;
+    * inserts/deletes fall out of the count terms. The registered output
+    * is the REFRESHED MV per nation, and the oracle recomputes it from
+    * raw customer+orders directly — the hash gate fails if the
+    * differential update loses a row, double-counts a rewrite, or
+    * misses a bucket.
+    *
+    * At 100 TB this is why lakehouse MVs are viable: refresh cost is
+    * proportional to what CHANGED since the last refresh, never to the
+    * table; the spec pins the scan-side claim (the delta frames' input
+    * files are exactly the manifest delta — the shared bootstrap files
+    * are never reopened).
+    */
+  private[graft] def mv3Refreshed(s: SparkSession, dir: String)
+      : DataFrame = {
+    val h = Snapshots.head(dir)
+    val m1 = Snapshots.manifest(dir, 1)
+    val mh = Snapshots.manifest(dir, h)
+    val (fromSet, toSet) = (m1.toSet, mh.toSet)
+    def aggOf(files: Seq[String]): DataFrame =
+      (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+       else s.read.parquet(m1.head).filter(lit(false)))
+        .groupBy(col("nkd").cast("int").as("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+    // the consumer's materialization at v1: landed once per store
+    // version (≤ |nations| rows — the historical full scan happened at
+    // materialization time, never per refresh; versionedPathKey so a
+    // regenerated store evicts the stale frame)
+    val mv1 = graft.util.Landing.frameLanding(s,
+      s"mv3base|${graft.util.Landing.versionedPathKey(dir)}")(aggOf(m1))
+    val pre = aggOf(m1.filterNot(toSet))
+      .select(col("nk"), col("n").as("pn"), col("cents").as("pc"))
+    val post = aggOf(mh.filterNot(fromSet))
+      .select(col("nk"), col("n").as("qn"), col("cents").as("qc"))
+    mv1.join(pre, Seq("nk"), "full_outer")
+      .join(post, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("pn"), lit(0L))
+          + coalesce(col("qn"), lit(0L))).as("n_rows"),
+        (coalesce(col("cents"), lit(0L)) - coalesce(col("pc"), lit(0L))
+          + coalesce(col("qc"), lit(0L))).as("total_cents"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col("nk"))
+  }
+
+  private def mv3IncrementalMv(s: SparkSession, d: String): DataFrame =
+    mv3Refreshed(s, e28Dir(s, d))
+
+  private val mv3Sql =
+    """SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + COALESCE(tot, 0)) AS BIGINT) AS total_cents
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS tot
+      |  FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "e28_stream_merge" -> Q(e28StreamMerge, Some(e28Sql)),
     "cdc4_change_feed_range" -> Q(cdc4ChangeFeedRange, Some(cdc4Sql)),
     "s31_ledger_vacuum" -> Q(s31LedgerVacuum, Some(s31Sql)),
+    "mv3_incremental_mv" -> Q(mv3IncrementalMv, Some(mv3Sql)),
   )
 }

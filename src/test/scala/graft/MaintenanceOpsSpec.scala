@@ -694,6 +694,49 @@ class MaintenanceOpsSpec extends SparkSpec {
       s"empty pruned frame lost the schema: ${empty.columns.toSeq}")
   }
 
+  // ---- s33: tags + tag-aware retention ----------------------------------------
+
+  test("s33: the tag pins its version through vacuum — tag-only files " +
+      "survive, v1-only files are deleted, and the tagged read is exact") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s33Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 3)
+    assert(Snapshots.tags(dir) === Map("q2close" -> 2))
+    assert(!new java.io.File(s"$dir/manifest_1.txt").exists(),
+      "untagged v1 must be expired")
+    val m2 = Snapshots.manifest(dir, 2)
+    val m3 = Snapshots.manifest(dir, 3).toSet
+    // every tagged-version file survives — including the nation-9
+    // original that ONLY v2 still references (v3 rewrote it): the file
+    // an untag-aware vacuum would have deleted
+    m2.foreach(p => assert(new java.io.File(p).exists(),
+      s"vacuum deleted a tagged version's file: $p"))
+    val tagOnly = m2.filterNot(m3)
+    assert(tagOnly.nonEmpty, "need a file pinned by the tag alone")
+    // v1's nation-4 original is referenced by NO retained manifest —
+    // physically gone
+    val dropped = {
+      val src = scala.io.Source.fromFile(s"$dir/_dropped_count")
+      try src.mkString.trim.toInt finally src.close()
+    }
+    assert(dropped >= 1)
+    // the tagged snapshot reads exactly v2's state after the vacuum
+    val sep = java.io.File.separator
+    val tagSum = Snapshots.readTag(spark, dir, "q2close")
+      .agg(sum(col("bal"))).first().getLong(0)
+    val base = Tables.customer(spark, Sf0001)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")),
+        sum(when(col("c_nationkey") === 4, 250L).otherwise(0L)),
+        sum(when(col("c_nationkey") === 9, 300L).otherwise(0L))).first()
+    assert(tagSum === base.getLong(0) + base.getLong(1))
+    // head carries both credits; a second vacuum is a no-op
+    val headSum = Snapshots.readVersion(spark, dir, 3)
+      .agg(sum(col("bal"))).first().getLong(0)
+    assert(headSum === base.getLong(0) + base.getLong(1) + base.getLong(2))
+    assert(Snapshots.tagVacuum(dir) === ((Seq.empty, 0)),
+      "re-running the vacuum must converge to a no-op")
+  }
+
   // ---- s32: two-level manifest tree ------------------------------------------
 
   test("s32: a selective read parses a strict subset of per-bucket " +
@@ -1161,6 +1204,34 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, dir, 5)
       .agg(count(lit(1)), sum(col("bal"))).first() === before,
       "replay after vacuum re-applied increments — ledger check broken")
+  }
+
+  test("mv3: the incremental refresh equals the full head recompute " +
+      "bit-exact and its delta scans open ONLY the manifest-delta files") {
+    import graft.sources.Snapshots
+    import graft.streaming.StreamMerge
+    val dir = StreamMerge.e28Dir(spark, Sf0001)
+    val h = Snapshots.head(dir)
+    val refreshed = StreamMerge.mv3Refreshed(spark, dir)
+    val full = Snapshots.readVersion(spark, dir, h)
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("total_cents"))
+    assert(refreshed.exceptAll(full).count() === 0 &&
+      full.exceptAll(refreshed).count() === 0,
+      "differential MV diverged from the full recompute")
+    // scan-side claim: beyond the landed v1 materialization, the refresh
+    // opens exactly the manifest-delta files — shared bootstrap files
+    // are never reopened
+    val m1 = Snapshots.manifest(dir, 1).toSet
+    val mh = Snapshots.manifest(dir, h).toSet
+    val expectedDelta = (m1 -- mh) ++ (mh -- m1)
+    val scanned = refreshed.inputFiles
+      .map(f => new java.net.URI(f).getPath).toSet
+    val sharedOpened = scanned.intersect(m1.intersect(mh))
+    assert(sharedOpened.isEmpty,
+      s"refresh reopened ${sharedOpened.size} shared bootstrap files")
+    assert(scanned.subsetOf(expectedDelta),
+      "refresh scanned files outside the manifest delta")
   }
 
   test("e27: versions grow append-only and a replayed batch commit is a " +
