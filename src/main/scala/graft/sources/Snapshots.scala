@@ -1165,8 +1165,147 @@ object Snapshots {
       |SELECT 'tag_q2close', n_rows, bal + c4, 1, TRUE FROM base
       |ORDER BY snap""".stripMargin
 
+  // ---- S34: orphan-file cleanup ------------------------------------------------
+  /** Every REFERENCED data file in the store: the union of all surviving
+    * manifests' paths (any version, tagged or not — vacuum decides
+    * version retention; orphan cleanup must never second-guess it).
+    */
+  private[graft] def referencedFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("manifest_") &&
+        f.getName.endsWith(".txt"))
+      .flatMap(f => manifestLines(dir,
+        f.getName.stripPrefix("manifest_").stripSuffix(".txt").toInt))
+      .map(pathOf).toSet
+
+  /** ORPHAN-FILE CLEANUP (Iceberg `deleteOrphanFiles`): the OCC retry
+    * loop is correct but LEAKY — a conflicted [[mergeAttempt]] leaves
+    * its fully-written staging files on disk, referenced by nothing
+    * (same for crashed writers and rejected WAP candidates). This walks
+    * the store's data files and deletes those (a) referenced by NO
+    * surviving manifest and (b) OLDER than `minAgeMs` — the age
+    * threshold is what makes the action safe to run against live
+    * writers: an in-flight writer's freshly staged files look orphaned
+    * until its commit publishes, so production runs use hours; only the
+    * deterministic spec pins age ≈ 0. Returns (deleted, keptYoung).
+    *
+    * At 100 TB: without this, every conflict retry and crash leaks a
+    * bucket rewrite's worth of storage forever; with it, cleanup cost is
+    * one listing + one referenced-set build (driver metadata) + deletes.
+    */
+  private[graft] def deleteOrphanFiles(dir: String,
+      minAgeMs: Long): (Int, Int) = {
+    val referenced = referencedFiles(dir)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val all =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toList
+      finally walk.close()
+    val orphans = all.filter(p => !referenced.contains(p.toString))
+    val (old, young) = orphans.partition(p =>
+      java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+    old.foreach(java.nio.file.Files.deleteIfExists(_))
+    (old.size, young.size)
+  }
+
+  /** Lands the orphan demo once per source version: the s22 layout with
+    * a REAL orphan produced the way production produces them — a writer
+    * prepares against a snapshot, a concurrent commit rewrites its
+    * bucket, the publish throws [[CommitConflictException]] AFTER the
+    * staging write (files on disk, referenced by nothing); the retry
+    * commits. The cleanup (orphans aged for the demo) deletes exactly
+    * the conflicted attempt's files.
+    */
+  private[graft] def s34Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|snaporphan",
+      "graft_snaporphan") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          balCents.as("bal"))
+      base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        statsEntries(s, leafFiles(dir, "v1"))
+          .mkString("\n").getBytes("UTF-8"))
+      import s.implicits._
+      val k5 = base.filter(col("nk") === 5)
+        .agg(min(col("k")), max(col("k"))).first()
+      val (kLo, kHi) = (k5.getLong(0), k5.getLong(1))
+      // writer A commits a nation-5 update first
+      val chgA = Seq((5, kLo, "U", 55555L)).toDF("nk", "k", "op", "val")
+      val (vA, _) = cowMerge(s, dir, chgA, "oa")
+      require(vA == 2)
+      // writer B prepared against v1 — its publish conflicts AFTER the
+      // staging write, leaving the orphan
+      val chgB = Seq((5, kHi, "U", 77777L)).toDF("nk", "k", "op", "val")
+        .localCheckpoint(true)
+      val thrown =
+        try { mergeAttempt(s, dir, chgB, Seq(5), readV = 1, "ob1stale")
+          false }
+        catch { case _: CommitConflictException => true }
+      require(thrown, "the stale attempt must conflict")
+      require(leafFiles(dir, "ob1stale").nonEmpty, "orphan must exist")
+      val (vB, _) = cowMerge(s, dir, chgB, "ob2")
+      require(vB == 3)
+      // age the orphans so the demo cleanup (minAge 60s) collects them
+      leafFiles(dir, "ob1stale").foreach { p =>
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(p),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - 3600000L))
+      }
+      val (deleted, young) = deleteOrphanFiles(dir, 60000L)
+      require(deleted >= 1, s"cleanup deleted $deleted")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/_orphan_stats"),
+        s"$deleted|$young".getBytes("UTF-8"))
+    }
+
+  /** S34: the registered post-cleanup read — the head snapshot (both
+    * writers' updates applied exactly once, the conflicted attempt's
+    * state never visible) with the cleanup's structural outcomes:
+    * orphans were actually deleted, and every live version still reads
+    * (v1 time-travels — cleanup must never touch referenced files).
+    */
+  private def s34OrphanCleanup(s: SparkSession, d: String): DataFrame = {
+    val dir = s34Dir(s, d)
+    val Array(deleted, young) = {
+      val src = scala.io.Source.fromFile(s"$dir/_orphan_stats")
+      try src.mkString.trim.split('|').map(_.toLong) finally src.close()
+    }
+    val headAgg = readVersion(s, dir, head(dir))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+    val v1Agg = readVersion(s, dir, 1)
+      .agg(sum(col("bal")).as("v1_cents"))
+    headAgg.crossJoin(broadcast(v1Agg))
+      .select(col("n_rows"), col("bal_cents"), col("v1_cents"),
+        lit(deleted > 0).as("orphans_deleted"),
+        lit(young).as("kept_young"))
+  }
+
+  private val s34Sql =
+    """WITH k5 AS (
+      |  SELECT MIN(c_custkey) AS klo, MAX(c_custkey) AS khi
+      |  FROM customer WHERE c_nationkey = 5)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE
+      |    WHEN c_custkey = (SELECT klo FROM k5) THEN 55555
+      |    WHEN c_custkey = (SELECT khi FROM k5) THEN 77777
+      |    ELSE CAST(ROUND(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+      |    AS bal_cents,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS v1_cents,
+      |  TRUE AS orphans_deleted, CAST(0 AS BIGINT) AS kept_young
+      |FROM customer""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s33_tagged_snapshots" -> Q(s33TaggedSnapshots, Some(s33Sql)),
+    "s34_orphan_cleanup" -> Q(s34OrphanCleanup, Some(s34Sql)),
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s29_snapshot_rollback" -> Q(s29SnapshotRollback, Some(s29Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),

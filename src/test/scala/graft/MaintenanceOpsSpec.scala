@@ -737,6 +737,42 @@ class MaintenanceOpsSpec extends SparkSpec {
       "re-running the vacuum must converge to a no-op")
   }
 
+  // ---- s34: orphan-file cleanup ------------------------------------------------
+
+  test("s34: cleanup deletes exactly the conflicted attempt's aged " +
+      "orphans, never referenced files, and the age threshold protects " +
+      "in-flight staging") {
+    import graft.sources.Snapshots
+    val dir = Snapshots.s34Dir(spark, Sf0001)
+    // the conflicted attempt's staged files are physically gone
+    val staleDir = new java.io.File(s"$dir/ob1stale")
+    val staleLeft =
+      if (!staleDir.exists()) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(staleDir.toPath)
+        try walk.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toList
+        finally walk.close()
+      }
+    assert(staleLeft.isEmpty, s"orphans survived: $staleLeft")
+    // every version still reads: cleanup never touches referenced files
+    (1 to Snapshots.head(dir)).foreach { v =>
+      Snapshots.manifest(dir, v).foreach(p =>
+        assert(new java.io.File(p).exists(), s"v$v lost $p"))
+    }
+    // a FRESH unreferenced file (in-flight staging) survives an aged
+    // cleanup pass and is reported as kept-young
+    val fresh = java.nio.file.Paths.get(s"$dir/inflight.parquet")
+    java.nio.file.Files.write(fresh, Array[Byte](1, 2, 3))
+    try {
+      val (deleted, young) = Snapshots.deleteOrphanFiles(dir, 60000L)
+      assert(deleted === 0 && young >= 1,
+        s"age threshold violated: deleted=$deleted young=$young")
+      assert(java.nio.file.Files.exists(fresh))
+    } finally java.nio.file.Files.deleteIfExists(fresh)
+  }
+
   // ---- s32: two-level manifest tree ------------------------------------------
 
   test("s32: a selective read parses a strict subset of per-bucket " +
