@@ -69,9 +69,30 @@ object TxnPair {
     * next slot; a regression throws [[Snapshots.CommitConflictException]]
     * and the caller must re-prepare against the new head.
     */
+  /** Throws unless `vers` supersedes (>= per table) every pin of the
+    * CURRENT head transaction — publishing an older table-version pair
+    * under a higher slot would make the newer commit permanently
+    * invisible, whether the staleness arrives via a lost claim race or
+    * a caller that prepared long ago.
+    */
+  private def requireSupersedes(dir: String, vers: Map[String, Int],
+      headTxn: Int): Unit =
+    if (headTxn >= 1) {
+      val pinned = txnRead(dir, headTxn)
+      val regressed = pinned.filter { case (t, v) =>
+        !vers.get(t).exists(_ >= v) }
+      if (regressed.nonEmpty)
+        throw new Snapshots.CommitConflictException(
+          s"txn head (slot $headTxn) pins newer versions for " +
+            s"${regressed.keys.mkString(",")} — re-prepare against the " +
+            "new transaction head before committing")
+    }
+
   private[graft] def commitTxn(dir: String, vers: Map[String, Int],
       claimWaitMs: Long = 10000L): Int = {
-    var n = txnHead(dir) + 1
+    val h0 = txnHead(dir)
+    requireSupersedes(dir, vers, h0)
+    var n = h0 + 1
     while (true) {
       val claim = new java.io.File(dir, s"txn_$n.txt.claim")
       try {
@@ -94,14 +115,7 @@ object TxnPair {
             throw new Snapshots.CommitConflictException(
               s"orphaned txn claim for slot $n (claimant died mid-" +
                 "publish); manual recovery: remove " + claim.getPath)
-          val winner = txnRead(dir, n)
-          val regressed = winner.filter { case (t, v) =>
-            !vers.get(t).exists(_ >= v) }
-          if (regressed.nonEmpty)
-            throw new Snapshots.CommitConflictException(
-              s"txn slot $n pinned newer versions for " +
-                s"${regressed.keys.mkString(",")} — re-prepare against " +
-                "the new transaction head before committing")
+          requireSupersedes(dir, vers, n)
           n += 1
       }
     }

@@ -874,6 +874,82 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(results.asScala.toSet === (3 to 6).toSet)
   }
 
+  test("s24: a txn loser whose pins are STALE against the slot winner " +
+      "throws instead of burying the newer pair under a higher slot; a " +
+      "superseding commit still lands") {
+    import graft.sources.{Snapshots, TxnPair}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_txnstale").toString
+    def land(sub: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df.write.mode("overwrite").parquet(s"$dir/$sub")
+      TxnPair.leaves(s"$dir/$sub")
+    }
+    val t1 = Seq(("a", 1L)).toDF("rf", "qty")
+    TxnPair.writeManifest(s"$dir/A", 1, land("A/v1", t1))
+    TxnPair.writeManifest(s"$dir/A", 2, land("A/v2", t1))
+    assert(TxnPair.commitTxn(dir, Map("A" -> 1)) === 1)
+    // simulate losing the slot-2 claim race to a writer that pinned the
+    // NEWER A->2: claim exists, winner's txn published
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/txn_2.txt.claim"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/txn_2.txt"), "A=2".getBytes("UTF-8"))
+    // the round-15 lost-update scenario: committing the OLDER A->1 under
+    // slot 3 would make the winner's A->2 permanently invisible
+    intercept[Snapshots.CommitConflictException] {
+      TxnPair.commitTxn(dir, Map("A" -> 1))
+    }
+    assert(TxnPair.txnHead(dir) === 2, "stale commit must not publish")
+    // a commit whose pins SUPERSEDE the winner's proceeds to slot 3
+    TxnPair.writeManifest(s"$dir/A", 3, land("A/v3", t1))
+    assert(TxnPair.commitTxn(dir, Map("A" -> 3)) === 3)
+    assert(TxnPair.txnRead(dir, TxnPair.txnHead(dir)) === Map("A" -> 3))
+  }
+
+  test("s27: a publisher that loses the version-slot claim re-audits " +
+      "against the NEW head and publishes the next slot") {
+    import graft.sources.{Snapshots, WriteAuditPublish => WAP}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_wapclaim").toString
+    val base = (0 until 20).map(k => (k.toLong, k % 4, k.toLong * 10L))
+      .toDF("k", "nkd", "bal").withColumn("nk", col("nkd"))
+    base.repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val m1 = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    // a concurrent publisher holds the slot-2 claim and publishes while
+    // our candidate is being audited: identical content commit (so row
+    // conservation still audits green on the re-audit pass)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/manifest_2.txt.claim"))
+    val publisher = new Thread(() => {
+      Thread.sleep(300)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+    })
+    publisher.start()
+    val log = new StringBuilder
+    // a clean row-conserving candidate: same rows, same keys
+    val ok = WAP.auditedPublish(spark, dir, m1, log)
+    publisher.join()
+    assert(ok, "green candidate must eventually publish")
+    assert(Snapshots.head(dir) === 3,
+      "lost claim must re-publish under the NEXT slot, not replace v2")
+    // the audit ran twice: once against head 1, once against head 2
+    assert(log.toString.contains("candidate 2") &&
+      log.toString.contains("candidate 3"), log.toString)
+  }
+
   test("s24: the landed pair store appends the fact member (shared files) " +
       "and rewrites the MV member; the head MV equals a recompute from " +
       "the head fact") {
