@@ -31,6 +31,7 @@ object Registry {
       sources.Compaction.qs ++
       sources.Snapshots.qs ++
       sources.ManifestTree.qs ++
+      sources.Branches.qs ++
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++

@@ -58,6 +58,20 @@ object ManifestTree {
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       lines.mkString("\n").getBytes("UTF-8"))
 
+  /** The manifest LIST is the commit point — it must appear fully
+    * written or not at all (bucket manifests are inert until a list
+    * names them, so plain writes suffice for those). Single writer per
+    * store assumed for the demo; a concurrent-writer tree would claim
+    * the slot with the occCommit O_EXCL discipline first.
+    */
+  private def publishLines(path: String, lines: Seq[String]): Unit = {
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Group stats entries by the bucket their path's `nk=` dir names. */
   private def byBucket(entries: Seq[String]): Map[Int, Seq[String]] = {
     val nkRe = raw"nk=(\d+)".r
@@ -95,7 +109,7 @@ object ManifestTree {
         val rows = entries.map(_.split('|')(5).toLong).sum
         BucketRef(nk, bm, rows)
       }
-      writeLines(s"$dir/mlist_1.txt",
+      publishLines(s"$dir/mlist_1.txt",
         refs1.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
       // ---- the v2 commit, resolved through the TREE -------------------
       val touched = refs1.map(_.nk).filter(_ % 5 == 2).toSet
@@ -120,7 +134,7 @@ object ManifestTree {
           BucketRef(r.nk, bm, entries.map(_.split('|')(5).toLong).sum)
         }
       }
-      writeLines(s"$dir/mlist_2.txt",
+      publishLines(s"$dir/mlist_2.txt",
         refs2.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
     }
 

@@ -356,7 +356,7 @@ object Snapshots {
     * either way). Returns (replaced, added) — the commit's
     * file-granularity footprint.
     */
-  private def prepareCredit(dir: String, readV: Int, base: DataFrame,
+  private[graft] def prepareCredit(dir: String, readV: Int, base: DataFrame,
       nation: Int, creditCents: Long, sub: String)
       : (Set[String], Seq[String]) = {
     val sep = java.io.File.separator

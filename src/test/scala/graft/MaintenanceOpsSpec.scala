@@ -737,6 +737,68 @@ class MaintenanceOpsSpec extends SparkSpec {
       "re-running the vacuum must converge to a no-op")
   }
 
+  // ---- s35: branches + audited fast-forward -------------------------------------
+
+  test("s35: main readers are pinned while a branch stacks commits; a " +
+      "green audit fast-forwards main atomically; a red branch stays " +
+      "parked and invisible") {
+    import graft.sources.{Branches, Snapshots}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_branchspec").toString
+    val base = (0 until 40).map(k => (k.toLong, k % 4, k.toLong * 10L))
+      .toDF("k", "nkd", "bal").withColumn("nk", col("nkd"))
+    base.repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val m1 = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    Branches.moveRef(dir, "main", 1)
+    Branches.moveRef(dir, "wip", 1)
+    val baseDf = base.select(col("k"), col("nk"), col("bal"))
+    def mainSum(): Long = Branches.readRef(spark, dir, "main")
+      .agg(sum(col("bal"))).first().getLong(0)
+    val v1Sum = mainSum()
+    // two stacked branch commits: nation 1 (+7), then nation 2 (+9)
+    val (r2, a2) = Snapshots.prepareCredit(dir, 1, baseDf, 1, 7L, "w2")
+    assert(Snapshots.occCommit(dir, 1, r2, a2)._1 === 2)
+    Branches.moveRef(dir, "wip", 2)
+    assert(mainSum() === v1Sum,
+      "a staged branch commit leaked into main")
+    val (r3, a3) = Snapshots.prepareCredit(dir, 2, baseDf, 2, 9L, "w3")
+    assert(Snapshots.occCommit(dir, 2, r3, a3)._1 === 3)
+    Branches.moveRef(dir, "wip", 3)
+    assert(Branches.refVersion(dir, "main") === 1 && mainSum() === v1Sum,
+      "main must stay pinned until the audit passes")
+    // green audit: one atomic move makes BOTH commits visible at once
+    val log = new StringBuilder
+    assert(Branches.auditedFastForward(spark, dir, "wip", log))
+    assert(Branches.refVersion(dir, "main") === 3)
+    assert(mainSum() === v1Sum + 10L * 7L + 10L * 9L)
+    // red branch: out-of-domain rewrite of nation 0 — audit rejects,
+    // main does not move
+    val badBase = baseDf.withColumn("bal",
+      when(col("nk") === 0, col("bal") - 100000000L)
+        .otherwise(col("bal")))
+    val (r4, a4) = Snapshots.prepareCredit(dir, 3, badBase, 0, 0L, "w4")
+    assert(Snapshots.occCommit(dir, 3, r4, a4)._1 === 4)
+    Branches.moveRef(dir, "bad", 4)
+    assert(!Branches.auditedFastForward(spark, dir, "bad", log))
+    assert(Branches.refVersion(dir, "main") === 3)
+    assert(mainSum() === v1Sum + 70L + 90L,
+      "rejected branch state leaked into main")
+    // the parked branch stays readable for inspection
+    assert(Branches.readRef(spark, dir, "bad")
+      .filter(col("bal") < -1000000L).count() === 10)
+  }
+
   // ---- s34: orphan-file cleanup ------------------------------------------------
 
   test("s34: cleanup deletes exactly the conflicted attempt's aged " +
