@@ -1303,9 +1303,78 @@ object Snapshots {
       |  TRUE AS orphans_deleted, CAST(0 AS BIGINT) AS kept_young
       |FROM customer""".stripMargin
 
+  // ---- S36: metadata tables (history / files introspection) -------------------
+  /** S36: the METADATA TABLE read (Iceberg's `table$history` /
+    * `table$files`, Delta's DESCRIBE HISTORY): per committed version of
+    * the s22 MERGE store — row count, file count, files added/removed
+    * vs the parent — computed ENTIRELY from manifest entries and their
+    * commit-written stats. The registered frame's plan has ZERO data
+    * inputs (spec-asserted `inputFiles` empty): row counts come from
+    * the stats the commits recorded, membership from the path sets.
+    * This is why stats-in-manifests (s30) pays twice — the same
+    * metadata that prunes selective reads answers "what happened to
+    * this table" without touching a single data file.
+    *
+    * The oracle recomputes every column from raw customer+orders: v1 is
+    * the base table over |nations| one-file buckets; v2's row delta is
+    * the merge's inserts minus deletes and it rewrote exactly the
+    * touched buckets. At 100 TB a DESCRIBE HISTORY that scanned data
+    * would be absurd; this one is a driver-side manifest parse, the
+    * same O(|files| lines) a read pays.
+    */
+  private def s36TableHistory(s: SparkSession, d: String): DataFrame = {
+    val dir = s22Dir(s, d)
+    import s.implicits._
+    val rows = (1 to head(dir)).map { v =>
+      val lines = manifestLines(dir, v)
+      val nRows = lines.map(_.split('|')(5).toLong).sum
+      val paths = lines.map(pathOf).toSet
+      val parent: Set[String] =
+        if (v == 1) Set.empty else manifest(dir, v - 1).toSet
+      (v, lines.size.toLong, nRows,
+        if (v == 1) 0L else (paths -- parent).size.toLong,
+        if (v == 1) 0L else (parent -- paths).size.toLong)
+    }
+    rows.toDF("version", "n_files", "n_rows", "files_added",
+        "files_removed")
+      .orderBy(col("version"))
+  }
+
+  private val s36Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 23 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders GROUP BY o_custkey),
+      |chgu AS (
+      |  SELECT b.nk, g.k, g.op FROM chg0 g
+      |  JOIN base b ON b.k = g.k WHERE b.nk % 5 = 2),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS base_rows,
+      |    CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_buckets
+      |  FROM base),
+      |delta AS (
+      |  SELECT CAST(COUNT(DISTINCT nk) AS BIGINT) AS touched,
+      |    CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS dels,
+      |    CAST(SUM(CASE WHEN k % 31 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ins
+      |  FROM chgu)
+      |SELECT 1 AS version, n_buckets AS n_files, base_rows AS n_rows,
+      |  CAST(0 AS BIGINT) AS files_added, CAST(0 AS BIGINT)
+      |    AS files_removed
+      |FROM stats
+      |UNION ALL
+      |SELECT 2, n_buckets, base_rows - dels + ins, touched, touched
+      |FROM stats, delta
+      |ORDER BY version""".stripMargin
+
   val qs: Seq[(String, Q)] = Seq(
     "s33_tagged_snapshots" -> Q(s33TaggedSnapshots, Some(s33Sql)),
     "s34_orphan_cleanup" -> Q(s34OrphanCleanup, Some(s34Sql)),
+    "s36_table_history" -> Q(s36TableHistory, Some(s36Sql)),
     "s16_snapshot_read" -> Q(s16SnapshotRead, Some(s16Sql)),
     "s29_snapshot_rollback" -> Q(s29SnapshotRollback, Some(s29Sql)),
     "s18_snapshot_vacuum" -> Q(s18SnapshotVacuum, Some(s18Sql)),

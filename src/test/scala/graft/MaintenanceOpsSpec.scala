@@ -737,6 +737,26 @@ class MaintenanceOpsSpec extends SparkSpec {
       "re-running the vacuum must converge to a no-op")
   }
 
+  // ---- s36: metadata tables --------------------------------------------------
+
+  test("s36: the table-history read is pure metadata — zero data files " +
+      "in its plan, row counts from commit-written stats") {
+    val df = SparkEntry.queries("s36_table_history")(spark, Sf0001)
+    assert(df.inputFiles.isEmpty,
+      s"history query opened data files: ${df.inputFiles.take(3).toSeq}")
+    val rows = df.collect()
+    assert(rows.length === 2)
+    // stats-derived row counts agree with actually reading the versions
+    import graft.sources.Snapshots
+    val dir = Snapshots.s22Dir(spark, Sf0001)
+    rows.foreach { r =>
+      val v = r.getInt(0)
+      assert(r.getLong(2) ===
+        Snapshots.readVersion(spark, dir, v).count(),
+        s"stats row count for v$v disagrees with the data")
+    }
+  }
+
   // ---- s35: branches + audited fast-forward -------------------------------------
 
   test("s35: main readers are pinned while a branch stacks commits; a " +
