@@ -20,7 +20,10 @@ import graft.{Q, Tables}
   *
   * Layout on disk (all driver-readable text, every publish a distinct
   * file — the s16 immutability discipline):
-  *   mlist_<V>.txt            one `nk|bmPath|rows` line per bucket
+  *   mlist_<V>.txt            one `nk|bmPath|rows|bal_lo|bal_hi` line
+  *                            per bucket (value stats roll up from the
+  *                            bucket's file entries, so a value
+  *                            predicate prunes bucket-manifest FETCHES)
   *   bm_nk<k>_v<V>.txt        stats entries (Snapshots format) for the
   *                            files bucket k holds AS OF version V —
   *                            written only when V changed bucket k
@@ -33,7 +36,8 @@ import graft.{Q, Tables}
   */
 object ManifestTree {
 
-  final case class BucketRef(nk: Int, bm: String, rows: Long)
+  final case class BucketRef(nk: Int, bm: String, rows: Long,
+      balLo: Long, balHi: Long)
 
   private[graft] val CreditCents = 777L
 
@@ -41,7 +45,7 @@ object ManifestTree {
     val src = scala.io.Source.fromFile(s"$dir/mlist_$v.txt")
     try src.getLines().filter(_.nonEmpty).map { l =>
       val p = l.split('|')
-      BucketRef(p(0).toInt, p(1), p(2).toLong)
+      BucketRef(p(0).toInt, p(1), p(2).toLong, p(3).toLong, p(4).toLong)
     }.toList
     finally src.close()
   }
@@ -70,6 +74,18 @@ object ManifestTree {
       lines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Bucket-level stats roll up from the bucket's file entries: row
+    * count plus the value column's [lo, hi] — so a VALUE predicate can
+    * prune bucket-manifest FETCHES at the list level, one level above
+    * the per-file pruning inside each bucket manifest.
+    */
+  private def bucketRef(nk: Int, bm: String,
+      entries: Seq[String]): BucketRef = {
+    val parts = entries.map(_.split('|'))
+    BucketRef(nk, bm, parts.map(_(5).toLong).sum,
+      parts.map(_(3).toLong).min, parts.map(_(4).toLong).max)
   }
 
   /** Group stats entries by the bucket their path's `nk=` dir names. */
@@ -106,11 +122,10 @@ object ManifestTree {
       val refs1 = v1ByBucket.toSeq.sortBy(_._1).map { case (nk, entries) =>
         val bm = s"$dir/bm_nk${nk}_v1.txt"
         writeLines(bm, entries)
-        val rows = entries.map(_.split('|')(5).toLong).sum
-        BucketRef(nk, bm, rows)
+        bucketRef(nk, bm, entries)
       }
       publishLines(s"$dir/mlist_1.txt",
-        refs1.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
+        refs1.map(r => s"${r.nk}|${r.bm}|${r.rows}|${r.balLo}|${r.balHi}"))
       // ---- the v2 commit, resolved through the TREE -------------------
       val touched = refs1.map(_.nk).filter(_ % 5 == 2).toSet
       // merge-side metadata fetch: ONLY the touched buckets' manifests
@@ -131,11 +146,11 @@ object ManifestTree {
           val entries = v2ByBucket(r.nk)
           val bm = s"$dir/bm_nk${r.nk}_v2.txt"
           writeLines(bm, entries)
-          BucketRef(r.nk, bm, entries.map(_.split('|')(5).toLong).sum)
+          bucketRef(r.nk, bm, entries)
         }
       }
       publishLines(s"$dir/mlist_2.txt",
-        refs2.map(r => s"${r.nk}|${r.bm}|${r.rows}"))
+        refs2.map(r => s"${r.nk}|${r.bm}|${r.rows}|${r.balLo}|${r.balHi}"))
     }
 
   /** The tree-pruned read: parse the list (O(|buckets|) driver lines),
@@ -143,9 +158,11 @@ object ManifestTree {
     * files. Returns (frame, bucketManifestsParsed, bucketManifestsTotal).
     */
   private[graft] def treePrunedRead(s: SparkSession, dir: String, v: Int,
-      nkLo: Int, nkHi: Int): (DataFrame, Int, Int) = {
+      nkLo: Int, nkHi: Int, balMin: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
     val refs = mlist(dir, v)
-    val kept = refs.filter(r => r.nk >= nkLo && r.nk <= nkHi)
+    val kept = refs.filter(r => r.nk >= nkLo && r.nk <= nkHi &&
+      balMin.forall(m => r.balHi >= m))
     val files = kept.flatMap(r => bucketFiles(r.bm))
     val df =
       if (files.nonEmpty) s.read.parquet(files.sorted: _*)

@@ -902,6 +902,26 @@ class MaintenanceOpsSpec extends SparkSpec {
       val n = spark.read.parquet(ManifestTree.bucketFiles(r.bm): _*).count()
       assert(n === r.rows, s"stale row count for bucket ${r.nk}")
     }
+    // bucket-level VALUE stats prune bucket-manifest fetches: a floor
+    // just above the smallest bucket's bal_hi drops that bucket from
+    // the fetch list; a floor above every bucket's keeps nothing but
+    // the schema
+    val floors = refs2.map(_.balHi)
+    val (_, kMid, _) = ManifestTree.treePrunedRead(spark, dir, 2,
+      Int.MinValue, Int.MaxValue, balMin = Some(floors.min + 1))
+    assert(kMid < total && kMid === refs2.count(_.balHi > floors.min),
+      s"value-stat pruning kept $kMid/$total")
+    val (emptyDf, k0, _) = ManifestTree.treePrunedRead(spark, dir, 2,
+      Int.MinValue, Int.MaxValue, balMin = Some(floors.max + 1))
+    assert(k0 === 0 && emptyDf.count() === 0 &&
+      emptyDf.columns.contains("bal"))
+    // value-stat soundness per bucket
+    refs2.foreach { r =>
+      val mm = spark.read.parquet(ManifestTree.bucketFiles(r.bm): _*)
+        .agg(min(col("bal")), max(col("bal"))).first()
+      assert(mm.getLong(0) === r.balLo && mm.getLong(1) === r.balHi,
+        s"stale value stats for bucket ${r.nk}")
+    }
   }
 
   // ---- s24: multi-table atomic commit ---------------------------------------
