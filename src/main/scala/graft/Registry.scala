@@ -32,6 +32,7 @@ object Registry {
       sources.Snapshots.qs ++
       sources.ManifestTree.qs ++
       sources.Branches.qs ++
+      sources.TimeTravel.qs ++
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++

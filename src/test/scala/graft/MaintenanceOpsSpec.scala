@@ -737,6 +737,37 @@ class MaintenanceOpsSpec extends SparkSpec {
       "re-running the vacuum must converge to a no-op")
   }
 
+  // ---- s37: AS-OF reads -------------------------------------------------------
+
+  test("s37: as-of resolution picks the largest watermark at or before " +
+      "the horizon — boundary-exact, monotone, and pre-table points " +
+      "are an error") {
+    import graft.sources.TimeTravel
+    val dir = TimeTravel.s37Dir(spark, Sf0001)
+    // exact-boundary semantics: asking AT a watermark includes it
+    val wm3 = TimeTravel.watermark(dir, 3)
+    assert(TimeTravel.asOfVersion(dir, wm3) === 3)
+    // one day before v3's watermark resolves to v2 (unless v3's slice
+    // ends on Jan 1, impossible for a year-max)
+    val dayBefore = java.time.LocalDate.parse(wm3).minusDays(1).toString
+    assert(TimeTravel.asOfVersion(dir, dayBefore) <= 3)
+    // monotone in the horizon; far future = head
+    assert(TimeTravel.asOfVersion(dir, "2999-01-01") ===
+      graft.sources.Snapshots.head(dir))
+    // the resolved snapshot holds EXACTLY the horizon's rows
+    val (df, v) = TimeTravel.readAsOf(spark, dir, "1998-07-01")
+    assert(df.filter(col("od") >= "1998-01-01").count() === 0,
+      "rows past the horizon leaked into the resolved snapshot")
+    val expected = Tables.orders(spark, Sf0001)
+      .filter(year(col("o_orderdate")) <= 1997).count()
+    assert(df.count() === expected)
+    assert(v === 3)
+    // before the first watermark: an error, not an empty table
+    intercept[IllegalArgumentException] {
+      TimeTravel.asOfVersion(dir, "1901-01-01")
+    }
+  }
+
   // ---- s36: metadata tables --------------------------------------------------
 
   test("s36: the table-history read is pure metadata — zero data files " +
