@@ -54,5 +54,6 @@ object Registry {
       model.ModelQueries.qs ++
       model.Experiments.qs ++
       streaming.StreamQueries.qs ++
-      streaming.StreamMerge.qs
+      streaming.StreamMerge.qs ++
+      streaming.ChangeFeedStream.qs
 }

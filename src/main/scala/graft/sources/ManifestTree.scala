@@ -161,6 +161,9 @@ object ManifestTree {
       nkLo: Int, nkHi: Int, balMin: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     val refs = mlist(dir, v)
+    require(refs.nonEmpty,
+      s"empty manifest list mlist_$v.txt in $dir — no schema source " +
+        "for an all-pruned read")
     val kept = refs.filter(r => r.nk >= nkLo && r.nk <= nkHi &&
       balMin.forall(m => r.balHi >= m))
     val files = kept.flatMap(r => bucketFiles(r.bm))

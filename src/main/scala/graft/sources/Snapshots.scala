@@ -306,6 +306,22 @@ object Snapshots {
     var retries = 0
     while (true) {
       val h = head(dir)
+      // Fail-on-expired-base (Iceberg semantics): retention may have
+      // deleted the base manifest or an intervening version's
+      // replaced-file metadata; treating missing metadata as no-conflict
+      // would let a stale writer rebase past rewrites it cannot see —
+      // a silent lost update. Missing metadata IS a conflict.
+      if (!new java.io.File(dir, s"manifest_$readV.txt").exists())
+        throw new CommitConflictException(
+          s"stale base: snapshot v$readV expired " +
+            s"(manifest_$readV.txt missing — re-read the current head)")
+      val metaGone = ((readV + 1) to h).filter(v =>
+        !new java.io.File(dir, s"replaced_$v.txt").exists())
+      if (metaGone.nonEmpty)
+        throw new CommitConflictException(
+          s"stale base: conflict metadata expired for version(s) " +
+            s"${metaGone.mkString(",")} (read v$readV, head v$h) — " +
+            "re-read the current head")
       val concurrent = ((readV + 1) to h).flatMap(replacedOf(dir, _)).toSet
       val overlap = concurrent.intersect(replaced)
       if (overlap.nonEmpty)
@@ -897,9 +913,15 @@ object Snapshots {
     val mTo = manifest(dir, vTo)
     val fromSet = mFrom.toSet
     val toSet = mTo.toSet
+    // schema source for empty delta sides: ANY file in the range (vFrom
+    // may be an empty bootstrap manifest — round-16 advice)
+    val schemaFile = (mFrom ++ mTo).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"changeFeed($vFrom,$vTo) on $dir: both manifests are empty — " +
+          "no schema source for the feed"))
     def readOr(files: Seq[String], alias: String): DataFrame =
       (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
-       else s.read.parquet(mFrom.head).filter(lit(false)))
+       else s.read.parquet(schemaFile).filter(lit(false)))
         .select(col("k"), col("bal").as(alias))
     val pre = readOr(mFrom.filterNot(toSet), "bal_before")
     val post = readOr(mTo.filterNot(fromSet), "bal_after")
@@ -1199,10 +1221,24 @@ object Snapshots {
     val cutoff = System.currentTimeMillis() - minAgeMs
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    val all =
-      try walk.iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet")).toList
-      finally walk.close()
+    val (all, staleMeta) = {
+      val lst = try walk.iterator().asScala.toList finally walk.close()
+      (lst.filter(_.toString.endsWith(".parquet")),
+        // metadata orphans (round-16 advice): consumed claim files and
+        // abandoned WAP stage files accumulate unbounded otherwise. An
+        // aged claim whose manifest never published is a crashed
+        // claimant — deleting it IS occCommit's documented manual
+        // recovery. Swept silently; the returned counts stay the
+        // data-file contract the s34 gate pins.
+        lst.filter { p =>
+          val n = p.getFileName.toString
+          n.contains(".txt.claim") || n.contains(".txt.audit.")
+        })
+    }
+    staleMeta
+      .filter(p =>
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+      .foreach(java.nio.file.Files.deleteIfExists(_))
     val orphans = all.filter(p => !referenced.contains(p.toString))
     val (old, young) = orphans.partition(p =>
       java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
@@ -1322,12 +1358,20 @@ object Snapshots {
     * would be absurd; this one is a driver-side manifest parse, the
     * same O(|files| lines) a read pays.
     */
-  private def s36TableHistory(s: SparkSession, d: String): DataFrame = {
-    val dir = s22Dir(s, d)
+  /** The history computation behind s36, usable on any manifest store:
+    * one row per committed version, from metadata alone.
+    */
+  private[graft] def tableHistory(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = (1 to head(dir)).map { v =>
       val lines = manifestLines(dir, v)
-      val nRows = lines.map(_.split('|')(5).toLong).sum
+      // stats-optional contract (round-16 advice): bare-path entries are
+      // valid manifest lines; a version containing any surfaces an
+      // unknown (null) row count instead of an index-out-of-bounds
+      val parsed = lines.map(_.split('|'))
+      val nRows: Option[Long] =
+        if (parsed.forall(_.length >= 6)) Some(parsed.map(_(5).toLong).sum)
+        else None
       val paths = lines.map(pathOf).toSet
       val parent: Set[String] =
         if (v == 1) Set.empty else manifest(dir, v - 1).toSet
@@ -1339,6 +1383,9 @@ object Snapshots {
         "files_removed")
       .orderBy(col("version"))
   }
+
+  private def s36TableHistory(s: SparkSession, d: String): DataFrame =
+    tableHistory(s, s22Dir(s, d))
 
   private val s36Sql =
     """WITH base AS (

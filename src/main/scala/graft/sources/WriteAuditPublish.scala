@@ -81,19 +81,37 @@ object WriteAuditPublish {
       val ok = dups == 0 && oob == 0 && delta == 0
       auditLog.append(s"candidate $n: dups=$dups outOfDomain=$oob " +
         s"rowDelta=$delta -> ${if (ok) "PUBLISH" else "REJECT"}\n")
-      if (!ok) return false
+      if (!ok) {
+        // a rejected candidate's stage file is garbage NOW, not vacuum
+        // fodder later (round-16 advice: metadata orphans accumulated
+        // unbounded in long-lived stores)
+        java.nio.file.Files.deleteIfExists(stage)
+        return false
+      }
       val claim = new java.io.File(dir, s"manifest_$n.txt.claim")
       try {
         java.nio.file.Files.createFile(claim.toPath) // atomic test-and-set
+        // conflict metadata durable BEFORE the manifest is visible (the
+        // occCommit ordering discipline): a WAP version replaces exactly
+        // the parent files its candidate no longer lists, and recording
+        // that lets a later occCommit detect conflicts across WAP
+        // versions instead of failing on missing metadata
+        val candidate = files.toSet
+        val replaced = Snapshots.manifest(dir, h).filterNot(candidate)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/replaced_$n.txt"),
+          replaced.sorted.mkString("\n").getBytes("UTF-8"))
         java.nio.file.Files.move(stage,
           java.nio.file.Paths.get(s"$dir/manifest_$n.txt"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         return true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // lost the slot: wait for the winner's publish (claims here
-          // are only ever taken by green candidates about to rename),
-          // then re-stage and RE-AUDIT against the new head
+          // lost the slot: drop our stage file (a fresh one is staged on
+          // retry), wait for the winner's publish (claims here are only
+          // ever taken by green candidates about to rename), then
+          // re-stage and RE-AUDIT against the new head
+          java.nio.file.Files.deleteIfExists(stage)
           val mf = new java.io.File(dir, s"manifest_$n.txt")
           val deadline = System.nanoTime() + claimWaitMs * 1000000L
           while (!mf.exists() && System.nanoTime() < deadline)
@@ -129,7 +147,9 @@ object WriteAuditPublish {
     */
   private[graft] def s27Dir(s: SparkSession, d: String): String =
     graft.util.Landing.landedLayout(
-      graft.util.Landing.mtimeKey(d, "customer") + "|wapstore",
+      // key v2: the round-17 publish also records replaced-file
+      // metadata and cleans rejected stages — rebuild superseded layouts
+      graft.util.Landing.mtimeKey(d, "customer") + "|wapstore2",
       "graft_wap") { dir =>
       val base = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),

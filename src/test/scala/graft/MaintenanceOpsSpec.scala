@@ -1256,20 +1256,20 @@ class MaintenanceOpsSpec extends SparkSpec {
 
   // ---- s27: write-audit-publish -----------------------------------------------
 
-  test("s27: a red audit publishes nothing — the dirty candidate stays " +
-      "staged and invisible, the head keeps only audited-green data") {
+  test("s27: a red audit publishes nothing — the dirty candidate's stage " +
+      "is cleaned up, the head keeps only audited-green data") {
     import graft.sources.{Snapshots, WriteAuditPublish => WAP}
     val dir = WAP.s27Dir(spark, Sf0001)
     // the dirty candidate was REJECTED: head never moved past the clean
-    // publish, and its stage file is still there (vacuum fodder), while
-    // no manifest_3.txt exists for readers to resolve
+    // publish, its stage file was removed immediately (round-16 advice:
+    // stage orphans accumulated unbounded), and no manifest_3.txt exists
+    // for readers to resolve
     assert(Snapshots.head(dir) === 2)
-    // stage names carry a writer-unique suffix since round 16
     val stageFiles = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.startsWith("manifest_3.txt.audit"))
-    assert(stageFiles.nonEmpty,
-      "rejected candidate's stage must remain (unpublished)")
+    assert(stageFiles.isEmpty,
+      "rejected candidate's stage must be cleaned up on rejection")
     assert(!new java.io.File(s"$dir/manifest_3.txt").exists())
     // reader-visible data is audit-clean: no out-of-domain balance, no
     // duplicate key, row count conserved
@@ -1280,12 +1280,9 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(head.count() ===
       Snapshots.readVersion(spark, dir, 1).count())
     // the staged candidate WOULD have been bad — the audit caught a real
-    // violation set, not a vacuous one
-    val staged = {
-      val src = scala.io.Source.fromFile(stageFiles.head)
-      try src.getLines().filter(_.nonEmpty).toList finally src.close()
-    }
-    val bad = spark.read.parquet(staged: _*)
+    // violation set, not a vacuous one (the dirty DATA files remain on
+    // disk as vacuum fodder; only the stage manifest was dropped)
+    val bad = spark.read.parquet(s"$dir/dirty")
     assert(bad.filter(col("bal") < WAP.BalFloor).count() > 0)
     assert(bad.count() > bad.select("k").distinct().count())
     // audit log records both outcomes
@@ -1477,6 +1474,62 @@ class MaintenanceOpsSpec extends SparkSpec {
       s"refresh reopened ${sharedOpened.size} shared bootstrap files")
     assert(scanned.subsetOf(expectedDelta),
       "refresh scanned files outside the manifest delta")
+  }
+
+  test("mv4: the streaming tailer applies each commit's delta exactly " +
+      "once across a mid-stream restart AND a lost-checkpoint replay; " +
+      "every refresh scans only the version's manifest delta") {
+    import graft.streaming.{ChangeFeedStream => CFS, StreamMerge}
+    import graft.sources.Snapshots
+    val store = StreamMerge.e28Dir(spark, Sf0001)
+    val h = Snapshots.head(store)
+    assert(h === 5, s"merge store must hold 5 versions, got $h")
+    val root = graft.util.Landing.tempDirOnce("graft_mv4spec").toString
+    val feed = s"$root/feed"
+    val mv = s"$root/mv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    def land(v: Int): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$store/manifest_$v.txt"),
+      java.nio.file.Paths.get(s"$feed/manifest_$v.txt"))
+    def mvState(v: Int): Set[(Int, Long, Long)] =
+      spark.read.parquet(s"$mv/mv_$v").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // phase 1: the tailer catches up on the first three commits
+    (1 to 3).foreach(land)
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp")
+    assert(CFS.applied(mv) === Seq(1, 2, 3))
+    // phase 2: two more commits land; the RESTARTED tailer (same
+    // checkpoint) applies exactly the new ones
+    (4 to 5).foreach(land)
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp")
+    assert(CFS.applied(mv) === (1 to 5))
+    // the tailed MV equals the full head recompute bit-exact
+    val mHead = Snapshots.manifest(store, 5)
+    val want = CFS.aggOf(spark, mHead, mHead.head).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val afterRestart = mvState(5)
+    assert(afterRestart === want,
+      "differential refreshes must converge to the full recompute")
+    // phase 3: checkpoint LOST — the full feed replays; the ledger alone
+    // must prevent any double-apply (increments are not idempotent)
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp_fresh")
+    assert(CFS.applied(mv) === (1 to 5),
+      "a replayed feed must not re-apply (or re-ledger) any version")
+    assert(mvState(5) === afterRestart, "replay must not change the MV")
+    // each refresh's scans opened ONLY that version's manifest delta —
+    // the shared bootstrap files are never reopened
+    (2 to 5).foreach { v =>
+      val (preF, postF) = CFS.deltaFiles(store, v)
+      assert(preF.nonEmpty && postF.nonEmpty,
+        s"every merge commit rewrites something (v$v)")
+      def scanned(files: Seq[String]): Set[String] =
+        CFS.aggOf(spark, files, files.head).inputFiles
+          .map(u => new java.net.URI(u).getPath).toSet
+      assert(scanned(preF).subsetOf(preF.toSet),
+        s"v$v pre-image refresh scan escaped the manifest delta")
+      assert(scanned(postF).subsetOf(postF.toSet),
+        s"v$v post-image refresh scan escaped the manifest delta")
+    }
   }
 
   test("e27: versions grow append-only and a replayed batch commit is a " +
@@ -1738,5 +1791,159 @@ class MaintenanceOpsSpec extends SparkSpec {
     val e5 = qs("e5_pivot").fn(spark, Sf0001)
     assert(exchanges(e15) === exchanges(e5),
       "unpivot introduced an extra shuffle")
+  }
+
+  // ---- round-17 advice hardening ------------------------------------------
+
+  test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
+      "conflict instead of silently rebasing past lost metadata") {
+    import graft.sources.Snapshots
+    // scratch store: v1, then an occ commit to v2 (replaces fileA)
+    val dir = graft.util.Landing.tempDirOnce("graft_occexpired").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      "fileA\nfileB".getBytes("UTF-8"))
+    assert(Snapshots.occCommit(dir, 1, Set("fileA"), Seq("fileA2"))._1 === 2)
+    // (a) the base manifest itself expired: a reader that pinned v1
+    // before a vacuum must not commit over a head it cannot diff against
+    val m1 = java.nio.file.Paths.get(s"$dir/manifest_1.txt")
+    val m1Bytes = java.nio.file.Files.readAllBytes(m1)
+    java.nio.file.Files.delete(m1)
+    val exBase = intercept[Snapshots.CommitConflictException] {
+      Snapshots.occCommit(dir, 1, Set("fileB"), Seq("fileB2"))
+    }
+    assert(exBase.getMessage.contains("expired"))
+    java.nio.file.Files.write(m1, m1Bytes) // restore
+    // (b) an intervening version's replaced-file metadata expired: the
+    // overlap check can no longer SEE v2's rewrites, so it must fail
+    // conservatively — before this fix it silently under-detected and a
+    // concurrent rewrite of fileA would have been lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/replaced_2.txt"))
+    val exMeta = intercept[Snapshots.CommitConflictException] {
+      Snapshots.occCommit(dir, 1, Set("fileB"), Seq("fileB2"))
+    }
+    assert(exMeta.getMessage.contains("conflict metadata expired"))
+    // a fresh writer reading the CURRENT head is unaffected
+    assert(Snapshots.occCommit(dir, 2, Set("fileB"), Seq("fileB2"))._1 === 3)
+  }
+
+  test("s36: tableHistory tolerates bare-path (stats-less) manifest " +
+      "entries — null row count, never an index error") {
+    import graft.sources.Snapshots
+    val dir = graft.util.Landing.tempDirOnce("graft_histbare").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      "/data/fileA|0|9|100|200|42\n/data/fileB".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
+      ("/data/fileA|0|9|100|200|42\n" +
+        "/data/fileC|10|19|300|400|7").getBytes("UTF-8"))
+    val rows = Snapshots.tableHistory(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1, 2L, None, 0L, 0L),          // bare entry → row count unknown
+      (2, 2L, Some(49L), 1L, 1L)))    // full stats → exact
+  }
+
+  test("wap: rejected and out-raced candidates clean up their stage " +
+      "files; publishes record replaced-file metadata; aged claim/audit " +
+      "orphans are swept without touching the data-file counts") {
+    import graft.sources.{Snapshots, WriteAuditPublish}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_wapclean").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "bal")
+      .coalesce(1).write.parquet(s"$dir/v1")
+    val m1 = Option(new java.io.File(s"$dir/v1").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    def stageFiles(): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.contains(".txt.audit.")).toSeq
+    // red audit (duplicate key): rejected AND its stage file removed now
+    Seq((1L, 10L), (1L, 10L)).toDF("k", "bal")
+      .coalesce(1).write.parquet(s"$dir/dirty")
+    val dirty = Option(new java.io.File(s"$dir/dirty").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    val log = new StringBuilder
+    assert(!WriteAuditPublish.auditedPublish(spark, dir, dirty, log))
+    assert(stageFiles().isEmpty,
+      s"red audit left stage files: ${stageFiles()}")
+    // green publish: conflict metadata (replaced_2.txt) durable — a
+    // later occCommit across the WAP version sees its rewrites
+    Seq((1L, 11L), (2L, 20L)).toDF("k", "bal")
+      .coalesce(1).write.parquet(s"$dir/clean")
+    val clean = Option(new java.io.File(s"$dir/clean").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    assert(WriteAuditPublish.auditedPublish(spark, dir, clean, log))
+    assert(stageFiles().isEmpty, "publish must consume its stage file")
+    assert(Snapshots.replacedOf(dir, 2) === m1.toSet,
+      "the WAP publish must record what it replaced")
+    val ex = intercept[Snapshots.CommitConflictException] {
+      Snapshots.occCommit(dir, 1, Set(m1.head), Seq("/tmp/x.parquet"))
+    }
+    assert(ex.getMessage.contains("rewrote"),
+      "occCommit must SEE the WAP version's rewrites, not miss them")
+    // aged claim + abandoned audit files are swept as metadata orphans;
+    // the returned counts stay the data-file contract
+    val oldClaim = java.nio.file.Paths.get(s"$dir/manifest_9.txt.claim")
+    val oldAudit = java.nio.file.Paths.get(s"$dir/manifest_9.txt.audit.77")
+    java.nio.file.Files.createFile(oldClaim)
+    java.nio.file.Files.write(oldAudit, "x".getBytes("UTF-8"))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    java.nio.file.Files.setLastModifiedTime(oldClaim, aged)
+    java.nio.file.Files.setLastModifiedTime(oldAudit, aged)
+    // the dirty candidate's parquet is an unreferenced DATA orphan (young)
+    val (deleted, young) = Snapshots.deleteOrphanFiles(dir, 60000L)
+    assert(!java.nio.file.Files.exists(oldClaim) &&
+      !java.nio.file.Files.exists(oldAudit),
+      "aged metadata orphans must be swept")
+    assert(deleted === 0 && young === dirty.size,
+      s"metadata sweep must not leak into data counts: ($deleted, $young)")
+    // the fresh (young) claim from the green publish survives
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/manifest_2.txt.claim")),
+      "a young claim (possible in-flight publisher) must be kept")
+  }
+
+  test("cdc: changeFeed from an EMPTY bootstrap manifest returns the full " +
+      "insert set instead of a NoSuchElementException; an all-pruned " +
+      "tree read on an empty list fails with a clear message") {
+    import graft.sources.{ManifestTree, Snapshots}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_cdcempty").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_0.txt"), Array.emptyByteArray)
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "bal")
+      .coalesce(1).write.parquet(s"$dir/v1")
+    val files = Option(new java.io.File(s"$dir/v1").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      files.mkString("\n").getBytes("UTF-8"))
+    val feed = Snapshots.changeFeed(spark, dir, 0, 1)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(feed.toSeq === Seq((1L, "insert", 100L), (2L, "insert", 200L)))
+    // and the tree guard: an empty manifest list names the store clearly
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mlist_1.txt"), Array.emptyByteArray)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTree.treePrunedRead(spark, dir, 1, 0, 5)
+    }
+    assert(ex.getMessage.contains("empty manifest list"))
   }
 }
