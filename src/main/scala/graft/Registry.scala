@@ -36,6 +36,7 @@ object Registry {
       sources.FileStats.qs ++
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++
+      sources.TxnDeletes.qs ++
       sources.PartitionEvolution.qs ++
       sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++

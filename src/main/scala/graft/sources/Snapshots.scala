@@ -300,9 +300,17 @@ object Snapshots {
     * real stores close that gap with a metastore CAS / conditional put;
     * the protocol above it is identical.
     */
+  /** `beforePublish(n)` runs while HOLDING the slot-n claim, after the
+    * replaced-file metadata is durable and before the manifest's atomic
+    * rename — the hook for version-addressed sidecars (delete files,
+    * watermarks) that must never be missing for a visible version. It
+    * must be idempotent; a crash between it and the rename orphans the
+    * claim (same recovery path as any mid-publish death).
+    */
   private[graft] def occCommit(dir: String, readV: Int,
       replaced: Set[String], added: Seq[String],
-      claimWaitMs: Long = 10000L): (Int, Int) = {
+      claimWaitMs: Long = 10000L,
+      beforePublish: Int => Unit = _ => ()): (Int, Int) = {
     var retries = 0
     while (true) {
       val h = head(dir)
@@ -343,6 +351,7 @@ object Snapshots {
         val tmp = java.nio.file.Paths.get(s"$dir/manifest_$n.tmp")
         java.nio.file.Files.write(tmp,
           newManifest.mkString("\n").getBytes("UTF-8"))
+        beforePublish(n) // sidecars durable before the version is visible
         java.nio.file.Files.move(tmp,
           java.nio.file.Paths.get(s"$dir/manifest_$n.txt"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)

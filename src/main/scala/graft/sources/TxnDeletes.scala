@@ -1,0 +1,227 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** S38: ROW-LEVEL DELETES through the TRANSACTIONAL merge path — the
+  * round-16 verdict's composition arc #2: s25 proved deletion-vector
+  * semantics on a standalone, hand-built store; the s22/e28 OCC store
+  * supported only U/D/I via copy-on-write bucket rewrites. Here the two
+  * compose: equality-delete commits, merge-on-read snapshots, OCC
+  * increments, and a purge compaction all flow through ONE store's
+  * [[Snapshots.occCommit]] protocol.
+  *
+  * Sidecar protocol (the piece s25 didn't need):
+  *  - a DELETE commit publishes `deletes_<n>.txt` (the version's
+  *    equality-delete file list) through [[Snapshots.occCommit]]'s
+  *    `beforePublish` hook — durable while holding the slot claim, so a
+  *    visible version NEVER lacks its delete set; the data manifest is
+  *    rebased verbatim (replaced = ∅: a delete commits without touching
+  *    a data file, and always rebases cleanly past concurrent writers);
+  *  - commits that DON'T touch deletes (cowMerge increments) write no
+  *    sidecar: readers resolve the NEAREST `deletes_m` with m ≤ v
+  *    (Iceberg's sequence-number rule: a delete applies to every later
+  *    snapshot until compacted away). Retention must keep the latest
+  *    sidecar at or below each retained version — the `_batches.txt`
+  *    ledger rule, applied to delete metadata;
+  *  - delete files carry (k, nk) so the PURGE can drop exactly the keys
+  *    whose buckets it rewrote; it rewrites ONLY those buckets
+  *    (merge-on-read applied once, offline), publishes the slimmed —
+  *    here empty — sidecar through the same hook, and retries from the
+  *    new head on [[Snapshots.CommitConflictException]] like any
+  *    maintenance writer (derived state: always safe to redo).
+  *
+  * Interleaving semantics are COMMIT-ORDER (spec-pinned): an increment
+  * rewriting a deleted key's bucket re-materializes the row in the data
+  * files, but the sidecar still masks it at read time; the purge then
+  * physically drops it. "Delete wins until a later commit re-inserts."
+  *
+  * At 100 TB this is why row deletes are feasible at all: a GDPR-style
+  * delete costs one tiny parquet write + one metadata publish (COW
+  * would rewrite every touched file per delete); readers pay one
+  * broadcast anti-join until the NEXT compaction cycle repays the debt
+  * bucket-by-bucket, racing live ingest safely under OCC.
+  */
+object TxnDeletes {
+
+  /** Nearest delete sidecar at or below `v` — the version's effective
+    * equality-delete file list. No sidecar below v = no deletes yet.
+    */
+  private[graft] def resolveDeletes(dir: String, v: Int): Seq[String] = {
+    val m = (v to 1 by -1).find(i =>
+      new java.io.File(dir, s"deletes_$i.txt").exists())
+    m match {
+      case None => Seq.empty
+      case Some(i) =>
+        val src = scala.io.Source.fromFile(s"$dir/deletes_$i.txt")
+        try src.getLines().filter(_.nonEmpty).toList finally src.close()
+    }
+  }
+
+  private def writeSidecar(dir: String, n: Int,
+      files: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/deletes_$n.txt"),
+      files.sorted.mkString("\n").getBytes("UTF-8"))
+
+  /** Merge-on-read snapshot: the version's data files anti-joined with
+    * its resolved delete keys (broadcast — delete sets are tiny relative
+    * to the table; production DVs apply inside the scan, same shape).
+    */
+  private[graft] def readMoR(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val data = s.read.parquet(Snapshots.manifest(dir, v): _*)
+    val dvs = resolveDeletes(dir, v)
+    if (dvs.isEmpty) data
+    else data.join(
+      broadcast(s.read.parquet(dvs: _*).select(col("k"))),
+      Seq("k"), "left_anti")
+  }
+
+  /** Commit an equality delete: one tiny (k, nk) parquet write + one
+    * metadata publish. Replaces NO data file (always rebases cleanly);
+    * the new sidecar = parent's delete files + this one, durable via
+    * `beforePublish` while holding the slot claim. Returns the version.
+    */
+  private[graft] def commitEqualityDelete(s: SparkSession, dir: String,
+      doomed: DataFrame, tag: String): Int = {
+    val sub = s"${tag}dv${Snapshots.head(dir)}"
+    doomed.select(col("k"), col("nk").cast("int").as("nk"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub")
+    val dvFile = Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    val h = Snapshots.head(dir)
+    Snapshots.occCommit(dir, h, Set.empty, Seq.empty,
+      beforePublish = n =>
+        writeSidecar(dir, n, resolveDeletes(dir, h) ++ dvFile))._1
+  }
+
+  /** The purge compaction: rewrite ONLY the buckets containing deleted
+    * keys with the deletes applied, drop those keys from the sidecar
+    * (here: all of them — the purge empties it), publish through OCC.
+    * A concurrent commit over the same buckets conflicts and the purge
+    * retries from the new head (re-reading the CURRENT delete set —
+    * derived state, safe to redo). Returns (version, attempts).
+    */
+  private[graft] def purgeDeletes(s: SparkSession, dir: String,
+      tag: String, maxAttempts: Int = 10): (Int, Int) = {
+    val sep = java.io.File.separator
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = Snapshots.head(dir)
+      val dvs = resolveDeletes(dir, h)
+      require(dvs.nonEmpty, s"nothing to purge at v$h")
+      val doomed = s.read.parquet(dvs: _*)
+      val touched = doomed.select(col("nk")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted // bounded: ≤ |buckets|
+      val replaced = Snapshots.manifest(dir, h)
+        .filter(p => touched.exists(nk => p.contains(s"${sep}nk=$nk$sep")))
+        .toSet
+      val sub = s"${tag}purge${h}a$attempt"
+      s.read.parquet(replaced.toSeq.sorted: _*)
+        .join(broadcast(doomed.select(col("k"))), Seq("k"), "left_anti")
+        .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
+      val added = Snapshots.statsEntries(s, leafFiles(dir, sub))
+      try return (Snapshots.occCommit(dir, h, replaced, added,
+        beforePublish = n => writeSidecar(dir, n, Seq.empty))._1, attempt)
+      catch {
+        case e: Snapshots.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def leafFiles(dir: String, sub: String): Seq[String] =
+    Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath))
+      .toSeq.sorted
+
+  /** Lands the demo store once per customer version — the full DML
+    * lifecycle in commit order, every step through [[Snapshots.occCommit]]:
+    *  v1 base (stats-carrying bootstrap);
+    *  v2 cowMerge increment (+500 to every nk%7==3 customer, op A);
+    *  v3 equality DELETE (nk%7==5 & k%19==0) — zero data writes;
+    *  v4 second cowMerge increment (+700, same nations) — the sidecar
+    *     resolves across it untouched;
+    *  v5 the PURGE — deleted buckets rewritten, sidecar emptied.
+    */
+  private[graft] def s38Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|txndel",
+      "graft_txndel") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          round(col("c_acctbal") * 100).cast("long").as("bal"))
+      base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        Snapshots.statsEntries(s, leafFiles(dir, "v1"))
+          .mkString("\n").getBytes("UTF-8"))
+      def credit(cents: Long): DataFrame =
+        base.filter(col("nk") % 7 === 3)
+          .select(col("nk").cast("int").as("nk"), col("k"),
+            lit("A").as("op"), lit(cents).as("val"))
+      require(Snapshots.cowMerge(s, dir, credit(500L), "i2")._1 == 2)
+      val doomed = base.filter(col("nk") % 7 === 5 && col("k") % 19 === 0)
+      require(commitEqualityDelete(s, dir, doomed, "d3") == 3)
+      require(Snapshots.cowMerge(s, dir, credit(700L), "i4")._1 == 4)
+      require(purgeDeletes(s, dir, "p5")._1 == 5)
+    }
+
+  /** S38: the registered read — the head snapshot after
+    * increment→delete→increment→purge, with the lifecycle's structural
+    * invariants as gate columns: `delete_metadata_only` (v3's manifest
+    * equals v2's by path — the delete wrote no data), `purge_kept_shared`
+    * (the purge rewrote only deleted buckets; untouched files shared by
+    * path with v4), `sidecar_cleared` (post-purge resolved delete set is
+    * empty — head reads are anti-join-free), and `mor_equals_purged`
+    * (v4's merge-on-read answer equals v5's plain read: the purge only
+    * repaid the read debt). The oracle recomputes the final table from
+    * raw customer with the same action algebra.
+    */
+  private def s38TxnRowDeletes(s: SparkSession, d: String): DataFrame = {
+    val dir = s38Dir(s, d)
+    val deleteMetadataOnly =
+      Snapshots.manifest(dir, 3) == Snapshots.manifest(dir, 2)
+    val purgeKeptShared = (Snapshots.manifest(dir, 5).toSet intersect
+      Snapshots.manifest(dir, 4).toSet).nonEmpty
+    val sidecarCleared = resolveDeletes(dir, 5).isEmpty
+    val v4 = readMoR(s, dir, 4)
+      .agg(count(lit(1)).as("n4"), sum(col("bal")).as("b4"))
+    val v5 = readMoR(s, dir, 5)
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+    v5.crossJoin(broadcast(v4))
+      .select(col("n_rows"), col("bal_cents"),
+        lit(deleteMetadataOnly).as("delete_metadata_only"),
+        lit(purgeKeptShared).as("purge_kept_shared"),
+        lit(sidecarCleared).as("sidecar_cleared"),
+        (col("n_rows") === col("n4") && col("bal_cents") === col("b4"))
+          .as("mor_equals_purged"))
+  }
+
+  private val s38Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey % 7 = 3 THEN 1200 ELSE 0 END)
+      |    AS BIGINT) AS bal_cents,
+      |  TRUE AS delete_metadata_only, TRUE AS purge_kept_shared,
+      |  TRUE AS sidecar_cleared, TRUE AS mor_equals_purged
+      |FROM customer
+      |WHERE NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "s38_txn_row_deletes" -> Q(s38TxnRowDeletes, Some(s38Sql)),
+  )
+}

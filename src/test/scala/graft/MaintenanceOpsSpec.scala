@@ -1793,6 +1793,142 @@ class MaintenanceOpsSpec extends SparkSpec {
       "unpivot introduced an extra shuffle")
   }
 
+  // ---- s38: row-level deletes through the transactional merge path --------
+
+  test("s38: the delete commit shares ALL parent data files; the purge " +
+      "rewrites only deleted buckets and empties the sidecar; MoR and " +
+      "purged reads agree at every version pair") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    val dir = TxnDeletes.s38Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 5)
+    // v3 (the delete): manifest byte-path-identical to v2 — zero data I/O
+    assert(Snapshots.manifest(dir, 3) === Snapshots.manifest(dir, 2),
+      "an equality delete must not touch a data file")
+    assert(TxnDeletes.resolveDeletes(dir, 3).nonEmpty)
+    // the sidecar resolves ACROSS the v4 increment (which wrote none)
+    assert(TxnDeletes.resolveDeletes(dir, 4) ===
+      TxnDeletes.resolveDeletes(dir, 3),
+      "a non-delete commit must not change the effective delete set")
+    // the purge rewrote ONLY buckets holding deleted keys (nk%7==5)
+    val m4 = Snapshots.manifest(dir, 4).toSet
+    val m5 = Snapshots.manifest(dir, 5).toSet
+    val nkRe = raw"nk=(\d+)".r
+    def nkOf(p: String): Int =
+      nkRe.findFirstMatchIn(p).map(_.group(1).toInt).getOrElse(-1)
+    assert((m4 -- m5).nonEmpty && (m4 -- m5).forall(p => nkOf(p) % 7 == 5),
+      "purge must drop only deleted-bucket files")
+    assert((m5 -- m4).nonEmpty && (m5 -- m4).forall(p => nkOf(p) % 7 == 5),
+      "purge must add only deleted-bucket rewrites")
+    assert((m4 & m5).nonEmpty, "untouched buckets must be shared by path")
+    assert(TxnDeletes.resolveDeletes(dir, 5).isEmpty,
+      "the purge must clear the sidecar — head reads are anti-join-free")
+    // MoR at v3/v4 equals the plain purged read at v5 (same logical rows
+    // modulo the v4 increments, which apply to non-deleted nations only)
+    val v4 = TxnDeletes.readMoR(spark, dir, 4)
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    val v5 = TxnDeletes.readMoR(spark, dir, 5)
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    assert(v4 === v5, "purge must only repay the read debt, never change " +
+      "the logical table")
+  }
+
+  test("s38: commit-order semantics — an increment rewriting a deleted " +
+      "key's bucket re-materializes the row in data files but the " +
+      "sidecar masks it until a purge physically drops it") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    // scratch store: one bucket (nk=1), two rows
+    val dir = graft.util.Landing.tempDirOnce("graft_delorder").toString
+    Seq((1L, 1, 100L, 1), (2L, 1, 200L, 1)).toDF("k", "nkd", "bal", "nk")
+      .repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val m1 = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    // v2: delete k=1
+    val doomed = Seq((1L, 1)).toDF("k", "nk")
+    assert(TxnDeletes.commitEqualityDelete(spark, dir, doomed, "d") === 2)
+    // v3: increment k=1's BUCKET (op A on k=2) — the rewrite carries the
+    // deleted row k=1 back into the data files
+    val chg = Seq((1, 2L, "A", 50L)).toDF("nk", "k", "op", "val")
+    assert(Snapshots.cowMerge(spark, dir, chg, "i")._1 === 3)
+    val dataKeys = spark.read.parquet(Snapshots.manifest(dir, 3): _*)
+      .select("k").as[Long].collect().toSet
+    assert(dataKeys === Set(1L, 2L),
+      "the rewritten bucket re-materializes the deleted row physically")
+    val morKeys = TxnDeletes.readMoR(spark, dir, 3)
+      .select("k").as[Long].collect().toSet
+    assert(morKeys === Set(2L), "the sidecar must keep masking it")
+    // v4: the purge drops it physically
+    assert(TxnDeletes.purgeDeletes(spark, dir, "p")._1 === 4)
+    val purged = spark.read.parquet(Snapshots.manifest(dir, 4): _*)
+      .select("k").as[Long].collect().toSet
+    assert(purged === Set(2L))
+    assert(TxnDeletes.readMoR(spark, dir, 4)
+      .filter(col("k") === 2L).select("bal").as[Long].head() === 250L,
+      "the masked rewrite must still carry the increment")
+  }
+
+  test("s38: a purge racing a live increment over the SAME bucket " +
+      "converges — one side conflicts, retries from the new head, and " +
+      "both land exactly once") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val dir = graft.util.Landing.tempDirOnce(s"graft_delrace$trial").toString
+      Seq((1L, 1, 100L, 1), (2L, 1, 200L, 1), (3L, 2, 300L, 2))
+        .toDF("k", "nkd", "bal", "nk")
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      val m1 = {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/v1"))
+        try walk.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally walk.close()
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        m1.mkString("\n").getBytes("UTF-8"))
+      assert(TxnDeletes.commitEqualityDelete(spark, dir,
+        Seq((1L, 1)).toDF("k", "nk"), "d") === 2)
+      // racing writers: purge (rewrites bucket 1) vs increment on k=2
+      // (same bucket 1) — file-granularity overlap, OCC serializes them
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val purger = new Thread(() => {
+        try TxnDeletes.purgeDeletes(spark, dir, "p")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val incrementer = new Thread(() => {
+        try Snapshots.cowMerge(spark, dir,
+          Seq((1, 2L, "A", 50L)).toDF("nk", "k", "op", "val"), "i")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      purger.start(); incrementer.start()
+      purger.join(); incrementer.join()
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty, s"trial $trial: " +
+        failures.asScala.map(_.getMessage).mkString("; "))
+      assert(Snapshots.head(dir) === 4,
+        "both writers must land (v3 and v4) in some serial order")
+      // converged state: k=1 purged, k=2 incremented once, k=3 untouched
+      val rows = TxnDeletes.readMoR(spark, dir, 4)
+        .select("k", "bal").as[(Long, Long)].collect().toMap
+      assert(rows === Map(2L -> 250L, 3L -> 300L),
+        s"trial $trial converged to $rows")
+    }
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
