@@ -37,6 +37,7 @@ object Registry {
       sources.TxnPair.qs ++
       sources.DeletionVectors.qs ++
       sources.TxnDeletes.qs ++
+      sources.SchemaStats.qs ++
       sources.PartitionEvolution.qs ++
       sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++

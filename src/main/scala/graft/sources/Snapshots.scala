@@ -1376,11 +1376,18 @@ object Snapshots {
       val lines = manifestLines(dir, v)
       // stats-optional contract (round-16 advice): bare-path entries are
       // valid manifest lines; a version containing any surfaces an
-      // unknown (null) row count instead of an index-out-of-bounds
+      // unknown (null) row count instead of an index-out-of-bounds.
+      // Both entry dialects carry row counts: positional (field 5,
+      // k/nkd/bal stores) and named (`n=` field, SchemaStats stores).
       val parsed = lines.map(_.split('|'))
-      val nRows: Option[Long] =
-        if (parsed.forall(_.length >= 6)) Some(parsed.map(_(5).toLong).sum)
+      def rowsOf(p: Array[String]): Option[Long] =
+        if (p.length >= 2 && p(1).startsWith("n="))
+          Some(p(1).drop(2).toLong)
+        else if (p.length >= 6) Some(p(5).toLong)
         else None
+      val per = parsed.map(rowsOf)
+      val nRows: Option[Long] =
+        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
       val paths = lines.map(pathOf).toSet
       val parent: Set[String] =
         if (v == 1) Set.empty else manifest(dir, v - 1).toSet

@@ -1929,6 +1929,49 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- s39: schema-driven per-file stats -----------------------------------
+
+  test("s39: named stats prune on the EVOLVED column — every " +
+      "pre-evolution file skipped by absence, new files by range " +
+      "bounds (strict subset); kept files cover every matching row") {
+    import graft.sources.{SchemaStats, Snapshots}
+    val dir = SchemaStats.s39Dir(spark, Sf0001)
+    val lines = Snapshots.manifestLines(dir, 2)
+    val v1Paths = Snapshots.manifestLines(dir, 1)
+      .map(Snapshots.pathOf).toSet
+    // entry dialect: every generated line carries n=, v1 lines lack ordc
+    assert(lines.forall(_.split('|')(1).startsWith("n=")))
+    assert(lines.filter(l => v1Paths(Snapshots.pathOf(l)))
+      .forall(!_.contains("ordc=")),
+      "pre-evolution entries must not carry the added column's stats")
+    assert(lines.filterNot(l => v1Paths(Snapshots.pathOf(l)))
+      .forall(_.contains("ordc=")),
+      "post-evolution entries must carry the added column's bounds")
+    val (df, kept, total) = SchemaStats.prunedBy(spark, dir, 2, "ordc",
+      BigDecimal(8), BigDecimal(12))
+    assert(kept < total, s"prune must skip files ($kept of $total kept)")
+    // strict-subset correctness: kept ∪ skipped = exact answer — the
+    // pruned read plus the predicate equals the unpruned read plus it
+    val full = spark.read.option("mergeSchema", "true")
+      .parquet(Snapshots.manifest(dir, 2): _*)
+      .filter(col("ordc").between(8, 12))
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    val pruned = df.filter(col("ordc").between(8, 12))
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    assert(pruned === full, "pruning dropped matching rows")
+    // no pre-evolution file was opened
+    val openedV1 = df.inputFiles
+      .map(u => new java.net.URI(u).getPath).toSet.intersect(v1Paths)
+    assert(openedV1.isEmpty,
+      s"column-absence pruning failed to skip v1 files: $openedV1")
+    // tableHistory reads the named dialect's row counts
+    val hist = Snapshots.tableHistory(spark, dir).collect()
+    assert(hist.forall(!_.isNullAt(2)),
+      "named entries must surface exact row counts in the history")
+    assert(hist.map(_.getLong(2)).sorted.toSeq ===
+      hist.map(_.getLong(2)).toSeq && hist.length === 2)
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
