@@ -1972,6 +1972,115 @@ class MaintenanceOpsSpec extends SparkSpec {
       hist.map(_.getLong(2)).toSeq && hist.length === 2)
   }
 
+  // ---- s32b: OCC on the manifest tree --------------------------------------
+
+  test("tree-occ: a tree merge racing a tree compaction — disjoint " +
+      "buckets rebase with untouched bucket manifests reused verbatim; " +
+      "overlapping buckets serialize through conflict-retry") {
+    import graft.sources.{ManifestTree => MT, Snapshots}
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val dir = graft.util.Landing.tempDirOnce(s"graft_treerace$trial").toString
+      // real 3-bucket store: two files in bucket 1 (compactable)
+      Seq((1L, 1, 100L, 1), (2L, 1, 200L, 1), (3L, 2, 300L, 2),
+        (4L, 3, 400L, 3))
+        .toDF("k", "nkd", "bal", "nk")
+        .repartition(4, col("k"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      val files = {
+        import scala.jdk.CollectionConverters._
+        try walk.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq.sorted
+        finally walk.close()
+      }
+      val byBucket = Snapshots.statsEntries(spark, files)
+        .groupBy(e => raw"nk=(\d+)".r.findFirstMatchIn(e).get.group(1).toInt)
+      val refs1 = byBucket.toSeq.sortBy(_._1).map { case (nk, entries) =>
+        val bm = s"$dir/bm_nk${nk}_v1.txt"
+        java.nio.file.Files.write(java.nio.file.Paths.get(bm),
+          entries.mkString("\n").getBytes("UTF-8"))
+        val parts = entries.map(_.split('|'))
+        MT.BucketRef(nk, bm, parts.map(_(5).toLong).sum,
+          parts.map(_(3).toLong).min, parts.map(_(4).toLong).max)
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/mlist_1.txt"),
+        refs1.map(r => s"${r.nk}|${r.bm}|${r.rows}|${r.balLo}|${r.balHi}")
+          .mkString("\n").getBytes("UTF-8"))
+      assert(refs1.find(_.nk == 1).get.rows === 2L)
+      // DISJOINT race: credit bucket 2 vs compact bucket 1 — both rebase
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val merger = new Thread(() => {
+        try MT.treeCredit(spark, dir, 2, 55L, "m")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val compactor = new Thread(() => {
+        try MT.treeCompactBucket(spark, dir, 1, "c")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      merger.start(); compactor.start(); merger.join(); compactor.join()
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty,
+        s"trial $trial: ${failures.asScala.map(_.getMessage).mkString(";")}")
+      assert(MT.treeHead(dir) === 3, "both tree writers must land")
+      // bucket 3 was touched by NEITHER: its ref line rides both
+      // rebases byte-identical (the O(touched) commit-metadata contract)
+      def lineOf(v: Int, nk: Int): String = {
+        val src = scala.io.Source.fromFile(s"$dir/mlist_$v.txt")
+        try src.getLines().find(_.startsWith(s"$nk|")).get
+        finally src.close()
+      }
+      assert(lineOf(3, 3) === lineOf(1, 3),
+        "untouched bucket's list line must be reused verbatim")
+      // converged state: credit applied once, compaction content-exact
+      val (df, _, _) = MT.treePrunedRead(spark, dir, 3, 1, 3)
+      val rows = df.select("k", "bal").as[(Long, Long)].collect().toMap
+      assert(rows === Map(1L -> 100L, 2L -> 200L, 3L -> 355L, 4L -> 400L),
+        s"trial $trial converged to $rows")
+      // bucket 1 is now one file
+      val bm1 = MT.mlist(dir, 3).find(_.nk == 1).get
+      assert(MT.bucketFiles(bm1.bm).size === 1, "compaction must coalesce")
+      // OVERLAP race: credit bucket 1 twice from the same read version —
+      // exactly one lands per slot, the second retries onto the next
+      val h = MT.treeHead(dir)
+      val r1 = new Thread(() => {
+        try MT.treeCredit(spark, dir, 1, 7L, "x")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val r2 = new Thread(() => {
+        try MT.treeCredit(spark, dir, 1, 9L, "y")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      r1.start(); r2.start(); r1.join(); r2.join()
+      assert(failures.isEmpty, "conflict-retry must absorb the overlap")
+      assert(MT.treeHead(dir) === h + 2,
+        "both overlapping credits must land in some serial order")
+      val (df2, _, _) = MT.treePrunedRead(spark, dir, h + 2, 1, 1)
+      assert(df2.select("bal").as[Long].collect().sorted.toSeq ===
+        Seq(116L, 216L), "both credits applied exactly once")
+    }
+  }
+
+  test("tree-occ: the landed s32 store's v2 went through the claim " +
+      "discipline — conflict metadata exists and a stale tree writer " +
+      "over a touched bucket is rejected") {
+    import graft.sources.{ManifestTree => MT}
+    val dir = MT.s32Dir(spark, Sf0001)
+    assert(MT.treeReplacedOf(dir, 2).nonEmpty &&
+      MT.treeReplacedOf(dir, 2).forall(_ % 5 == 2),
+      "v2 must record exactly the touched buckets")
+    // a writer that read v1 and touches a bucket v2 rewrote conflicts
+    val touchedNk = MT.treeReplacedOf(dir, 2).head
+    val ref = MT.mlist(dir, 2).find(_.nk == touchedNk).get
+    val ex = intercept[graft.sources.Snapshots.CommitConflictException] {
+      MT.treeOccCommit(dir, 1, Seq(ref))
+    }
+    assert(ex.getMessage.contains("rewrote bucket"))
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
