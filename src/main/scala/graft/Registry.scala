@@ -38,6 +38,7 @@ object Registry {
       sources.DeletionVectors.qs ++
       sources.TxnDeletes.qs ++
       sources.SchemaStats.qs ++
+      sources.ColumnIds.qs ++
       sources.PartitionEvolution.qs ++
       sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** S40: COLUMN RENAME/DROP by COLUMN-ID MAPPING — the schema-evolution
+  * leg s20 (ADD COLUMN) left open, and the round-16 verdict's arc #6.
+  * Iceberg's contract: every column has a permanent FIELD ID; files
+  * store data under ids, and the logical name→id map lives in table
+  * metadata — so a RENAME is one metadata write (old files keep
+  * resolving, because nothing about them referenced the name), and a
+  * DROP is the map forgetting an id (the bytes stay, unreadable through
+  * the table, reclaimed by the next rewrite).
+  *
+  * Emulated here with physical column names `c<id>` in the data files
+  * and a per-version `colmap_<v>.txt` (`id|logicalName` lines):
+  *
+  *  - readers resolve a version's schema via the NEAREST colmap at or
+  *    below it (the TxnDeletes sidecar rule: metadata commits are
+  *    sparse, resolution is version-exact), then select `c<id> AS
+  *    <name>` — a projection, no data cost;
+  *  - a RENAME commits through [[Snapshots.occCommit]] with an EMPTY
+  *    file footprint: replaced = added = ∅ (the manifest rebases
+  *    verbatim), the new colmap durable via `beforePublish` while the
+  *    slot claim is held — a visible version never lacks its mapping;
+  *  - a pre-rename snapshot read AFTER the rename still surfaces the
+  *    OLD name (its colmap is pinned with it — time travel includes
+  *    schema history), and writes after the rename keep using ids, so
+  *    files written under either name interoperate forever.
+  *
+  * At 100 TB this is the only viable rename: rewriting data for a name
+  * change is absurd, and name-based resolution (Hive-style) silently
+  * corrupts when a name is reused — ids make rename/drop/re-add safe.
+  */
+object ColumnIds {
+
+  /** Nearest column-id map at or below `v` (ordered by id): (id,
+    * logicalName, sqlType) — types live in metadata, like Iceberg's
+    * schema, so an id no file carries yet still materializes correctly.
+    */
+  private[graft] def resolveColmap(dir: String,
+      v: Int): Seq[(Int, String, String)] = {
+    val m = (v to 1 by -1).find(i =>
+      new java.io.File(dir, s"colmap_$i.txt").exists())
+      .getOrElse(throw new IllegalStateException(
+        s"no colmap at or below v$v in $dir"))
+    val src = scala.io.Source.fromFile(s"$dir/colmap_$m.txt")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val p = l.split('|'); (p(0).toInt, p(1), p(2))
+    }.toList.sortBy(_._1)
+    finally src.close()
+  }
+
+  private def writeColmap(dir: String, v: Int,
+      m: Seq[(Int, String, String)]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/colmap_$v.txt"),
+      m.sortBy(_._1).map { case (id, n, t) => s"$id|$n|$t" }
+        .mkString("\n").getBytes("UTF-8"))
+
+  /** Version read with id→name resolution: physical `c<id>` columns
+    * projected to the version's logical names. Dropped ids simply
+    * don't appear in the map — their bytes stay in the files,
+    * unreadable through the table. An id NO listed file carries (a
+    * fresh add, or a re-add after a drop) materializes as typed nulls —
+    * by construction it can never resolve to a dropped id's bytes.
+    */
+  private[graft] def readResolved(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val raw = s.read.option("mergeSchema", "true")
+      .parquet(Snapshots.manifest(dir, v): _*)
+    val present = raw.columns.toSet
+    val cols = resolveColmap(dir, v).map { case (id, n, t) =>
+      if (present(s"c$id")) col(s"c$id").as(n)
+      else lit(null).cast(t).as(n)
+    }
+    raw.select(cols: _*)
+  }
+
+  /** Commit a schema change (rename/drop/re-add are all just a new
+    * map): zero file footprint, the colmap durable while the slot
+    * claim is held. Returns the committed version.
+    */
+  private[graft] def commitColmap(dir: String,
+      newMap: Seq[(Int, String, String)]): Int =
+    Snapshots.occCommit(dir, Snapshots.head(dir), Set.empty, Seq.empty,
+      beforePublish = n => writeColmap(dir, n, newMap))._1
+
+  private def leafFiles(dir: String, sub: String): Seq[String] =
+    Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
+      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath))
+      .toSeq.sorted
+
+  /** Lands the rename demo once per customer version:
+    *  v1 = the base written under PHYSICAL ids (c1=key, c2=nation,
+    *       c3=balance-cents) with colmap {1→k, 2→nkd, 3→bal};
+    *  v2 = RENAME bal→balance — one metadata commit, zero data I/O
+    *       (spec: manifest_2 equals manifest_1 by path);
+    *  v3 = a post-rename bucket credit (+100 to nation 2) written under
+    *       the SAME ids — files from before and after the rename
+    *       interoperate in every read.
+    */
+  private[graft] def s40Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|colids",
+      "graft_colids") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("c1"),
+          col("c_nationkey").as("c2"),
+          round(col("c_acctbal") * 100).cast("long").as("c3"))
+      base.withColumn("nk", col("c2"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+      writeColmap(dir, 1,
+        Seq((1, "k", "bigint"), (2, "nkd", "bigint"), (3, "bal", "bigint")))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+      require(commitColmap(dir,
+        Seq((1, "k", "bigint"), (2, "nkd", "bigint"),
+          (3, "balance", "bigint"))) == 2,
+        "the rename must land as v2")
+      // post-rename write: physical ids, logical names irrelevant
+      val sep = java.io.File.separator
+      val replaced = Snapshots.manifest(dir, 2)
+        .filter(_.contains(s"${sep}nk=2$sep")).toSet
+      s.read.parquet(replaced.toSeq.sorted: _*)
+        .withColumn("c3", col("c3") + lit(100L))
+        .withColumn("nk", col("c2"))
+        .repartition(col("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/w3")
+      require(Snapshots.occCommit(dir, 2, replaced,
+        leafFiles(dir, "w3"))._1 == 3)
+    }
+
+  /** S40: the registered read — the head through the renamed schema and
+    * the PRE-RENAME snapshot through its pinned old schema, with the
+    * contract as gate columns: `rename_metadata_only` (v2 shares every
+    * v1 file by path), `old_name_resolves` / `head_renamed` (schema
+    * introspection per version). The oracle recomputes both aggregates
+    * from raw customer.
+    */
+  private def s40ColumnRename(s: SparkSession, d: String): DataFrame = {
+    val dir = s40Dir(s, d)
+    val renameMetadataOnly =
+      Snapshots.manifest(dir, 2) == Snapshots.manifest(dir, 1)
+    val v1 = readResolved(s, dir, 1)
+    val head = readResolved(s, dir, Snapshots.head(dir))
+    val oldName = v1.columns.contains("bal") &&
+      !v1.columns.contains("balance")
+    val newName = head.columns.contains("balance") &&
+      !head.columns.contains("bal")
+    def agg(label: String, df: DataFrame, c: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), sum(col(c)).as("cents"))
+        .select(lit(label).as("snap"), col("n_rows"), col("cents"))
+    agg("head", head, "balance").unionByName(agg("v1", v1, "bal"))
+      .withColumn("rename_metadata_only", lit(renameMetadataOnly))
+      .withColumn("old_name_resolves", lit(oldName))
+      .withColumn("head_renamed", lit(newName))
+      .orderBy(col("snap"))
+  }
+
+  private val s40Sql =
+    """WITH b AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    CAST(SUM(CASE WHEN c_nationkey = 2 THEN 100 ELSE 0 END)
+      |      AS BIGINT) AS credit
+      |  FROM customer)
+      |SELECT 'head' AS snap, n AS n_rows, cents + credit AS cents,
+      |  TRUE AS rename_metadata_only, TRUE AS old_name_resolves,
+      |  TRUE AS head_renamed
+      |FROM b
+      |UNION ALL
+      |SELECT 'v1', n, cents, TRUE, TRUE, TRUE FROM b
+      |ORDER BY snap""".stripMargin
+
+  val qs: Seq[(String, Q)] = Seq(
+    "s40_column_rename" -> Q(s40ColumnRename, Some(s40Sql)),
+  )
+}

@@ -2081,6 +2081,62 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("rewrote bucket"))
   }
 
+  // ---- s40: column-id rename/drop -------------------------------------------
+
+  test("s40: a rename is metadata-only and time travel includes schema " +
+      "history; a DROP hides the column without touching bytes and a " +
+      "re-add under a NEW id never resurrects old data") {
+    import graft.sources.{ColumnIds, Snapshots}
+    import spark.implicits._
+    val dir = ColumnIds.s40Dir(spark, Sf0001)
+    // the landed store: rename wrote no data file, pinned schemas per
+    // version, post-rename write interoperates
+    assert(Snapshots.manifest(dir, 2) === Snapshots.manifest(dir, 1))
+    assert(ColumnIds.readResolved(spark, dir, 1).columns.toSeq ===
+      Seq("k", "nkd", "bal"))
+    assert(ColumnIds.readResolved(spark, dir, 3).columns.toSeq ===
+      Seq("k", "nkd", "balance"))
+    // scratch store for DROP + re-add: physical c1..c3, then drop c2,
+    // then re-add a column named like the dropped one under id 4
+    val sdir = graft.util.Landing.tempDirOnce("graft_colids2").toString
+    Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("c1", "c2", "c3")
+      .coalesce(1).write.parquet(s"$sdir/v1")
+    val files = Option(new java.io.File(s"$sdir/v1").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$sdir/colmap_1.txt"),
+      "1|k|bigint\n2|score|bigint\n3|bal|bigint".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$sdir/manifest_1.txt"),
+      files.mkString("\n").getBytes("UTF-8"))
+    // v2: DROP score — the map forgets id 2, bytes stay
+    assert(ColumnIds.commitColmap(sdir,
+      Seq((1, "k", "bigint"), (3, "bal", "bigint"))) === 2)
+    assert(ColumnIds.readResolved(spark, sdir, 2).columns.toSeq ===
+      Seq("k", "bal"), "dropped column must vanish from the table")
+    assert(ColumnIds.readResolved(spark, sdir, 1).columns.contains("score"),
+      "the pre-drop snapshot must still read it")
+    // v3: re-add `score` under a FRESH id (4) — no file carries c4, so
+    // the reborn column is typed nulls, NEVER the dropped id-2 data
+    // (the name-reuse corruption ids exist to prevent)
+    assert(ColumnIds.commitColmap(sdir,
+      Seq((1, "k", "bigint"), (3, "bal", "bigint"),
+        (4, "score", "bigint"))) === 3)
+    val reborn = ColumnIds.readResolved(spark, sdir, 3)
+    assert(reborn.columns.toSeq === Seq("k", "bal", "score"))
+    val got = reborn.orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.toSeq === Seq((1L, 100L, None), (2L, 200L, None)),
+      "re-added column must be null, not the dropped id's bytes")
+    // and the pre-drop snapshot still resolves the ORIGINAL id-2 data
+    val old = ColumnIds.readResolved(spark, sdir, 1).orderBy(col("k"))
+      .select(col("score")).collect().map(_.getLong(0))
+    assert(old.toSeq === Seq(10L, 20L))
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
