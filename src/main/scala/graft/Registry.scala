@@ -39,6 +39,7 @@ object Registry {
       sources.TxnDeletes.qs ++
       sources.SchemaStats.qs ++
       sources.ColumnIds.qs ++
+      sources.SortedCompaction.qs ++
       sources.PartitionEvolution.qs ++
       sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++

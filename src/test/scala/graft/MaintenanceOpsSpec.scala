@@ -2137,6 +2137,42 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(old.toSeq === Seq(10L, 20L))
   }
 
+  // ---- s41: sort-on-compact --------------------------------------------------
+
+  test("s41: sorted compaction yields disjoint per-file value ranges and " +
+      "a strictly tighter kept-file set; the pruned read stays exact") {
+    import graft.sources.{SortedCompaction => SC, Snapshots}
+    val dir = SC.s41Dir(spark, Sf001)
+    // post-compaction bucket: exactly RangeFiles files, DISJOINT ranges
+    val sep = java.io.File.separator
+    val entries = Snapshots.manifestLines(dir, 2)
+      .filter(_.contains(s"${sep}nk=${SC.CompactedNk}$sep"))
+      .map(_.split('|'))
+    assert(entries.length === SC.RangeFiles)
+    val ranges = entries.map(p => (p(3).toLong, p(4).toLong))
+      .sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1,
+        s"range files must not overlap: $a vs $b")
+      case _ => ()
+    }
+    // tightening: the same selective read against v1 keeps MORE files
+    val (_, keptB, _) = Snapshots.readVersionPruned(spark, dir, 1,
+      SC.CompactedNk, SC.CompactedNk, Some(SC.BalMin))
+    val (dfA, keptA, _) = Snapshots.readVersionPruned(spark, dir, 2,
+      SC.CompactedNk, SC.CompactedNk, Some(SC.BalMin))
+    assert(keptA < keptB,
+      s"clustering must tighten the kept set ($keptA vs $keptB)")
+    // exactness: pruned+filter equals unpruned+filter
+    val full = spark.read.parquet(Snapshots.manifest(dir, 2): _*)
+      .filter(col("nkd") === SC.CompactedNk && col("bal") >= SC.BalMin)
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    val pruned = dfA
+      .filter(col("nkd") === SC.CompactedNk && col("bal") >= SC.BalMin)
+      .agg(count(lit(1)), sum(col("bal"))).first()
+    assert(pruned === full)
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
