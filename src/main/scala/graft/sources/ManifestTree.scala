@@ -223,16 +223,17 @@ object ManifestTree {
     */
   private def bucketRef(nk: Int, bm: String,
       entries: Seq[String]): BucketRef = {
-    val parts = entries.map(_.split('|'))
-    BucketRef(nk, bm, parts.map(_(5).toLong).sum,
-      parts.map(_(3).toLong).min, parts.map(_(4).toLong).max)
+    val parsed = entries.map(ManifestEntry.parse)
+    BucketRef(nk, bm, parsed.flatMap(_.rows).sum,
+      parsed.flatMap(_.stats.get("bal")).map(_._1.toLong).min,
+      parsed.flatMap(_.stats.get("bal")).map(_._2.toLong).max)
   }
 
   /** Group stats entries by the bucket their path's `nk=` dir names. */
   private def byBucket(entries: Seq[String]): Map[Int, Seq[String]] = {
     val nkRe = raw"nk=(\d+)".r
-    entries.groupBy(e =>
-      nkRe.findFirstMatchIn(Snapshots.pathOf(e)).get.group(1).toInt)
+    entries.groupBy(e => nkRe.findFirstMatchIn(
+      ManifestEntry.parse(e).path).get.group(1).toInt)
   }
 
   private def leafFiles(dir: String, sub: String): Seq[String] =

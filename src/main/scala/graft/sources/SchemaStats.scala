@@ -83,18 +83,15 @@ object SchemaStats {
       colName: String, lo: BigDecimal, hi: BigDecimal)
       : (DataFrame, Int, Int) = {
     val lines = Snapshots.manifestLines(dir, v)
-    val fieldRe = raw"\Q$colName\E=(.+)".r
-    val kept = lines.filter { l =>
-      val parts = l.split('|')
-      if (parts.length < 2 || !parts(1).startsWith("n="))
-        true // bare/foreign entry: keep conservatively
-      else parts.drop(2).exists {
-        case fieldRe(range) =>
-          val Array(flo, fhi) = range.split(raw"\.\.", 2)
+    val kept = lines.map(ManifestEntry.parse).filter { e =>
+      e.stats.get(colName) match {
+        case Some((flo, fhi)) =>
           BigDecimal(fhi) >= lo && BigDecimal(flo) <= hi
-        case _ => false // generated entry without the field: prune
+        // absence pruning is sound ONLY for the named dialect (it
+        // enumerates every stat-able column); anything else keeps
+        case None => !e.named
       }
-    }.map(Snapshots.pathOf)
+    }.map(_.path)
     val df =
       if (kept.nonEmpty)
         s.read.option("mergeSchema", "true").parquet(kept: _*)

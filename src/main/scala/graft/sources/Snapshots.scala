@@ -94,7 +94,10 @@ object Snapshots {
     try src.getLines().toList finally src.close()
   }
 
-  /** Path of a manifest entry (paths never contain '|'). */
+  /** Path of a manifest entry (paths never contain '|'). Prefer
+    * [[ManifestEntry.parse]] when more than the path is needed — set
+    * algebra over raw lines is the footgun the codec exists to remove.
+    */
   private[graft] def pathOf(line: String): String = line.split('|')(0)
 
   /** The pinned file list of a version (entry paths, stats stripped). */
@@ -142,13 +145,12 @@ object Snapshots {
       v: Int, nkLo: Long, nkHi: Long, balMin: Option[Long] = None)
       : (DataFrame, Int, Int) = {
     val lines = manifestLines(dir, v)
-    val kept = lines.filter { l =>
-      val p = l.split('|')
-      p.length < 6 || {
-        p(2).toLong >= nkLo && p(1).toLong <= nkHi &&
-          balMin.forall(m => p(4).toLong >= m)
-      }
-    }.map(pathOf)
+    val kept = lines.map(ManifestEntry.parse).filter { e =>
+      e.stats.get("nkd").forall { case (lo, hi) =>
+        hi.toLong >= nkLo && lo.toLong <= nkHi } &&
+        e.stats.get("bal").forall { case (_, hi) =>
+          balMin.forall(m => hi.toLong >= m) }
+    }.map(_.path)
     val df =
       if (kept.nonEmpty) s.read.parquet(kept: _*)
       else s.read.parquet(manifest(dir, v).head).filter(lit(false))
@@ -1377,18 +1379,13 @@ object Snapshots {
       // stats-optional contract (round-16 advice): bare-path entries are
       // valid manifest lines; a version containing any surfaces an
       // unknown (null) row count instead of an index-out-of-bounds.
-      // Both entry dialects carry row counts: positional (field 5,
-      // k/nkd/bal stores) and named (`n=` field, SchemaStats stores).
-      val parsed = lines.map(_.split('|'))
-      def rowsOf(p: Array[String]): Option[Long] =
-        if (p.length >= 2 && p(1).startsWith("n="))
-          Some(p(1).drop(2).toLong)
-        else if (p.length >= 6) Some(p(5).toLong)
-        else None
-      val per = parsed.map(rowsOf)
+      // Both entry dialects carry row counts through the codec.
+      val parsed = lines.map(ManifestEntry.parse)
       val nRows: Option[Long] =
-        if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
-      val paths = lines.map(pathOf).toSet
+        if (parsed.forall(_.rows.isDefined))
+          Some(parsed.flatMap(_.rows).sum)
+        else None
+      val paths = parsed.map(_.path).toSet
       val parent: Set[String] =
         if (v == 1) Set.empty else manifest(dir, v - 1).toSet
       (v, lines.size.toLong, nRows,

@@ -2173,6 +2173,30 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(pruned === full)
   }
 
+  // ---- manifest-entry codec ---------------------------------------------------
+
+  test("codec: ManifestEntry parses all three dialects; absence pruning " +
+      "is claimed only by the named one") {
+    import graft.sources.ManifestEntry
+    val bare = ManifestEntry.parse("/data/a.parquet")
+    assert(bare.path === "/data/a.parquet" && bare.rows.isEmpty &&
+      bare.stats.isEmpty && !bare.named)
+    val pos = ManifestEntry.parse("/data/b.parquet|0|9|-500|900|42")
+    assert(pos.path === "/data/b.parquet" && pos.rows === Some(42L))
+    assert(pos.stats === Map("nkd" -> (("0", "9")),
+      "bal" -> (("-500", "900"))) && !pos.named)
+    val named = ManifestEntry.parse(
+      "/data/c.parquet|n=7|k=1..99|bal=-1.5..2.5")
+    assert(named.path === "/data/c.parquet" && named.rows === Some(7L))
+    assert(named.stats === Map("k" -> (("1", "99")),
+      "bal" -> (("-1.5", "2.5"))) && named.named)
+    // a path is never confused with stats even when a later field is
+    // malformed — the codec degrades to fewer stats, never a wrong path
+    val odd = ManifestEntry.parse("/data/d.parquet|n=3|weird")
+    assert(odd.path === "/data/d.parquet" && odd.rows === Some(3L) &&
+      odd.stats.isEmpty)
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
