@@ -146,6 +146,182 @@ object TxnDeletes {
         .map(_.getAbsolutePath))
       .toSeq.sorted
 
+  /** Stats-pruned MERGE-ON-READ snapshot: [[Snapshots.readVersionPruned]]
+    * composed with the sidecar anti-join — the two reader-side
+    * mechanisms a selective query on a delete store needs TOGETHER
+    * (pruning alone would leak deleted rows; MoR alone opens every
+    * file). Pruning stays sound under deletes because stats bounds are
+    * conservative over the file's physical rows, a superset of its
+    * logical ones. Returns (frame, keptFiles, totalFiles).
+    */
+  private[graft] def readMoRPruned(s: SparkSession, dir: String, v: Int,
+      nkLo: Long, nkHi: Long): (DataFrame, Int, Int) = {
+    val (df, kept, total) =
+      Snapshots.readVersionPruned(s, dir, v, nkLo, nkHi)
+    val dvs = resolveDeletes(dir, v)
+    val mor =
+      if (dvs.isEmpty) df
+      else df.join(
+        broadcast(s.read.parquet(dvs: _*).select(col("k"))),
+        Seq("k"), "left_anti")
+    (mor, kept, total)
+  }
+
+  /** Per-nation rollup of `files` with delete set `dvs` MoR-applied —
+    * the aggregation unit of the MoR-aware differential below.
+    */
+  private def morAgg(s: SparkSession, files: Seq[String],
+      dvs: Seq[String], schemaFile: String): DataFrame = {
+    val base =
+      (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+       else s.read.parquet(schemaFile).filter(lit(false)))
+    (if (dvs.isEmpty) base
+     else base.join(
+       broadcast(s.read.parquet(dvs: _*).select(col("k"))),
+       Seq("k"), "left_anti"))
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+  }
+
+  /** Rows of manifest `m` whose key is in delete-file set `dvs`,
+    * rolled up per nation — the `del(m, D)` correction term. Cost is
+    * O(deleted buckets), never O(table): the delete files carry nk, so
+    * only their buckets' files are opened.
+    */
+  private def delTerm(s: SparkSession, m: Seq[String],
+      dvs: Seq[String], schemaFile: String): DataFrame = {
+    val sep = java.io.File.separator
+    if (dvs.isEmpty)
+      return s.read.parquet(schemaFile).filter(lit(false))
+        .groupBy(col("nkd").cast("int").as("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+    val doomed = s.read.parquet(dvs: _*)
+    val buckets = doomed.select(col("nk")).distinct()
+      .collect().map(_.getInt(0)) // bounded: ≤ |buckets|
+    val files = m.filter(p =>
+      buckets.exists(nk => p.contains(s"${sep}nk=$nk$sep")))
+    (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+     else s.read.parquet(schemaFile).filter(lit(false)))
+      .join(broadcast(doomed.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+  }
+
+  /** MV5: MoR-AWARE DIFFERENTIAL MV REFRESH — mv3's manifest-delta
+    * algebra breaks on a merge-on-read store: an equality-delete commit
+    * changes ZERO files (the manifest delta is empty, yet logical rows
+    * vanished), and a purge's file delta double-subtracts rows the
+    * delete version already removed. The correct differential, from
+    * MV_v = Σ(m_v) − Σ(m_v ∩ D_v):
+    *
+    *   MV_v − MV_{v-1} = agg(post) − agg(pre)
+    *                     − del(m_v, D_v) + del(m_{v-1}, D_{v-1})
+    *
+    * (pre/post = the RAW manifest-delta sums — the del(m, D) terms over
+    * the full manifests carry ALL delete corrections, so applying MoR
+    * to pre/post too would double-count a deleted row riding a bucket
+    * rewrite; del(m, D) = the delete set's current rows, scanned from
+    * only its buckets). The delete commit reduces to
+    * −del(m, D_new); the purge's correction cancels its file delta to
+    * exactly zero; plain increments cancel their del terms. Cost per
+    * refresh: O(changed files + deleted buckets), never O(table).
+    */
+  private[graft] def mv5Delta(s: SparkSession, store: String,
+      v: Int): DataFrame = {
+    val mPrev = Snapshots.manifest(store, v - 1)
+    val mCur = Snapshots.manifest(store, v)
+    val (prevSet, curSet) = (mPrev.toSet, mCur.toSet)
+    val preF = mPrev.filterNot(curSet)
+    val postF = mCur.filterNot(prevSet)
+    val dPrev = resolveDeletes(store, v - 1)
+    val dCur = resolveDeletes(store, v)
+    val schemaFile = mCur.headOption.getOrElse(mPrev.head)
+    def sgn(df: DataFrame, s: Int): DataFrame =
+      df.select(col("nk"), (col("n") * s).as("n"),
+        (col("cents") * s).as("cents"))
+    sgn(morAgg(s, postF, Nil, schemaFile), 1)
+      .unionByName(sgn(morAgg(s, preF, Nil, schemaFile), -1))
+      .unionByName(sgn(delTerm(s, mCur, dCur, schemaFile), -1))
+      .unionByName(sgn(delTerm(s, mPrev, dPrev, schemaFile), 1))
+      .groupBy(col("nk"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+  }
+
+  /** The refreshed MV at `v`: the v1 materialization (landed once per
+    * store version) plus every version's [[mv5Delta]] folded in.
+    */
+  private[graft] def mv5Refreshed(s: SparkSession, store: String,
+      v: Int): DataFrame = {
+    val m1 = Snapshots.manifest(store, 1)
+    var mv = graft.util.Landing.frameLanding(s,
+      s"mv5base|${graft.util.Landing.versionedPathKey(store)}")(
+      morAgg(s, m1, resolveDeletes(store, 1), m1.head))
+    (2 to v).foreach { i =>
+      val d = mv5Delta(s, store, i)
+      mv = mv.select(col("nk"), col("n"), col("cents"))
+        .unionByName(d)
+        .groupBy(col("nk"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+    }
+    mv.filter(col("n") > 0).orderBy(col("nk"))
+  }
+
+  /** S43: the registered stats-pruned MoR read — a selective nation-
+    * range aggregate at v4 (sidecar ACTIVE: post-increments, pre-purge)
+    * served by the composed reader: manifest stats prune to the range's
+    * buckets, the sidecar anti-join hides deleted rows inside kept
+    * files. The oracle recomputes the range with deletes and both
+    * credits applied, so the hash fails if pruning leaks a deleted row
+    * or drops a live one.
+    */
+  private def s43PrunedMorRead(s: SparkSession, d: String): DataFrame = {
+    val dir = s38Dir(s, d)
+    val (df, kept, total) = readMoRPruned(s, dir, 4, 3L, 7L)
+    df.filter(col("nkd").cast("int").between(3, 7))
+      .groupBy(col("nkd").cast("int").as("nk"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("nk"), col("n_rows"), col("bal_cents"),
+        lit(kept < total).as("skipped_files"),
+        lit(resolveDeletes(dir, 4).nonEmpty).as("deletes_applied"))
+      .orderBy(col("nk"))
+  }
+
+  private val s43Sql =
+    """SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey % 7 = 3 THEN 1200 ELSE 0 END)
+      |    AS BIGINT) AS bal_cents,
+      |  TRUE AS skipped_files, TRUE AS deletes_applied
+      |FROM customer
+      |WHERE c_nationkey BETWEEN 3 AND 7
+      |  AND NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** MV5 registered: the MV folded differentially across the store's
+    * FULL lifecycle — increment, metadata-only delete, increment, purge
+    * — hash-gated against the raw-table recompute; a differential that
+    * misses the delete version or double-subtracts at the purge fails
+    * the gate. The spec pins the stronger invariant (refresh ≡ full MoR
+    * recompute at EVERY version).
+    */
+  private def mv5IncrementalMvMor(s: SparkSession, d: String): DataFrame = {
+    val dir = s38Dir(s, d)
+    mv5Refreshed(s, dir, Snapshots.head(dir))
+      .select(col("nk"), col("n").as("n_rows"),
+        col("cents").as("total_cents"))
+  }
+
+  private val mv5Sql =
+    """SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey % 7 = 3 THEN 1200 ELSE 0 END)
+      |    AS BIGINT) AS total_cents
+      |FROM customer
+      |WHERE NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Lands the demo store once per customer version — the full DML
     * lifecycle in commit order, every step through [[Snapshots.occCommit]]:
     *  v1 base (stats-carrying bootstrap);
@@ -223,5 +399,7 @@ object TxnDeletes {
 
   val qs: Seq[(String, Q)] = Seq(
     "s38_txn_row_deletes" -> Q(s38TxnRowDeletes, Some(s38Sql)),
+    "s43_pruned_mor_read" -> Q(s43PrunedMorRead, Some(s43Sql)),
+    "mv5_incremental_mv_mor" -> Q(mv5IncrementalMvMor, Some(mv5Sql)),
   )
 }

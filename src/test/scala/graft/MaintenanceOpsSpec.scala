@@ -2197,6 +2197,43 @@ class MaintenanceOpsSpec extends SparkSpec {
       odd.stats.isEmpty)
   }
 
+  // ---- mv5 / s43: MoR-aware differential + composed pruned read -----------
+
+  test("mv5: the MoR-aware differential equals the full merge-on-read " +
+      "recompute at EVERY version — including the zero-file-delta " +
+      "delete commit and the purge (whose naive file delta would " +
+      "double-subtract); s43's pruned MoR read is exact") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    val dir = TxnDeletes.s38Dir(spark, Sf0001)
+    def fullMor(v: Int): Set[(Int, Long, Long)] =
+      TxnDeletes.readMoR(spark, dir, v)
+        .groupBy(col("nkd").cast("int").as("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    (1 to Snapshots.head(dir)).foreach { v =>
+      val got = TxnDeletes.mv5Refreshed(spark, dir, v)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === fullMor(v), s"differential diverged at v$v")
+    }
+    // the delete version's manifest delta really is EMPTY — the case
+    // mv3's algebra cannot see — yet the MV changed
+    assert(Snapshots.manifest(dir, 3) === Snapshots.manifest(dir, 2))
+    assert(fullMor(3) !== fullMor(2),
+      "the delete must change the logical MV with zero file delta")
+    // purge is a logical no-op for the MV
+    assert(fullMor(5) === fullMor(4))
+    // s43: pruning composed with MoR — kept subset, no deleted row leaks
+    val (df, kept, total) = TxnDeletes.readMoRPruned(spark, dir, 4, 3, 7)
+    assert(kept < total)
+    val doomed = spark.read
+      .parquet(TxnDeletes.resolveDeletes(dir, 4): _*)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    val keys = df.select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(doomed).isEmpty, "a deleted row leaked")
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
