@@ -170,7 +170,7 @@ object TxnDeletes {
   /** Per-nation rollup of `files` with delete set `dvs` MoR-applied —
     * the aggregation unit of the MoR-aware differential below.
     */
-  private def morAgg(s: SparkSession, files: Seq[String],
+  private[graft] def morAgg(s: SparkSession, files: Seq[String],
       dvs: Seq[String], schemaFile: String): DataFrame = {
     val base =
       (if (files.nonEmpty) s.read.parquet(files.sorted: _*)

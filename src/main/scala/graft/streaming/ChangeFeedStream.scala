@@ -92,34 +92,37 @@ object ChangeFeedStream {
     * ledger already holds v (replay); otherwise land `mv_<v>/` at its
     * deterministic path (idempotent overwrite), THEN append v to the
     * ledger — the crash window between the two replays convergently.
+    *
+    * The differential is the MoR-AWARE algebra
+    * ([[graft.sources.TxnDeletes.mv5Delta]]): on a plain store (no
+    * delete sidecars) it reduces exactly to the mv3 manifest-delta
+    * form, and on a merge-on-read store it correctly handles
+    * zero-file-delta delete commits and purges — so ONE tailer serves
+    * both store families.
     */
   private[graft] def applyVersion(s: SparkSession, store: String,
       mvDir: String, v: Int): Unit = {
     val led = applied(mvDir)
     if (led.contains(v)) return // replay: already applied
-    val mv = Snapshots.manifest(store, v)
     val next =
-      if (v == 1) aggOf(s, mv, mv.head) // the consumer's materialization
-      else {
+      if (v == 1) { // the consumer's materialization (MoR-applied)
+        val m1 = Snapshots.manifest(store, 1)
+        graft.sources.TxnDeletes.morAgg(s, m1,
+            graft.sources.TxnDeletes.resolveDeletes(store, 1), m1.head)
+          .select(col("nk"), col("n").as("n_rows"),
+            col("cents").as("total_cents"))
+      } else {
         require(led.contains(v - 1),
           s"refresh gap: v${v - 1} not applied before v$v")
-        val (preF, postF) = deltaFiles(store, v)
-        val schemaFile = (preF ++ postF ++ mv).head
-        val pre = aggOf(s, preF, schemaFile)
-          .select(col("nk"), col("n_rows").as("pn"),
-            col("total_cents").as("pc"))
-        val post = aggOf(s, postF, schemaFile)
-          .select(col("nk"), col("n_rows").as("qn"),
-            col("total_cents").as("qc"))
+        val d = graft.sources.TxnDeletes.mv5Delta(s, store, v)
+          .select(col("nk"), col("n").as("dn"), col("cents").as("dc"))
         s.read.parquet(s"$mvDir/mv_${v - 1}")
-          .join(pre, Seq("nk"), "full_outer")
-          .join(post, Seq("nk"), "full_outer")
+          .join(d, Seq("nk"), "full_outer")
           .select(col("nk"),
-            (coalesce(col("n_rows"), lit(0L)) - coalesce(col("pn"), lit(0L))
-              + coalesce(col("qn"), lit(0L))).as("n_rows"),
+            (coalesce(col("n_rows"), lit(0L))
+              + coalesce(col("dn"), lit(0L))).as("n_rows"),
             (coalesce(col("total_cents"), lit(0L))
-              - coalesce(col("pc"), lit(0L))
-              + coalesce(col("qc"), lit(0L))).as("total_cents"))
+              + coalesce(col("dc"), lit(0L))).as("total_cents"))
       }
     next.coalesce(1).write.mode("overwrite").parquet(s"$mvDir/mv_$v")
     writeLedger(mvDir, applied(mvDir) :+ v)
@@ -199,6 +202,54 @@ object ChangeFeedStream {
       .orderBy(col("nk"))
   }
 
+  /** Lands the MoR-tailed MV once per source version: the s38 delete
+    * store's commit log tailed by the SAME machinery as mv4 — the
+    * MoR-aware differential makes the tailer correct across the
+    * increment → zero-file-delta DELETE → increment → PURGE lifecycle.
+    */
+  private[graft] def mv6Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|mvstreammor",
+      "graft_mvstreammor") { out =>
+      val store = graft.sources.TxnDeletes.s38Dir(s, d)
+      val feed = java.nio.file.Paths.get(s"$out/feed")
+      java.nio.file.Files.createDirectories(feed)
+      (1 to Snapshots.head(store)).foreach { v =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$store/manifest_$v.txt"),
+          feed.resolve(s"manifest_$v.txt"))
+      }
+      runTail(s, feed.toString, store, s"$out/mv", s"$out/ckp")
+    }
+
+  /** MV6: the registered MoR tail — the continuously maintained MV over
+    * a store with row-level deletes, hash-gated against the raw-table
+    * recompute (a tailer blind to the delete version's empty file delta
+    * would keep the deleted rows and fail the gate; one that double-
+    * subtracts at the purge fails it too), with the applied-version
+    * count as the exactly-once pin.
+    */
+  private def mv6StreamingMvMor(s: SparkSession, d: String): DataFrame = {
+    val dir = mv6Dir(s, d)
+    val led = applied(s"$dir/mv")
+    s.read.parquet(s"$dir/mv/mv_${led.max}")
+      .filter(col("n_rows") > 0)
+      .select(col("nk"), col("n_rows"), col("total_cents"),
+        lit(led.size.toLong).as("n_commits_applied"))
+      .orderBy(col("nk"))
+  }
+
+  private val mv6Sql =
+    """SELECT CAST(c_nationkey AS INTEGER) AS nk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    + CASE WHEN c_nationkey % 7 = 3 THEN 1200 ELSE 0 END)
+      |    AS BIGINT) AS total_cents,
+      |  CAST(5 AS BIGINT) AS n_commits_applied
+      |FROM customer
+      |WHERE NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val mv4Sql =
     """SELECT CAST(c_nationkey AS INTEGER) AS nk,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -215,5 +266,6 @@ object ChangeFeedStream {
 
   val qs: Seq[(String, Q)] = Seq(
     "mv4_streaming_mv" -> Q(mv4StreamingMv, Some(mv4Sql)),
+    "mv6_streaming_mv_mor" -> Q(mv6StreamingMvMor, Some(mv6Sql)),
   )
 }

@@ -2234,6 +2234,50 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(keys.intersect(doomed).isEmpty, "a deleted row leaked")
   }
 
+  // ---- mv6: streaming tailer over the merge-on-read store ------------------
+
+  test("mv6: the tailer over the DELETE store applies the zero-file-" +
+      "delta delete version exactly once across restart and replay; " +
+      "every intermediate MV state equals the full MoR recompute") {
+    import graft.streaming.{ChangeFeedStream => CFS}
+    import graft.sources.{Snapshots, TxnDeletes}
+    val store = TxnDeletes.s38Dir(spark, Sf0001)
+    val root = graft.util.Landing.tempDirOnce("graft_mv6spec").toString
+    val feed = s"$root/feed"
+    val mv = s"$root/mv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    def land(v: Int): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$store/manifest_$v.txt"),
+      java.nio.file.Paths.get(s"$feed/manifest_$v.txt"))
+    def mvState(v: Int): Set[(Int, Long, Long)] =
+      spark.read.parquet(s"$mv/mv_$v").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    def fullMor(v: Int): Set[(Int, Long, Long)] =
+      TxnDeletes.readMoR(spark, store, v)
+        .groupBy(col("nkd").cast("int").as("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // stop mid-lifecycle: the last applied version is the DELETE (v3),
+    // whose manifest delta is empty — the state the naive tailer misses
+    (1 to 3).foreach(land)
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp")
+    assert(CFS.applied(mv) === Seq(1, 2, 3))
+    assert(mvState(3) === fullMor(3),
+      "the delete version must land in the MV despite an empty file delta")
+    assert(mvState(3) !== mvState(2), "the delete must change the MV")
+    // restart across increment + purge
+    (4 to 5).foreach(land)
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp")
+    assert(CFS.applied(mv) === (1 to 5))
+    assert(mvState(5) === fullMor(5))
+    assert(mvState(5) === mvState(4), "the purge is a logical no-op")
+    // lost checkpoint: the ledger alone prevents re-applying the
+    // non-idempotent delete/increment deltas
+    CFS.runTail(spark, feed, store, mv, s"$root/ckp_fresh")
+    assert(CFS.applied(mv) === (1 to 5) && mvState(5) === fullMor(5))
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
