@@ -207,6 +207,92 @@ object TxnDeletes {
       .agg(count(lit(1)).as("n"), sum(col("bal")).as("cents"))
   }
 
+  /** CDC5: the MoR-AWARE row-level CHANGE FEED — [[Snapshots.changeFeed]]
+    * is file-level, so on a merge-on-read store it is blind exactly
+    * where mv3's algebra was: a delete commit changes ZERO files (the
+    * file-level feed over that range is EMPTY, yet rows logically
+    * vanished) and the purge's file delta re-reports deletions the feed
+    * already owed at the delete version. The logical row set at v is
+    * L_v = rows(m_v) ∖ keys(D_v), so the net feed over (vFrom, vTo] is
+    * the full-outer value diff of L_vFrom and L_vTo — computed WITHOUT
+    * an O(table) scan: a row can only differ if its file is in the
+    * manifest delta OR its bucket holds a key of either endpoint's
+    * delete set (delete files carry nk), so both sides read
+    * file-delta ∪ delete-bucket files only, anti-join their own
+    * endpoint's delete keys, and unchanged riders are suppressed by the
+    * value filter. Cost: O(changed files + delete buckets). On a store
+    * whose endpoints carry no deletes it reduces file-for-file to the
+    * plain [[Snapshots.changeFeed]] (spec-pinned: net (1,4] ≡ (1,5] ≡
+    * file-level (1,5] — the purge version is a logical no-op).
+    */
+  private[graft] def morChangeFeed(s: SparkSession, dir: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    val sep = java.io.File.separator
+    val mF = Snapshots.manifest(dir, vFrom)
+    val mT = Snapshots.manifest(dir, vTo)
+    val dF = resolveDeletes(dir, vFrom)
+    val dT = resolveDeletes(dir, vTo)
+    val preDelta = mF.filterNot(mT.toSet)
+    val postDelta = mT.filterNot(mF.toSet)
+    val schemaFile = (mF ++ mT).head
+    val dvAll = (dF ++ dT).distinct
+    val buckets: Seq[Int] =
+      if (dvAll.isEmpty) Seq.empty
+      else s.read.parquet(dvAll.sorted: _*).select(col("nk")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded: ≤ |buckets|
+    def bucketFiles(m: Seq[String]): Seq[String] =
+      m.filter(p => buckets.exists(nk => p.contains(s"${sep}nk=$nk$sep")))
+    def side(files: Seq[String], dvs: Seq[String],
+        alias: String): DataFrame = {
+      val base =
+        if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+        else s.read.parquet(schemaFile).filter(lit(false))
+      (if (dvs.isEmpty) base
+       else base.join(
+         broadcast(s.read.parquet(dvs: _*).select(col("k"))),
+         Seq("k"), "left_anti"))
+        .select(col("k"), col("bal").as(alias))
+    }
+    val pre = side((preDelta ++ bucketFiles(mF)).distinct, dF, "bal_before")
+    val post = side((postDelta ++ bucketFiles(mT)).distinct, dT, "bal_after")
+    pre.join(post, Seq("k"), "full_outer")
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .select(col("k"),
+        when(col("bal_after").isNull, "delete")
+          .when(col("bal_before").isNull, "insert")
+          .otherwise("update").as("change_type"),
+        col("bal_before"), col("bal_after"))
+  }
+
+  /** CDC5 registered: the net MoR feed over (1, 4] of the s38 store —
+    * the range ENDS at a delete-active version, so the feed must emit
+    * both the increments (+1200 per nk%7==3 customer across two merge
+    * commits, folded to ONE update each) and the delete commit's rows
+    * as `delete` events despite their empty file delta. The oracle
+    * recomputes the full row-level change set from raw customer; a
+    * feed blind to the sidecar misses every delete row and fails the
+    * hash.
+    */
+  private def cdc5MorChangeFeed(s: SparkSession, d: String): DataFrame =
+    morChangeFeed(s, s38Dir(s, d), 1, 4).orderBy(col("k"))
+
+  private val cdc5Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer)
+      |SELECT k, change_type, bal_before, bal_after FROM (
+      |  SELECT k, 'update' AS change_type, bal AS bal_before,
+      |    bal + 1200 AS bal_after
+      |  FROM base WHERE nk % 7 = 3
+      |  UNION ALL
+      |  SELECT k, 'delete' AS change_type, bal AS bal_before,
+      |    CAST(NULL AS BIGINT) AS bal_after
+      |  FROM base WHERE nk % 7 = 5 AND k % 19 = 0)
+      |ORDER BY k""".stripMargin
+
   /** MV5: MoR-AWARE DIFFERENTIAL MV REFRESH — mv3's manifest-delta
     * algebra breaks on a merge-on-read store: an equality-delete commit
     * changes ZERO files (the manifest delta is empty, yet logical rows
@@ -400,6 +486,7 @@ object TxnDeletes {
   val qs: Seq[(String, Q)] = Seq(
     "s38_txn_row_deletes" -> Q(s38TxnRowDeletes, Some(s38Sql)),
     "s43_pruned_mor_read" -> Q(s43PrunedMorRead, Some(s43Sql)),
+    "cdc5_mor_change_feed" -> Q(cdc5MorChangeFeed, Some(cdc5Sql)),
     "mv5_incremental_mv_mor" -> Q(mv5IncrementalMvMor, Some(mv5Sql)),
   )
 }

@@ -2278,6 +2278,45 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(CFS.applied(mv) === (1 to 5) && mvState(5) === fullMor(5))
   }
 
+  // ---- cdc5: MoR-aware row-level change feed -------------------------------
+
+  test("cdc5: the MoR feed sees the zero-file-delta delete commit the " +
+      "file-level feed is blind to; the purge range is a logical no-op; " +
+      "net (1,4] ≡ (1,5] ≡ file-level (1,5]; the delete-version feed " +
+      "opens only delete-bucket files") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    val store = TxnDeletes.s38Dir(spark, Sf0001)
+    // the blindness: v2→v3 is the delete commit — empty file delta
+    assert(Snapshots.changeFeed(spark, store, 2, 3).isEmpty,
+      "file-level feed must be empty over the delete commit")
+    val d23 = TxnDeletes.morChangeFeed(spark, store, 2, 3).collect()
+    val doomed = graft.Tables.customer(spark, Sf0001)
+      .filter(col("c_nationkey") % 7 === 5 && col("c_custkey") % 19 === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    assert(d23.nonEmpty && d23.forall(_.getString(1) == "delete"))
+    assert(d23.map(_.getLong(0)).toSet === doomed,
+      "the MoR feed must emit exactly the deleted keys")
+    // the purge: physical rewrite, logical no-op
+    assert(TxnDeletes.morChangeFeed(spark, store, 4, 5).isEmpty)
+    // net algebra: (1,4] ≡ (1,5], and both endpoints of (1,5] carry no
+    // deletes so the MoR feed reduces to the file-level feed
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val f14 = rows(TxnDeletes.morChangeFeed(spark, store, 1, 4))
+    val f15 = rows(TxnDeletes.morChangeFeed(spark, store, 1, 5))
+    val file15 = rows(Snapshots.changeFeed(spark, store, 1, 5))
+    assert(f14 === f15 && f15 === file15)
+    // cost: the delete-version feed's data inputs are delete buckets only
+    val dataFiles = TxnDeletes.morChangeFeed(spark, store, 2, 3)
+      .inputFiles.map(f => new java.net.URI(f).getPath)
+      .filter(_.contains("/nk="))
+    assert(dataFiles.nonEmpty && dataFiles.forall { p =>
+      val nk = p.split("/nk=")(1).split("/")(0).toInt
+      nk % 7 == 5
+    }, "the delete-version feed must open only the deleted keys' buckets")
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
