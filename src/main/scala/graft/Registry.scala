@@ -40,6 +40,7 @@ object Registry {
       sources.SchemaStats.qs ++
       sources.ColumnIds.qs ++
       sources.SortedCompaction.qs ++
+      sources.ZOrderCompaction.qs ++
       sources.PartitionEvolution.qs ++
       sources.WriteAuditPublish.qs ++
       ext.Sampling.qs ++

@@ -2317,6 +2317,42 @@ class MaintenanceOpsSpec extends SparkSpec {
     }, "the delete-version feed must open only the deleted keys' buckets")
   }
 
+  // ---- s44: z-order compaction ---------------------------------------------
+
+  test("s44: z-order rewrite makes BOTH columns' per-file stats " +
+      "selective where the hash ingest prunes neither; the pruned box " +
+      "read equals the full read filtered; the publish is a real OCC " +
+      "commit") {
+    import graft.sources.{ManifestEntry, Snapshots, ZOrderCompaction => Z}
+    val dir = Z.s44Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) == 2)
+    val (totV1, totV2) =
+      (Snapshots.manifest(dir, 1).size, Snapshots.manifest(dir, 2).size)
+    // sf0.001 domain: k ∈ [1, ~150] — spec uses its own in-domain box
+    val (kLo, kHi, bLo, bHi) = (40L, 90L, 500000L, 999999L)
+    assert(Z.keptFor(dir, 1, Seq(("k", kLo, kHi))).size == totV1 &&
+      Z.keptFor(dir, 1, Seq(("bal", bLo, bHi))).size == totV1,
+      "hash-partitioned ingest must be unprunable on either column")
+    val keptK = Z.keptFor(dir, 2, Seq(("k", kLo, kHi)))
+    val keptBal = Z.keptFor(dir, 2, Seq(("bal", bLo, bHi)))
+    assert(keptK.size < totV2, "z-order must prune on k")
+    assert(keptBal.size < totV2, "z-order must prune on bal")
+    // soundness: pruned box read ≡ full head read + filter
+    val box = Z.keptFor(dir, 2, Seq(("k", kLo, kHi), ("bal", bLo, bHi)))
+    assert(box.toSet subsetOf keptK.toSet)
+    def rows(files: Seq[String]) =
+      spark.read.parquet(files.sorted: _*)
+        .filter(col("k").between(kLo, kHi) && col("bal").between(bLo, bHi))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows(box) === rows(Snapshots.manifest(dir, 2)),
+      "pruning must neither drop nor duplicate a matching row")
+    // the publish went through occCommit: replaced metadata exists and
+    // names exactly v1's files; v2 entries are all named (stats-carrying)
+    assert(new java.io.File(dir, "replaced_2.txt").exists())
+    assert(Snapshots.manifestLines(dir, 2)
+      .map(ManifestEntry.parse).forall(_.named))
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
