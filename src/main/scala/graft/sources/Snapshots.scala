@@ -1203,13 +1203,28 @@ object Snapshots {
     * manifests' paths (any version, tagged or not — vacuum decides
     * version retention; orphan cleanup must never second-guess it).
     */
+  /** One canonical form for every path the orphan sweep compares —
+    * manifest entries today are absolute POSIX paths, but a store whose
+    * manifests ever carry `file:`-prefixed URIs or store-relative
+    * entries must not see its whole table as orphaned (the age
+    * threshold would be the only thing between that and data loss).
+    */
+  private[graft] def canonicalPath(dir: String, p: String): String = {
+    val bare =
+      if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+    val path = java.nio.file.Paths.get(bare)
+    (if (path.isAbsolute) path
+     else java.nio.file.Paths.get(dir).resolve(path))
+      .toAbsolutePath.normalize.toString
+  }
+
   private[graft] def referencedFiles(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("manifest_") &&
         f.getName.endsWith(".txt"))
       .flatMap(f => manifestLines(dir,
         f.getName.stripPrefix("manifest_").stripSuffix(".txt").toInt))
-      .map(pathOf).toSet
+      .map(l => canonicalPath(dir, pathOf(l))).toSet
 
   /** ORPHAN-FILE CLEANUP (Iceberg `deleteOrphanFiles`): the OCC retry
     * loop is correct but LEAKY — a conflicted [[mergeAttempt]] leaves
@@ -1250,7 +1265,8 @@ object Snapshots {
       .filter(p =>
         java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(java.nio.file.Files.deleteIfExists(_))
-    val orphans = all.filter(p => !referenced.contains(p.toString))
+    val orphans = all.filter(p =>
+      !referenced.contains(canonicalPath(dir, p.toString)))
     val (old, young) = orphans.partition(p =>
       java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
     old.foreach(java.nio.file.Files.deleteIfExists(_))

@@ -2353,6 +2353,39 @@ class MaintenanceOpsSpec extends SparkSpec {
       .map(ManifestEntry.parse).forall(_.named))
   }
 
+  // ---- orphan sweep: path-form robustness ----------------------------------
+
+  test("orphan sweep: files referenced via file:-URI or store-relative " +
+      "manifest entries are NOT treated as orphans (canonicalization " +
+      "before the set difference)") {
+    import graft.sources.Snapshots
+    val dir = graft.util.Landing.tempDirOnce("graft_orphanforms").toString
+    spark.range(3).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/a")
+    spark.range(3).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/b")
+    def leaf(sub: String): String =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    val (fa, fb) = (leaf("a"), leaf("b"))
+    // one file:-URI entry, one store-relative entry — both valid forms
+    val rel = java.nio.file.Paths.get(dir)
+      .relativize(java.nio.file.Paths.get(fb)).toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      s"file:$fa\n$rel".getBytes("UTF-8"))
+    val (deleted, _) = Snapshots.deleteOrphanFiles(dir, 0L)
+    assert(deleted == 0, "referenced files must survive whatever path " +
+      "form the manifest carries")
+    assert(new java.io.File(fa).exists() && new java.io.File(fb).exists())
+    // a genuinely unreferenced file still goes
+    spark.range(1).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stray")
+    val (d2, _) = Snapshots.deleteOrphanFiles(dir, 0L)
+    assert(d2 == 1 && new java.io.File(fa).exists() &&
+      new java.io.File(fb).exists())
+  }
+
   // ---- round-17 advice hardening ------------------------------------------
 
   test("occ: a commit whose base snapshot was vacuumed away FAILS with a " +
