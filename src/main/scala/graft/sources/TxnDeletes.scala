@@ -393,9 +393,15 @@ object TxnDeletes {
     */
   private def mv5IncrementalMvMor(s: SparkSession, d: String): DataFrame = {
     val dir = s38Dir(s, d)
-    mv5Refreshed(s, dir, Snapshots.head(dir))
+    // ≤|nations| rows; the differential fold re-executes its full
+    // lineage on every fresh build otherwise (the d13 class) — land the
+    // slim result once per store version
+    graft.util.Landing.frameLanding(s,
+      s"mv5final|${graft.util.Landing.versionedPathKey(dir)}")(
+      mv5Refreshed(s, dir, Snapshots.head(dir)))
       .select(col("nk"), col("n").as("n_rows"),
         col("cents").as("total_cents"))
+      .orderBy(col("nk"))
   }
 
   private val mv5Sql =
