@@ -80,12 +80,35 @@ object ColumnIds {
 
   /** Commit a schema change (rename/drop/re-add are all just a new
     * map): zero file footprint, the colmap durable while the slot
-    * claim is held. Returns the committed version.
+    * claim is held. `edit` transforms the version's ACTUAL parent map,
+    * resolved INSIDE beforePublish (round-17 advice): a colmap commit's
+    * replaced set is empty, so OCC cannot detect a concurrent schema
+    * change landing between the head read and the claim — a literal
+    * new map captured at the stale head would silently undo it. While
+    * the slot-n claim is held, n-1 is the published parent, so
+    * resolveColmap(dir, n-1) is exact. Returns the committed version.
     */
   private[graft] def commitColmap(dir: String,
-      newMap: Seq[(Int, String, String)]): Int =
+      edit: Seq[(Int, String, String)] => Seq[(Int, String, String)]): Int =
     Snapshots.occCommit(dir, Snapshots.head(dir), Set.empty, Seq.empty,
-      beforePublish = n => writeColmap(dir, n, newMap))._1
+      beforePublish = n =>
+        writeColmap(dir, n, edit(resolveColmap(dir, n - 1))))._1
+
+  /** The three schema edits as colmap transforms. */
+  private[graft] def renameCol(id: Int, to: String)(
+      m: Seq[(Int, String, String)]): Seq[(Int, String, String)] =
+    m.map { case (i, n, t) => if (i == id) (i, to, t) else (i, n, t) }
+
+  private[graft] def dropCol(id: Int)(
+      m: Seq[(Int, String, String)]): Seq[(Int, String, String)] =
+    m.filterNot(_._1 == id)
+
+  private[graft] def addCol(id: Int, name: String, tpe: String)(
+      m: Seq[(Int, String, String)]): Seq[(Int, String, String)] = {
+    require(!m.exists(_._1 == id),
+      s"column id $id already mapped — ids are permanent, never reused")
+    m :+ ((id, name, tpe))
+  }
 
   private def leafFiles(dir: String, sub: String): Seq[String] =
     Option(new java.io.File(s"$dir/$sub").listFiles())
@@ -120,9 +143,7 @@ object ColumnIds {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
         leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
-      require(commitColmap(dir,
-        Seq((1, "k", "bigint"), (2, "nkd", "bigint"),
-          (3, "balance", "bigint"))) == 2,
+      require(commitColmap(dir, renameCol(3, "balance")) == 2,
         "the rename must land as v2")
       // post-rename write: physical ids, logical names irrelevant
       val sep = java.io.File.separator

@@ -33,6 +33,26 @@ final case class ManifestEntry(
 
 object ManifestEntry {
 
+  /** Stat-bound comparator for the rendered strings `stats` carries:
+    * numeric when both sides parse as numbers, lexicographic otherwise
+    * — DateType bounds render as ISO strings ([[SchemaStats.entries]]),
+    * which order correctly lexicographically; parsing them with
+    * BigDecimal would throw (round-17 advice). Mixed-type comparisons
+    * (a date bound against a numeric range) are caller errors either
+    * way; same-typed columns compare correctly under both branches.
+    */
+  def boundCompare(a: String, b: String): Int =
+    try BigDecimal(a).compare(BigDecimal(b))
+    catch { case _: NumberFormatException => a.compareTo(b) }
+
+  /** Does the recorded [lo, hi] bound intersect the queried [qLo, qHi]?
+    * The one range test every stats-pruning reader should route through
+    * — it is type-safe for every bound the named dialect renders.
+    */
+  def boundsIntersect(bounds: (String, String), qLo: String,
+      qHi: String): Boolean =
+    boundCompare(bounds._2, qLo) >= 0 && boundCompare(bounds._1, qHi) <= 0
+
   def parse(line: String): ManifestEntry = {
     val parts = line.split('|')
     if (parts.length >= 2 && parts(1).startsWith("n=")) {

@@ -81,12 +81,21 @@ object SchemaStats {
     */
   private[graft] def prunedBy(s: SparkSession, dir: String, v: Int,
       colName: String, lo: BigDecimal, hi: BigDecimal)
+      : (DataFrame, Int, Int) =
+    prunedBy(s, dir, v, colName, lo.toString, hi.toString)
+
+  /** String-bound variant: the range test goes through
+    * [[ManifestEntry.boundsIntersect]], so DATE stat columns (ISO
+    * strings) prune correctly instead of throwing on BigDecimal parse
+    * — pass ISO date literals for them, numeric literals otherwise.
+    */
+  private[graft] def prunedBy(s: SparkSession, dir: String, v: Int,
+      colName: String, lo: String, hi: String)
       : (DataFrame, Int, Int) = {
     val lines = Snapshots.manifestLines(dir, v)
     val kept = lines.map(ManifestEntry.parse).filter { e =>
       e.stats.get(colName) match {
-        case Some((flo, fhi)) =>
-          BigDecimal(fhi) >= lo && BigDecimal(flo) <= hi
+        case Some(bounds) => ManifestEntry.boundsIntersect(bounds, lo, hi)
         // absence pruning is sound ONLY for the named dialect (it
         // enumerates every stat-able column); anything else keeps
         case None => !e.named

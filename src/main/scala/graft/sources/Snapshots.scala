@@ -1125,7 +1125,51 @@ object Snapshots {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(s"$dir/replaced_$v.txt"))
     }
+    retainSidecars(dir, retained)
     (expired, drop.size)
+  }
+
+  /** All sidecar dialects resolved nearest-at-or-below a version. */
+  private[graft] val sidecarPrefixes = Seq("deletes_", "colmap_")
+
+  private[graft] def sidecarVersions(dir: String,
+      prefix: String): Seq[Int] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case n if n.startsWith(prefix) && n.endsWith(".txt") =>
+        n.stripPrefix(prefix).stripSuffix(".txt") }
+      .filter(_.forall(_.isDigit)).map(_.toInt).toSeq.sorted
+
+  /** Sidecar retention — the ledger rule applied to version-addressed
+    * sidecars, CHECKED rather than promised: retention must keep the
+    * newest sidecar at or below each retained version (it is that
+    * version's resolution target; deleting it would silently change
+    * what a pinned snapshot reads). Sidecars no retained version
+    * resolves to are swept — their payload files then become true
+    * orphans for [[deleteOrphanFiles]]. Sidecars ABOVE the head (a
+    * crashed claimant's) are left to the orphan sweep's aged-claim
+    * path. The invariant is asserted post-sweep against the pre-sweep
+    * resolution targets, so any future retention-policy change that
+    * breaks a retained version fails loudly here instead of corrupting
+    * reads.
+    */
+  private[graft] def retainSidecars(dir: String,
+      retained: Set[Int]): Unit = {
+    val h = head(dir)
+    sidecarPrefixes.foreach { prefix =>
+      val vs = sidecarVersions(dir, prefix)
+      def target(v: Int): Option[Int] = vs.filter(_ <= v).lastOption
+      val before = retained.map(v => v -> target(v)).toMap
+      val needed = retained.flatMap(target)
+      vs.filter(_ <= h).filterNot(needed).foreach(m =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/$prefix$m.txt")))
+      val after = retained.map(v =>
+        v -> sidecarVersions(dir, prefix).filter(_ <= v).lastOption).toMap
+      require(before == after,
+        s"sidecar retention broke a retained version's $prefix" +
+          s"resolution: $before -> $after")
+    }
   }
 
   /** Lands the tag demo once per source version: v1 base; v2 credits
@@ -1218,13 +1262,35 @@ object Snapshots {
       .toAbsolutePath.normalize.toString
   }
 
+  /** Data files referenced OUTSIDE any manifest: the payload lists of
+    * version-addressed sidecars (`deletes_<v>.txt` today — each line a
+    * delete-payload parquet). A delete file is referenced by NO
+    * manifest, so an orphan sweep blind to sidecars would delete LIVE
+    * delete files once aged, silently unmasking deleted rows on every
+    * later merge-on-read read (the round-17 verdict's one weak spot).
+    * Any future `beforePublish`-published file-list sidecar joins the
+    * prefix list here.
+    */
+  private[graft] val fileListSidecarPrefixes = Seq("deletes_")
+
+  private[graft] def sidecarPayloadFiles(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => fileListSidecarPrefixes.exists(p =>
+        f.getName.startsWith(p)) && f.getName.endsWith(".txt"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().filter(_.nonEmpty).toList finally src.close()
+      }
+      .map(l => canonicalPath(dir, l)).toSet
+
   private[graft] def referencedFiles(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("manifest_") &&
         f.getName.endsWith(".txt"))
       .flatMap(f => manifestLines(dir,
         f.getName.stripPrefix("manifest_").stripSuffix(".txt").toInt))
-      .map(l => canonicalPath(dir, pathOf(l))).toSet
+      .map(l => canonicalPath(dir, pathOf(l))).toSet ++
+      sidecarPayloadFiles(dir)
 
   /** ORPHAN-FILE CLEANUP (Iceberg `deleteOrphanFiles`): the OCC retry
     * loop is correct but LEAKY — a conflicted [[mergeAttempt]] leaves
@@ -1261,10 +1327,32 @@ object Snapshots {
           n.contains(".txt.claim") || n.contains(".txt.audit.")
         })
     }
+    val ClaimRe = raw"manifest_(\d+)\.txt\.claim".r
     staleMeta
       .filter(p =>
         java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+      .foreach { p =>
+        // A crashed claimant may have published version-addressed
+        // sidecars (deletes_N / colmap_N / replaced_N) via beforePublish
+        // before dying short of the manifest rename. Once its claim is
+        // swept, a later writer retakes slot N WITHOUT writing a sidecar
+        // — and nearest-at-or-below resolution would attribute the
+        // orphaned stale sidecar to the new version (rows silently
+        // masked as deleted, or the wrong schema resolved). Sweep the
+        // slot's sidecars WITH the claim, but only for slots whose
+        // manifest never published (a published version owns its
+        // sidecars).
+        p.getFileName.toString match {
+          case ClaimRe(slot) if !new java.io.File(
+              p.getParent.toString, s"manifest_$slot.txt").exists() =>
+            Seq(s"deletes_$slot.txt", s"colmap_$slot.txt",
+                s"replaced_$slot.txt").foreach(n =>
+              java.nio.file.Files.deleteIfExists(
+                p.getParent.resolve(n)))
+          case _ => ()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
     val orphans = all.filter(p =>
       !referenced.contains(canonicalPath(dir, p.toString)))
     val (old, young) = orphans.partition(p =>

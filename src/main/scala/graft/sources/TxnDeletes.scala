@@ -93,10 +93,16 @@ object TxnDeletes {
       .getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
       .toSeq.sorted
-    val h = Snapshots.head(dir)
-    Snapshots.occCommit(dir, h, Set.empty, Seq.empty,
+    // The sidecar MERGES against the version's ACTUAL parent, resolved
+    // INSIDE beforePublish (round-17 advice): a delete's replaced set is
+    // empty, so OCC cannot detect a concurrent delete (or purge) landing
+    // between the head read and the claim — a sidecar built from a
+    // pre-captured head would drop that commit's delete files (or
+    // resurrect a purged set). While the slot-n claim is held, n-1 is
+    // the published parent, so resolveDeletes(dir, n-1) is exact.
+    Snapshots.occCommit(dir, Snapshots.head(dir), Set.empty, Seq.empty,
       beforePublish = n =>
-        writeSidecar(dir, n, resolveDeletes(dir, h) ++ dvFile))._1
+        writeSidecar(dir, n, resolveDeletes(dir, n - 1) ++ dvFile))._1
   }
 
   /** The purge compaction: rewrite ONLY the buckets containing deleted
@@ -128,8 +134,15 @@ object TxnDeletes {
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
       val added = Snapshots.statsEntries(s, leafFiles(dir, sub))
+      // Same publish-time discipline as commitEqualityDelete: the purge
+      // drops exactly the delete files it APPLIED — a concurrent delete
+      // landing between head read and claim (replaced = ∅, invisible to
+      // OCC) keeps its files in the sidecar instead of being silently
+      // emptied away; its keys stay masked until the next purge.
+      val purged = dvs.toSet
       try return (Snapshots.occCommit(dir, h, replaced, added,
-        beforePublish = n => writeSidecar(dir, n, Seq.empty))._1, attempt)
+        beforePublish = n => writeSidecar(dir, n,
+          resolveDeletes(dir, n - 1).filterNot(purged)))._1, attempt)
       catch {
         case e: Snapshots.CommitConflictException =>
           if (attempt >= maxAttempts) throw e

@@ -105,9 +105,8 @@ object ZOrderCompaction {
     Snapshots.manifestLines(dir, v).map(ManifestEntry.parse).filter { e =>
       ranges.forall { case (c, lo, hi) =>
         e.stats.get(c) match {
-          case Some((flo, fhi)) =>
-            BigDecimal(fhi) >= BigDecimal(lo) &&
-              BigDecimal(flo) <= BigDecimal(hi)
+          case Some(bounds) => // typed range test: date-safe, numeric-safe
+            ManifestEntry.boundsIntersect(bounds, lo.toString, hi.toString)
           case None => !e.named
         }
       }

@@ -45,27 +45,29 @@ import graft.sources.Snapshots
 object ChangeFeedStream {
 
   /** Applied store versions, ascending (the consumer's replay ledger).
-    * Absent file = nothing applied yet.
+    * One `applied_<v>.txt` MARKER file per applied version — appended
+    * via O_EXCL create, never a rewrite of a shared file: the round-17
+    * advice's hole was that a single `_applied.txt` read-modify-write
+    * let two tailers sharing an MV dir both pass the contains-check and
+    * double-apply, or interleave rewrites and DROP a ledger entry. A
+    * per-version marker makes each append its own atomic test-and-set;
+    * losing the create race means the version is already applied.
     */
-  private[graft] def applied(mvDir: String): Seq[Int] = {
-    val f = new java.io.File(mvDir, "_applied.txt")
-    if (!f.exists()) Seq.empty
-    else {
-      val src = scala.io.Source.fromFile(f)
-      try src.getLines().filter(_.nonEmpty).map(_.toInt).toList.sorted
-      finally src.close()
-    }
-  }
+  private val AppliedRe = raw"applied_(\d+)\.txt".r
 
-  private def writeLedger(mvDir: String, vs: Seq[Int]): Unit = {
-    val tmp = java.nio.file.Paths.get(s"$mvDir/_applied.tmp")
-    java.nio.file.Files.write(tmp,
-      vs.sorted.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(s"$mvDir/_applied.txt"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private[graft] def applied(mvDir: String): Seq[Int] =
+    Option(new java.io.File(mvDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .collect { case AppliedRe(v) => v.toInt }.toSeq.sorted
+
+  /** Append `v` to the ledger: O_EXCL marker create; an existing marker
+    * (concurrent tailer won) is convergent — the landed state at
+    * `mv_<v>` is deterministic.
+    */
+  private def markApplied(mvDir: String, v: Int): Unit =
+    try java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$mvDir/applied_$v.txt"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
 
   /** Version v's manifest delta vs its parent: (files dropped, files
     * added) — the pre-image / post-image scan sets of the refresh.
@@ -125,7 +127,7 @@ object ChangeFeedStream {
               + coalesce(col("dc"), lit(0L))).as("total_cents"))
       }
     next.coalesce(1).write.mode("overwrite").parquet(s"$mvDir/mv_$v")
-    writeLedger(mvDir, applied(mvDir) :+ v)
+    markApplied(mvDir, v)
   }
 
   private val ManifestRe = raw"manifest_(\d+)\.txt".r
@@ -173,7 +175,7 @@ object ChangeFeedStream {
   private[graft] def mv4Dir(s: SparkSession, d: String): String =
     graft.util.Landing.landedLayout(
       s"$d|custorders|${graft.util.Landing.sourceMtime(d,
-        Seq("customer", "orders"))}|mvstream",
+        Seq("customer", "orders"))}|mvstream2",
       "graft_mvstream") { out =>
       val store = StreamMerge.e28Dir(s, d)
       val feed = java.nio.file.Paths.get(s"$out/feed")
@@ -209,7 +211,7 @@ object ChangeFeedStream {
     */
   private[graft] def mv6Dir(s: SparkSession, d: String): String =
     graft.util.Landing.landedLayout(
-      graft.util.Landing.mtimeKey(d, "customer") + "|mvstreammor",
+      graft.util.Landing.mtimeKey(d, "customer") + "|mvstreammor2",
       "graft_mvstreammor") { out =>
       val store = graft.sources.TxnDeletes.s38Dir(s, d)
       val feed = java.nio.file.Paths.get(s"$out/feed")

@@ -162,6 +162,9 @@ object StreamMerge {
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(s"$store/replaced_$v.txt"))
     }
+    // sidecar retention (checked): only the head survives this vacuum,
+    // so its resolution target is the one sidecar per dialect to keep
+    Snapshots.retainSidecars(store, Set(h))
     (h - 1, expired.size)
   }
 

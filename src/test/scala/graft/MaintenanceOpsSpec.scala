@@ -2112,8 +2112,7 @@ class MaintenanceOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sdir/manifest_1.txt"),
       files.mkString("\n").getBytes("UTF-8"))
     // v2: DROP score — the map forgets id 2, bytes stay
-    assert(ColumnIds.commitColmap(sdir,
-      Seq((1, "k", "bigint"), (3, "bal", "bigint"))) === 2)
+    assert(ColumnIds.commitColmap(sdir, ColumnIds.dropCol(2)) === 2)
     assert(ColumnIds.readResolved(spark, sdir, 2).columns.toSeq ===
       Seq("k", "bal"), "dropped column must vanish from the table")
     assert(ColumnIds.readResolved(spark, sdir, 1).columns.contains("score"),
@@ -2122,8 +2121,7 @@ class MaintenanceOpsSpec extends SparkSpec {
     // the reborn column is typed nulls, NEVER the dropped id-2 data
     // (the name-reuse corruption ids exist to prevent)
     assert(ColumnIds.commitColmap(sdir,
-      Seq((1, "k", "bigint"), (3, "bal", "bigint"),
-        (4, "score", "bigint"))) === 3)
+      ColumnIds.addCol(4, "score", "bigint")) === 3)
     val reborn = ColumnIds.readResolved(spark, sdir, 3)
     assert(reborn.columns.toSeq === Seq("k", "bal", "score"))
     val got = reborn.orderBy(col("k"))
@@ -2538,5 +2536,240 @@ class MaintenanceOpsSpec extends SparkSpec {
       ManifestTree.treePrunedRead(spark, dir, 1, 0, 5)
     }
     assert(ex.getMessage.contains("empty manifest list"))
+  }
+
+  // ---- round 18: sidecar-aware maintenance ---------------------------------
+
+  /** One-bucket scratch delete store: v1 (k=1..2, nk=1) + manifest_1. */
+  private def miniDeleteStore(tag: String): String = {
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce(tag).toString
+    Seq((1L, 1, 100L, 1), (2L, 1, 200L, 1), (3L, 2, 300L, 2))
+      .toDF("k", "nkd", "bal", "nk")
+      .repartition(col("nk"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val m1 = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def ageAll(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.iterator().asScala.toList.foreach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, aged))
+    finally walk.close()
+  }
+
+  test("orphan sweep on a merge-on-read store: LIVE delete-sidecar " +
+      "payload files are referenced (never swept) even though no " +
+      "manifest lists them; a true data orphan still goes; MoR reads " +
+      "are unchanged") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    val dir = miniDeleteStore("graft_morsweep")
+    assert(TxnDeletes.commitEqualityDelete(spark, dir,
+      Seq((1L, 1)).toDF("k", "nk"), "d") === 2)
+    val dvFiles = TxnDeletes.resolveDeletes(dir, 2)
+    assert(dvFiles.nonEmpty)
+    // a genuine orphan: a staged parquet no manifest or sidecar lists
+    Seq((9L, 9, 900L)).toDF("k", "nkd", "bal")
+      .coalesce(1).write.parquet(s"$dir/stale_attempt")
+    val before = TxnDeletes.readMoR(spark, dir, 2)
+      .select("k").as[Long].collect().toSet
+    assert(before === Set(2L, 3L))
+    ageAll(dir) // worst case: everything old enough to collect
+    val (deleted, _) = Snapshots.deleteOrphanFiles(dir, 60000L)
+    assert(deleted >= 1, "the true orphan must be swept")
+    dvFiles.foreach(f => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f)),
+      s"LIVE delete payload swept as orphan: $f"))
+    val after = TxnDeletes.readMoR(spark, dir, 2)
+      .select("k").as[Long].collect().toSet
+    assert(after === before,
+      "the sweep must never unmask deleted rows")
+  }
+
+  test("orphan sweep: an aged claim for an UNPUBLISHED slot takes its " +
+      "deletes_/colmap_/replaced_ sidecars with it — a later writer " +
+      "retaking the slot can never inherit a dead claimant's sidecar; " +
+      "a PUBLISHED version's sidecars survive its aged claim") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    val dir = miniDeleteStore("graft_claimsweep")
+    assert(TxnDeletes.commitEqualityDelete(spark, dir,
+      Seq((1L, 1)).toDF("k", "nk"), "d") === 2)
+    // a crashed claimant: claim + sidecars for slot 9, no manifest_9
+    def p(n: String) = java.nio.file.Paths.get(s"$dir/$n")
+    java.nio.file.Files.createFile(p("manifest_9.txt.claim"))
+    java.nio.file.Files.write(p("deletes_9.txt"),
+      "/tmp/ghost.parquet".getBytes("UTF-8"))
+    java.nio.file.Files.write(p("colmap_9.txt"),
+      "1|k|bigint".getBytes("UTF-8"))
+    java.nio.file.Files.write(p("replaced_9.txt"), Array.emptyByteArray)
+    ageAll(dir)
+    Snapshots.deleteOrphanFiles(dir, 60000L)
+    Seq("manifest_9.txt.claim", "deletes_9.txt", "colmap_9.txt",
+        "replaced_9.txt").foreach(n =>
+      assert(!java.nio.file.Files.exists(p(n)),
+        s"dead claimant's $n must be swept with the claim"))
+    // the published v2's claim was swept, but its sidecar is LIVE
+    assert(!java.nio.file.Files.exists(p("manifest_2.txt.claim")))
+    assert(java.nio.file.Files.exists(p("deletes_2.txt")),
+      "a published version owns its sidecar — the sweep must keep it")
+    assert(TxnDeletes.resolveDeletes(dir, Snapshots.head(dir)).nonEmpty)
+  }
+
+  test("sidecar retention: vacuum keeps the newest sidecar at or below " +
+      "each retained version (checked invariant), sweeps superseded " +
+      "ones, and the freed payloads become collectable orphans") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    val dir = miniDeleteStore("graft_sideret")
+    // v2: delete k=1; v3: the PURGE (sidecar_3 = empty — it supersedes
+    // sidecar_2 WITHOUT carrying its dv files); v4: increment on bucket 2
+    assert(TxnDeletes.commitEqualityDelete(spark, dir,
+      Seq((1L, 1)).toDF("k", "nk"), "d2") === 2)
+    assert(TxnDeletes.purgeDeletes(spark, dir, "p3")._1 === 3)
+    assert(Snapshots.cowMerge(spark, dir,
+      Seq((2, 3L, "A", 50L)).toDF("nk", "k", "op", "val"), "i")._1 === 4)
+    val resolvedBefore = TxnDeletes.resolveDeletes(dir, 4)
+    val morBefore = TxnDeletes.readMoR(spark, dir, 4)
+      .select("k", "bal").as[(Long, Long)].collect().toSet
+    assert(morBefore === Set((2L, 200L), (3L, 350L)))
+    // tag-free vacuum retains only the head (v4) → its resolution
+    // target is sidecar_3; sidecar_2 is superseded and must go
+    val (expired, _) = Snapshots.tagVacuum(dir)
+    assert(expired === Seq(1, 2, 3))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/deletes_2.txt")),
+      "superseded sidecar must be swept")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/deletes_3.txt")),
+      "the retained head's resolution target must survive")
+    assert(TxnDeletes.resolveDeletes(dir, 4) === resolvedBefore,
+      "retention must not change the head's delete resolution")
+    assert(TxnDeletes.readMoR(spark, dir, 4)
+      .select("k", "bal").as[(Long, Long)].collect().toSet === morBefore)
+    // the superseded sidecar's payloads (d2's dv files minus those d3
+    // still lists) are now true orphans — the sweep collects them
+    ageAll(dir)
+    val (deleted, _) = Snapshots.deleteOrphanFiles(dir, 60000L)
+    assert(deleted >= 1, "freed payloads must become collectable")
+    assert(TxnDeletes.readMoR(spark, dir, 4)
+      .select("k", "bal").as[(Long, Long)].collect().toSet === morBefore)
+  }
+
+  test("concurrent equality deletes: the sidecar merges against the " +
+      "ACTUAL parent at publish time — both delete sets survive, " +
+      "whichever order the claims land in") {
+    import graft.sources.{Snapshots, TxnDeletes}
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val dir = miniDeleteStore(s"graft_deldelrace$trial")
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def deleter(k: Long, nk: Int, tag: String) = new Thread(() => {
+        try TxnDeletes.commitEqualityDelete(spark, dir,
+          Seq((k, nk)).toDF("k", "nk"), tag)
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val a = deleter(1L, 1, "da"); val b = deleter(2L, 1, "db")
+      a.start(); b.start(); a.join(); b.join()
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty,
+        failures.asScala.map(_.getMessage).mkString("; "))
+      assert(Snapshots.head(dir) === 3)
+      // a stale-head sidecar would carry only the second delete's files
+      val morKeys = TxnDeletes.readMoR(spark, dir, 3)
+        .select("k").as[Long].collect().toSet
+      assert(morKeys === Set(3L),
+        s"trial $trial: a concurrent delete was lost (kept $morKeys)")
+    }
+  }
+
+  test("concurrent colmap edits: each commit transforms the ACTUAL " +
+      "parent map at publish time — rename and add both survive") {
+    import graft.sources.{ColumnIds, Snapshots}
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val dir = graft.util.Landing.tempDirOnce(s"graft_cmrace$trial").toString
+      Seq((1L, 10L)).toDF("c1", "c3").coalesce(1).write.parquet(s"$dir/v1")
+      val files = Option(new java.io.File(s"$dir/v1").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .toSeq.sorted
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/colmap_1.txt"),
+        "1|k|bigint\n3|bal|bigint".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        files.mkString("\n").getBytes("UTF-8"))
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def committer(edit: Seq[(Int, String, String)] =>
+          Seq[(Int, String, String)]) = new Thread(() => {
+        try ColumnIds.commitColmap(dir, edit)
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val a = committer(ColumnIds.renameCol(3, "balance"))
+      val b = committer(ColumnIds.addCol(7, "score", "bigint"))
+      a.start(); b.start(); a.join(); b.join()
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty,
+        failures.asScala.map(_.getMessage).mkString("; "))
+      assert(Snapshots.head(dir) === 3)
+      val cols = ColumnIds.readResolved(spark, dir, 3).columns.toSet
+      assert(cols === Set("k", "balance", "score"),
+        s"trial $trial: a concurrent schema edit was lost ($cols)")
+    }
+  }
+
+  test("date stat bounds: named entries with DateType columns prune " +
+      "lexicographically (ISO-safe) instead of throwing on numeric " +
+      "parse; numeric columns still compare numerically (10 > 9)") {
+    import graft.sources.{ManifestEntry, SchemaStats}
+    // numeric: lexicographic would say "10" < "9" — must be numeric
+    assert(ManifestEntry.boundCompare("10", "9") > 0)
+    assert(ManifestEntry.boundCompare("-3", "2") < 0)
+    // dates: BigDecimal would throw — must fall back to ISO order
+    assert(ManifestEntry.boundCompare("1995-06-01", "1995-12-31") < 0)
+    assert(ManifestEntry.boundsIntersect(("1995-01-01", "1995-06-30"),
+      "1995-06-01", "1995-12-31"))
+    assert(!ManifestEntry.boundsIntersect(("1994-01-01", "1994-12-31"),
+      "1995-06-01", "1995-12-31"))
+    // end-to-end: a store with a date column, pruned on it
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_dateprune").toString
+    def land(sub: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("k", "ds")
+        .select(col("k"), col("ds").cast("date").as("d"))
+        .coalesce(1).write.parquet(s"$dir/$sub")
+    land("f1", Seq((1L, "1994-03-01"), (2L, "1994-09-01")))
+    land("f2", Seq((3L, "1995-07-15"), (4L, "1995-11-30")))
+    val files = Seq("f1", "f2").flatMap(sub =>
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath))
+      .sorted
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      SchemaStats.entries(spark, files).mkString("\n").getBytes("UTF-8"))
+    val (df, kept, total) = SchemaStats.prunedBy(spark, dir, 1, "d",
+      "1995-06-01", "1995-12-31")
+    assert(total === 2 && kept === 1,
+      s"date prune must skip the 1994 file ($kept/$total kept)")
+    assert(df.select("k").as[Long].collect().toSet === Set(3L, 4L))
   }
 }
