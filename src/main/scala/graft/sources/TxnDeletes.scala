@@ -291,7 +291,7 @@ object TxnDeletes {
   private def cdc5MorChangeFeed(s: SparkSession, d: String): DataFrame =
     morChangeFeed(s, s38Dir(s, d), 1, 4).orderBy(col("k"))
 
-  private val cdc5Sql =
+  private[graft] val cdc5Sql =
     """WITH base AS (
       |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
       |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal

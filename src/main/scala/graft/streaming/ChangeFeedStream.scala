@@ -141,7 +141,10 @@ object ChangeFeedStream {
     * exactly-once across invocations and restarts.
     */
   private[graft] def runTail(s: SparkSession, feedDir: String,
-      store: String, mvDir: String, ckp: String): Unit = {
+      store: String, mvDir: String, ckp: String,
+      applyFn: Option[Int => Unit] = None): Unit = {
+    val apply = applyFn.getOrElse(
+      (v: Int) => applyVersion(s, store, mvDir, v))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mvDir))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
@@ -157,8 +160,7 @@ object ChangeFeedStream {
             .collect().map(_.getString(0))
           val vs = names.flatMap(n =>
             ManifestRe.findFirstMatchIn(n).map(_.group(1).toInt))
-          if (vs.nonEmpty)
-            (1 to vs.max).foreach(v => applyVersion(s, store, mvDir, v))
+          if (vs.nonEmpty) (1 to vs.max).foreach(apply)
         }
         .option("checkpointLocation", ckp)
         .trigger(Trigger.AvailableNow())
@@ -252,6 +254,87 @@ object ChangeFeedStream {
       |WHERE NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- cdc6: row-level streaming CDC ---------------------------------------
+  /** Apply store version `v` to the CDC LOG exactly once: land the
+    * per-commit row-level change set
+    * [[graft.sources.TxnDeletes.morChangeFeed]](v−1, v) at its
+    * deterministic `changes_<v>/` path (idempotent overwrite), then the
+    * O_EXCL ledger marker — the mv4 crash-window discipline verbatim.
+    * The bootstrap (v = 1) emits no rows, only its marker: a CDC feed
+    * starts AT a snapshot, it does not replay it. Per-commit cost is
+    * O(file delta ∪ delete-bucket files), never O(table) — the delete
+    * version's empty file delta still yields its delete rows because
+    * the per-range algebra is the MoR-aware one.
+    */
+  private[graft] def applyCdcVersion(s: SparkSession, store: String,
+      cdcDir: String, v: Int): Unit = {
+    if (applied(cdcDir).contains(v)) return // replay: already applied
+    if (v > 1) {
+      require(applied(cdcDir).contains(v - 1),
+        s"cdc gap: v${v - 1} not applied before v$v")
+      graft.sources.TxnDeletes.morChangeFeed(s, store, v - 1, v)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$cdcDir/changes_$v")
+    }
+    markApplied(cdcDir, v)
+  }
+
+  /** Lands the CDC log once per source version: the s38 delete store's
+    * commit log tailed with [[applyCdcVersion]] — one row-level change
+    * set per commit, across increment → metadata-only DELETE →
+    * increment → purge.
+    */
+  private[graft] def cdc6Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|cdcstream",
+      "graft_cdcstream") { out =>
+      val store = graft.sources.TxnDeletes.s38Dir(s, d)
+      val feed = java.nio.file.Paths.get(s"$out/feed")
+      java.nio.file.Files.createDirectories(feed)
+      (1 to Snapshots.head(store)).foreach { v =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$store/manifest_$v.txt"),
+          feed.resolve(s"manifest_$v.txt"))
+      }
+      runTail(s, feed.toString, store, s"$out/cdc", s"$out/ckp",
+        Some(v => applyCdcVersion(s, store, s"$out/cdc", v)))
+    }
+
+  /** CDC6: the registered row-level STREAMING CDC read — the verdict's
+    * composition arc #2: cdc5 computes a net MoR row feed for one
+    * range, batch; mv4/mv6 tail the commit log continuously but emit
+    * AGGREGATES. This consumer emits insert/update/delete ROWS per
+    * commit, exactly-once across restart and checkpoint loss (spec),
+    * and the registered query folds the accumulated per-commit log
+    * over (1, 4] to its net effect — first pre-image to last
+    * post-image per key, riders suppressed — which must hash-match
+    * cdc5's direct net computation (the shared oracle): a tailer that
+    * misses the zero-file-delta delete commit, double-applies an
+    * increment, or mis-orders versions diverges from the net fold.
+    */
+  private def cdc6StreamingRowCdc(s: SparkSession, d: String): DataFrame = {
+    val dir = cdc6Dir(s, d)
+    val log = (2 to 4).map(v =>
+        s.read.parquet(s"$dir/cdc/changes_$v").withColumn("v", lit(v)))
+      .reduce(_.unionByName(_))
+    // net fold: struct-min/max orders by v first (v is unique per key
+    // per commit), so null before/after images ride through untouched
+    log.groupBy(col("k"))
+      .agg(
+        min(struct(col("v"), col("bal_before")))
+          .getField("bal_before").as("bal_before"),
+        max(struct(col("v"), col("bal_after")))
+          .getField("bal_after").as("bal_after"))
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .select(col("k"),
+        when(col("bal_after").isNull, "delete")
+          .when(col("bal_before").isNull, "insert")
+          .otherwise("update").as("change_type"),
+        col("bal_before"), col("bal_after"))
+      .orderBy(col("k"))
+  }
+
   private val mv4Sql =
     """SELECT CAST(c_nationkey AS INTEGER) AS nk,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -269,5 +352,9 @@ object ChangeFeedStream {
   val qs: Seq[(String, Q)] = Seq(
     "mv4_streaming_mv" -> Q(mv4StreamingMv, Some(mv4Sql)),
     "mv6_streaming_mv_mor" -> Q(mv6StreamingMvMor, Some(mv6Sql)),
+    // identical-expression-tree oracle reuse (t18 discipline): the net
+    // fold of the streamed per-commit log over (1,4] IS cdc5's net feed
+    "cdc6_streaming_row_cdc" ->
+      Q(cdc6StreamingRowCdc, Some(graft.sources.TxnDeletes.cdc5Sql)),
   )
 }

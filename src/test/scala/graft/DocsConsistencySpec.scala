@@ -54,7 +54,8 @@ class DocsConsistencySpec extends AnyFunSuite {
       Set("e1_tumbling_window", "e4_stream_tumbling"),
       Set("e10_sliding_window", "e11_stream_sliding"),
       Set("x10b_filtered_ivf", "x17_filtered_persisted",
-        "x22_graph_filtered"))
+        "x22_graph_filtered"),
+      Set("cdc5_mor_change_feed", "cdc6_streaming_row_cdc"))
     val bySqlInstance = Registry.all
       .flatMap { case (n, q) => q.sql.map(sql => (n, sql)) }
       .groupBy { case (_, sql) => System.identityHashCode(sql) }

@@ -2772,4 +2772,80 @@ class MaintenanceOpsSpec extends SparkSpec {
       s"date prune must skip the 1994 file ($kept/$total kept)")
     assert(df.select("k").as[Long].collect().toSet === Set(3L, 4L))
   }
+
+  // ---- cdc6: row-level streaming CDC ---------------------------------------
+
+  test("cdc6: the CDC tailer lands one row-level change set per commit " +
+      "(delete rows despite a zero file delta; the purge set is empty) " +
+      "exactly once across restart and lost checkpoint; each landed set " +
+      "equals the direct per-range feed") {
+    import graft.streaming.{ChangeFeedStream => CFS}
+    import graft.sources.{Snapshots, TxnDeletes}
+    val store = TxnDeletes.s38Dir(spark, Sf0001)
+    val root = graft.util.Landing.tempDirOnce("graft_cdc6spec").toString
+    val feed = s"$root/feed"
+    val cdc = s"$root/cdc"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(feed))
+    def land(v: Int): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$store/manifest_$v.txt"),
+      java.nio.file.Paths.get(s"$feed/manifest_$v.txt"))
+    def changeSet(v: Int): Set[(Long, String)] =
+      spark.read.parquet(s"$cdc/changes_$v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def tail(ckp: String): Unit = CFS.runTail(spark, feed, store, cdc,
+      ckp, Some(v => CFS.applyCdcVersion(spark, store, cdc, v)))
+    // phase 1: stop AT the delete commit — the version whose file delta
+    // is empty; its change set must still carry the delete rows
+    (1 to 3).foreach(land)
+    tail(s"$root/ckp")
+    assert(CFS.applied(cdc) === Seq(1, 2, 3))
+    assert(changeSet(3).nonEmpty &&
+      changeSet(3).forall(_._2 == "delete"),
+      "the zero-file-delta delete commit must emit delete rows")
+    assert(changeSet(2).nonEmpty &&
+      changeSet(2).forall(_._2 == "update"))
+    // phase 2: restart across increment + purge
+    (4 to 5).foreach(land)
+    tail(s"$root/ckp")
+    assert(CFS.applied(cdc) === (1 to 5))
+    assert(changeSet(5).isEmpty,
+      "the purge is a logical no-op — its change set must be empty")
+    // every landed set equals the direct per-range MoR feed
+    (2 to 5).foreach { v =>
+      val direct = TxnDeletes.morChangeFeed(spark, store, v - 1, v)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(changeSet(v) === direct, s"v$v change set diverged")
+    }
+    // phase 3: lost checkpoint — markers alone prevent re-landing (the
+    // mtime of a landed set must not move under the replay)
+    def mtimeOf(v: Int): Long = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$cdc/changes_$v")).toMillis
+    val before = (2 to 5).map(mtimeOf)
+    tail(s"$root/ckp_fresh")
+    assert(CFS.applied(cdc) === (1 to 5))
+    assert((2 to 5).map(mtimeOf) === before,
+      "a replayed feed must not re-land any change set")
+    // the net fold over the log (the registered query's algebra) equals
+    // the direct net feed — updates folded to one row, deletes kept
+    import org.apache.spark.sql.functions.{struct, lit => flit}
+    val log = (2 to 4).map(v =>
+        spark.read.parquet(s"$cdc/changes_$v").withColumn("v", flit(v)))
+      .reduce(_.unionByName(_))
+    val net = log.groupBy(col("k"))
+      .agg(min(struct(col("v"), col("bal_before")))
+          .getField("bal_before").as("bal_before"),
+        max(struct(col("v"), col("bal_after")))
+          .getField("bal_after").as("bal_after"))
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val directNet = TxnDeletes.morChangeFeed(spark, store, 1, 4)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(net === directNet,
+      "the folded per-commit log must equal the direct net feed")
+  }
 }
