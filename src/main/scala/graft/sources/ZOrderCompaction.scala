@@ -95,6 +95,58 @@ object ZOrderCompaction {
     finally walk.close()
   }
 
+  /** BUCKET-SCOPED z-order rewrite — OPTIMIZE ZORDER BY racing live
+    * writers, the production shape of s44's one-shot demo: each attempt
+    * reads the CURRENT head's files for bucket `nk` (the nkd-bucketed
+    * store layout s22/s38/e28 share), rewrites them as `nFiles` z-range
+    * files over the BUCKET's own (k, bal) domain, and publishes through
+    * [[Snapshots.occCommit]] with replaced = exactly those files — the
+    * [[Snapshots.compactBucket]] race discipline: a concurrent commit
+    * over the same bucket raises the conflict and the rewrite RETRIES
+    * from the new head (derived state, always safe to redo — it can
+    * lose only its own work, never an update); commits over disjoint
+    * buckets rebase past it untouched. Added entries are schema-driven
+    * NAMED stats, so k and bal bounds ride the manifest and selective
+    * in-bucket reads prune per column. Returns (version, attempts).
+    *
+    * At 100 TB this is how z-ordering actually runs: bucket-by-bucket
+    * maintenance passes against live ingest, each pass O(bucket), the
+    * OCC file-granularity conflict set making "maintenance never blocks
+    * ingest, ingest never corrupts maintenance" structural.
+    */
+  private[graft] def zOrderCompactBucket(s: SparkSession, dir: String,
+      nk: Int, tag: String, nFiles: Int, maxAttempts: Int = 10)
+      : (Int, Int) = {
+    val sep = java.io.File.separator
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = Snapshots.head(dir)
+      val bucket = Snapshots.manifest(dir, h)
+        .filter(_.contains(s"${sep}nk=$nk$sep")).toSet
+      require(bucket.nonEmpty, s"no files for bucket nk=$nk at v$h")
+      val df = s.read.parquet(bucket.toSeq.sorted: _*)
+      val r = df.agg(min(col("k")), max(col("k")),
+        min(col("bal")), max(col("bal"))).head() // domain probe: 1 row
+      val z = interleave(
+        gridCoord(col("k"), r.getLong(0), r.getLong(1)),
+        gridCoord(col("bal"), r.getLong(2), r.getLong(3)))
+      val sub = s"$tag${h}a$attempt"
+      df.withColumn("_z", z)
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions(col("_z"), col("k"))
+        .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
+        .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
+      val added = SchemaStats.entries(s, leafFiles(dir, sub))
+      try return (Snapshots.occCommit(dir, h, bucket, added)._1, attempt)
+      catch {
+        case e: Snapshots.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Paths of version `v` whose named bounds intersect EVERY queried
     * column's range — the multi-column prune (per-column logic exactly
     * [[SchemaStats.prunedBy]]'s: absence on a named entry = prunable,

@@ -2773,6 +2773,97 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(df.select("k").as[Long].collect().toSet === Set(3L, 4L))
   }
 
+  // ---- z-order maintenance racing writers ----------------------------------
+
+  /** Two-bucket scratch store, 4 files per bucket (z-order needs files
+    * to consolidate), manifest_1 with positional stats.
+    */
+  private def miniZStore(tag: String): String = {
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce(tag).toString
+    val rows = (1L to 50L).map(k =>
+      (k, if (k <= 40) 1 else 2, k * 10L, if (k <= 40) 1 else 2))
+    rows.toDF("k", "nkd", "bal", "nk")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
+    val m1 = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/v1"))
+      try walk.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally walk.close()
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      m1.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  test("z-order bucket rewrite: consolidates one bucket's files with " +
+      "named per-column bounds (in-bucket k-range reads prune a strict " +
+      "subset), shares the other bucket byte-identical, values exact") {
+    import graft.sources.{Snapshots, ZOrderCompaction => ZO}
+    import spark.implicits._
+    val sep = java.io.File.separator
+    val dir = miniZStore("graft_zbucket")
+    val before = spark.read.parquet(Snapshots.manifest(dir, 1): _*)
+      .select("k", "bal").as[(Long, Long)].collect().toSet
+    assert(ZO.zOrderCompactBucket(spark, dir, 1, "z", 4)._1 === 2)
+    val m2 = Snapshots.manifest(dir, 2)
+    // bucket 2 shared by path; bucket 1 fully rewritten
+    val b2 = Snapshots.manifest(dir, 1).filter(_.contains(s"${sep}nk=2$sep"))
+    assert(b2.forall(m2.contains), "untouched bucket must ride the rebase")
+    assert(m2.filter(_.contains(s"${sep}nk=1$sep"))
+      .forall(f => !Snapshots.manifest(dir, 1).contains(f)))
+    // values exact across the rewrite
+    val after = spark.read.parquet(m2: _*)
+      .select("k", "bal").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    // named bounds prune in-bucket k-range reads to a strict subset
+    val b1Files = m2.filter(_.contains(s"${sep}nk=1$sep"))
+    val kept = ZO.keptFor(dir, 2, Seq(("k", 1L, 8L)))
+      .filter(_.contains(s"${sep}nk=1$sep"))
+    assert(kept.nonEmpty && kept.size < b1Files.size,
+      s"z-rewrite must make k selective in-bucket " +
+        s"(${kept.size}/${b1Files.size})")
+  }
+
+  test("z-order maintenance racing a live writer: a same-bucket " +
+      "increment and the bucket z-rewrite serialize through OCC — " +
+      "conflict, retry from the new head, both land exactly once") {
+    import graft.sources.{Snapshots, ZOrderCompaction => ZO}
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val dir = miniZStore(s"graft_zrace$trial")
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val zorderer = new Thread(() => {
+        try ZO.zOrderCompactBucket(spark, dir, 1, "z", 4)
+        catch { case t: Throwable => failures.add(t) }
+      })
+      val incrementer = new Thread(() => {
+        try Snapshots.cowMerge(spark, dir,
+          Seq((1, 7L, "A", 5L)).toDF("nk", "k", "op", "val"), "i")
+        catch { case t: Throwable => failures.add(t) }
+      })
+      zorderer.start(); incrementer.start()
+      zorderer.join(); incrementer.join()
+      import scala.jdk.CollectionConverters._
+      assert(failures.isEmpty, s"trial $trial: " +
+        failures.asScala.map(_.getMessage).mkString("; "))
+      assert(Snapshots.head(dir) === 3,
+        "both writers must land (v2 and v3) in some serial order")
+      // the increment survives whichever side retried
+      val rows = spark.read
+        .parquet(Snapshots.manifest(dir, 3): _*)
+        .select("k", "bal").as[(Long, Long)].collect().toMap
+      assert(rows(7L) === 75L,
+        s"trial $trial: increment lost under the race (${rows(7L)})")
+      assert(rows.size === 50 && rows(41L) === 410L)
+    }
+  }
+
   // ---- cdc6: row-level streaming CDC ---------------------------------------
 
   test("cdc6: the CDC tailer lands one row-level change set per commit " +
