@@ -223,6 +223,91 @@ object ZOrderCompaction {
         lit(box.nonEmpty).as("read_some"))
   }
 
+  /** Lands the z-order + MoR composition store once per customer
+    * version:
+    *  v1 = hash-partitioned ingest (16 files, unprunable on either
+    *       column) — named stats;
+    *  v2 = equality DELETE (nk%7==5 & k%19==0) — metadata-only, the
+    *       sidecar masks at read time;
+    *  v3 = [[zOrderCompact]] — the rewrite is DELETE-AGNOSTIC: data
+    *       files are rewritten as-is (deleted rows ride through
+    *       physically, still masked), the sidecar resolves across the
+    *       compaction untouched (nearest-at-or-below).
+    */
+  private[graft] def s45Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|zordermor",
+      "graft_zordermor") { dir =>
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_nationkey").as("nkd"),
+          round(col("c_acctbal") * 100).cast("long").as("bal"))
+      base.repartition(NFiles, col("k"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        SchemaStats.entries(s, leafFiles(dir, "v1"))
+          .mkString("\n").getBytes("UTF-8"))
+      val doomed = base.filter(col("nkd") % 7 === 5 && col("k") % 19 === 0)
+        .select(col("k"), col("nkd").as("nk"))
+      require(TxnDeletes.commitEqualityDelete(s, dir, doomed, "d") == 2)
+      require(zOrderCompact(s, dir, "zo", NFiles)._1 == 3)
+    }
+
+  /** S45: Z-ORDER + MERGE-ON-READ composed — the round-17 verdict's
+    * arc #7: s43 composed stats pruning with the sidecar anti-join on a
+    * BUCKETED store (one prunable dimension); s44 proved 2-D z-order
+    * pruning on a delete-free store. A real warehouse table is both
+    * z-ordered AND delete-active, and the two reader mechanisms must
+    * compose: [[keptFor]]'s multi-column prune stays sound under
+    * deletes (stats bounds are conservative over a file's PHYSICAL
+    * rows, a superset of its logical ones), and the sidecar anti-join
+    * runs inside the kept files only. Gates pin both families at once:
+    * each z-dimension alone prunes files (`zorder_prunes_k` /
+    * `zorder_prunes_bal`), the sidecar is ACTIVE across the compaction
+    * (`deletes_applied` — the rewrite must not drop or apply it), and
+    * the box aggregate is exact against the raw-customer oracle, which
+    * excludes the deleted keys — pruning that leaks a deleted row or a
+    * compaction that loses the sidecar fails the hash.
+    */
+  private def s45ZorderMorRead(s: SparkSession, d: String): DataFrame = {
+    val dir = s45Dir(s, d)
+    val totV3 = Snapshots.manifest(dir, 3).size
+    val keptK = keptFor(dir, 3, Seq(("k", KRange._1, KRange._2))).size
+    val keptBal = keptFor(dir, 3,
+      Seq(("bal", BalRange._1, BalRange._2))).size
+    val box = keptFor(dir, 3, Seq(
+      ("k", KRange._1, KRange._2), ("bal", BalRange._1, BalRange._2)))
+    val dvs = TxnDeletes.resolveDeletes(dir, 3)
+    val kept =
+      (if (box.nonEmpty) s.read.parquet(box.sorted: _*)
+       else s.read.parquet(Snapshots.manifest(dir, 3).head)
+         .filter(lit(false)))
+        .filter(col("k").between(KRange._1, KRange._2) &&
+          col("bal").between(BalRange._1, BalRange._2))
+    (if (dvs.isEmpty) kept
+     else kept.join(
+       broadcast(s.read.parquet(dvs: _*).select(col("k"))),
+       Seq("k"), "left_anti"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"))
+      .select(col("n_rows"), col("bal_cents"),
+        lit(keptK < totV3).as("zorder_prunes_k"),
+        lit(keptBal < totV3).as("zorder_prunes_bal"),
+        lit(dvs.nonEmpty).as("deletes_applied"),
+        lit(box.nonEmpty).as("read_some"))
+  }
+
+  private val s45Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents,
+      |  TRUE AS zorder_prunes_k, TRUE AS zorder_prunes_bal,
+      |  TRUE AS deletes_applied, TRUE AS read_some
+      |FROM customer
+      |WHERE c_custkey BETWEEN 400 AND 700
+      |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      |    BETWEEN 500000 AND 999999
+      |  AND NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)""".stripMargin
+
   private val s44Sql =
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
@@ -236,5 +321,6 @@ object ZOrderCompaction {
 
   val qs: Seq[(String, Q)] = Seq(
     "s44_zorder_compaction" -> Q(s44ZorderCompaction, Some(s44Sql)),
+    "s45_zorder_mor_read" -> Q(s45ZorderMorRead, Some(s45Sql)),
   )
 }

@@ -2864,6 +2864,37 @@ class MaintenanceOpsSpec extends SparkSpec {
     }
   }
 
+  test("s45: the delete sidecar survives the z-order compaction " +
+      "(resolution unchanged across the rewrite), deleted rows ride " +
+      "the rewrite physically but never reach a MoR read") {
+    import graft.sources.{Snapshots, TxnDeletes, ZOrderCompaction => ZO}
+    import spark.implicits._
+    val dir = ZO.s45Dir(spark, Sf0001)
+    assert(Snapshots.head(dir) === 3)
+    assert(TxnDeletes.resolveDeletes(dir, 3) ===
+      TxnDeletes.resolveDeletes(dir, 2),
+      "the compaction must neither drop nor rewrite the sidecar")
+    val doomed = spark.read
+      .parquet(TxnDeletes.resolveDeletes(dir, 3): _*)
+      .select("k").as[Long].collect().toSet
+    assert(doomed.nonEmpty)
+    val phys = spark.read.parquet(Snapshots.manifest(dir, 3): _*)
+      .select("k").as[Long].collect().toSet
+    assert(doomed.subsetOf(phys),
+      "the delete-agnostic rewrite must carry masked rows physically")
+    val mor = TxnDeletes.readMoR(spark, dir, 3)
+      .select("k").as[Long].collect().toSet
+    assert((mor intersect doomed).isEmpty,
+      "a MoR read of the compacted store must keep masking")
+    assert(mor === phys -- doomed)
+    // the z-rewrite made each dimension individually prunable
+    val tot = Snapshots.manifest(dir, 3).size
+    assert(ZO.keptFor(dir, 3,
+      Seq(("k", ZO.KRange._1, ZO.KRange._2))).size < tot)
+    assert(ZO.keptFor(dir, 3,
+      Seq(("bal", ZO.BalRange._1, ZO.BalRange._2))).size < tot)
+  }
+
   // ---- cdc6: row-level streaming CDC ---------------------------------------
 
   test("cdc6: the CDC tailer lands one row-level change set per commit " +
