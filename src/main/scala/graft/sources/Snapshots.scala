@@ -949,6 +949,127 @@ object Snapshots {
   private def cdc3ChangeFeed(s: SparkSession, d: String): DataFrame =
     changeFeed(s, s22Dir(s, d), 1, 2).orderBy(col("k"))
 
+  /** STATS-PRUNED net change feed over (vFrom, vTo], restricted to a
+    * bucket-key range — the round-17 verdict's arc #8: [[changeFeed]]
+    * opens every file in the manifest delta, but a downstream consumer
+    * (a replica of one region, an index over one shard) cares about a
+    * key range; the commit-written stats that prune snapshot reads
+    * (s30) prune the FEED the same way. The delta is computed over
+    * ENTRIES (stats survive the set difference), and a delta file is
+    * kept only if its recorded nkd bounds intersect [nkLo, nkHi] —
+    * driver-side, zero I/O for the rest; bare entries keep
+    * conservatively.
+    *
+    * Soundness needs one structural property, so it is stated rather
+    * than assumed: the prune column must be UPDATE-INVARIANT (a row
+    * never changes its bucket key in this store — MERGE coalesces nkd
+    * from the matched side), so a key's pre- and post-images always
+    * sit in files of the same range and pruning both sides by the same
+    * range never splits a pair into a phantom insert + delete. Rows
+    * inside kept files but outside the range are filtered BEFORE the
+    * diff. Returns (feed, keptDeltaFiles, totalDeltaFiles).
+    *
+    * At 100 TB a range-scoped consumer of a wide table pays O(its
+    * range's changed files), not O(all changed files) — the same
+    * argument that makes stats-in-manifests pay twice (s30/s36) makes
+    * it pay a third time here.
+    */
+  private[graft] def changeFeedPruned(s: SparkSession, dir: String,
+      vFrom: Int, vTo: Int, nkLo: Long, nkHi: Long)
+      : (DataFrame, Int, Int) = {
+    require(vFrom < vTo, s"need vFrom < vTo, got $vFrom >= $vTo")
+    val eF = ManifestEntry.of(dir, vFrom)
+    val eT = ManifestEntry.of(dir, vTo)
+    val fromPaths = eF.map(_.path).toSet
+    val toPaths = eT.map(_.path).toSet
+    val preDelta = eF.filterNot(e => toPaths(e.path))
+    val postDelta = eT.filterNot(e => fromPaths(e.path))
+    def keep(es: Seq[ManifestEntry]): Seq[String] = es.filter { e =>
+      e.stats.get("nkd") match {
+        case Some(bounds) => ManifestEntry.boundsIntersect(bounds,
+          nkLo.toString, nkHi.toString)
+        case None => true // stats-optional contract: keep conservatively
+      }
+    }.map(_.path)
+    val preKept = keep(preDelta)
+    val postKept = keep(postDelta)
+    val schemaFile = (fromPaths ++ toPaths).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"changeFeedPruned($vFrom,$vTo) on $dir: both manifests empty"))
+    def readOr(files: Seq[String], alias: String): DataFrame =
+      (if (files.nonEmpty) s.read.parquet(files.sorted: _*)
+       else s.read.parquet(schemaFile).filter(lit(false)))
+        .filter(col("nkd").between(nkLo, nkHi))
+        .select(col("k"), col("bal").as(alias))
+    val pre = readOr(preKept, "bal_before")
+    val post = readOr(postKept, "bal_after")
+    val feed = pre.join(post, Seq("k"), "full_outer")
+      .filter(col("bal_before").isNull || col("bal_after").isNull ||
+        col("bal_before") =!= col("bal_after"))
+      .select(col("k"),
+        when(col("bal_after").isNull, "delete")
+          .when(col("bal_before").isNull, "insert")
+          .otherwise("update").as("change_type"),
+        col("bal_before"), col("bal_after"))
+    (feed, preKept.size + postKept.size, preDelta.size + postDelta.size)
+  }
+
+  /** CDC7: the registered range-scoped feed — the s22 MERGE's net
+    * change set restricted to nations 10–14 (exactly one touched
+    * bucket, nk=12, falls inside), served off a strict subset of the
+    * delta files (gate `skipped_files`). The oracle recomputes the
+    * range-filtered change set from raw customer+orders, so a prune
+    * that drops a changed row in range — or a range filter that leaks
+    * a neighboring bucket's rows — fails the hash.
+    */
+  private def cdc7PrunedChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val (feed, kept, total) =
+      changeFeedPruned(s, s22Dir(s, d), 1, 2, 10L, 14L)
+    feed.withColumn("skipped_files", lit(kept < total))
+      .orderBy(col("k"))
+  }
+
+  private val cdc7Sql =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |chg0 AS (
+      |  SELECT o_custkey AS k,
+      |    CASE WHEN o_custkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS val
+      |  FROM orders GROUP BY o_custkey),
+      |chgu AS (
+      |  SELECT b.nk, g.k, g.op, g.val FROM chg0 g
+      |  JOIN base b ON b.k = g.k WHERE b.nk % 5 = 2),
+      |chg AS (
+      |  SELECT nk, k, op, val FROM chgu
+      |  UNION ALL
+      |  SELECT nk,
+      |    k + (SELECT CAST(MAX(c_custkey) AS BIGINT) + 1 FROM customer),
+      |    'I', val FROM chgu WHERE k % 31 = 0),
+      |touched AS (SELECT DISTINCT nk FROM chg),
+      |pre AS (
+      |  SELECT k, bal FROM base
+      |  WHERE nk IN (SELECT nk FROM touched) AND nk BETWEEN 10 AND 14),
+      |post AS (
+      |  SELECT COALESCE(b.k, c.k) AS k,
+      |    CASE WHEN c.op IS NULL THEN b.bal ELSE c.val END AS bal
+      |  FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+      |  WHERE (c.op IS NULL OR c.op <> 'D')
+      |    AND COALESCE(b.nk, c.nk) IN (SELECT nk FROM touched)
+      |    AND COALESCE(b.nk, c.nk) BETWEEN 10 AND 14)
+      |SELECT COALESCE(pre.k, post.k) AS k,
+      |  CASE WHEN post.k IS NULL THEN 'delete'
+      |       WHEN pre.k IS NULL THEN 'insert'
+      |       ELSE 'update' END AS change_type,
+      |  pre.bal AS bal_before, post.bal AS bal_after,
+      |  TRUE AS skipped_files
+      |FROM pre FULL OUTER JOIN post ON pre.k = post.k
+      |WHERE pre.k IS NULL OR post.k IS NULL OR pre.bal <> post.bal
+      |ORDER BY k""".stripMargin
+
   private val cdc3Sql =
     """WITH base AS (
       |  SELECT c_custkey AS k, CAST(c_nationkey AS INTEGER) AS nk,
@@ -1547,5 +1668,6 @@ object Snapshots {
     "s22_txn_merge" -> Q(s22TxnMerge, Some(s22Sql)),
     "s30_stats_pruned_head" -> Q(s30StatsPrunedHead, Some(s30Sql)),
     "cdc3_change_feed" -> Q(cdc3ChangeFeed, Some(cdc3Sql)),
+    "cdc7_pruned_change_feed" -> Q(cdc7PrunedChangeFeed, Some(cdc7Sql)),
   )
 }

@@ -2895,6 +2895,33 @@ class MaintenanceOpsSpec extends SparkSpec {
       Seq(("bal", ZO.BalRange._1, ZO.BalRange._2))).size < tot)
   }
 
+  test("cdc7: the range-scoped feed keeps a strict subset of the delta " +
+      "files (driver-side stats prune) and equals the unpruned feed " +
+      "restricted to the range's buckets") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = Snapshots.s22Dir(spark, Sf0001)
+    val (feed, kept, total) =
+      Snapshots.changeFeedPruned(spark, dir, 1, 2, 10L, 14L)
+    assert(kept > 0 && kept < total,
+      s"range prune must keep a strict non-empty subset ($kept/$total)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "change_type", "bal_before", "bal_after").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val nkOf = spark.read.parquet(
+        (Snapshots.manifest(dir, 1) ++ Snapshots.manifest(dir, 2))
+          .distinct.sorted: _*)
+      .select(col("k"), col("nkd")).distinct()
+      .filter(col("nkd").between(10, 14))
+      .select("k")
+    val expected = rows(Snapshots.changeFeed(spark, dir, 1, 2)
+      .join(nkOf, "k"))
+    assert(expected.nonEmpty && rows(feed) === expected,
+      "the pruned feed must equal the full feed restricted to the range")
+  }
+
   // ---- cdc6: row-level streaming CDC ---------------------------------------
 
   test("cdc6: the CDC tailer lands one row-level change set per commit " +
