@@ -118,6 +118,69 @@ object ColumnIds {
         .map(_.getAbsolutePath))
       .toSeq.sorted
 
+  private def flatFiles(dir: String, sub: String): Seq[String] =
+    Option(new java.io.File(s"$dir/$sub").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      .toSeq.sorted
+
+  private val PhysIdRe = raw"c\d+".r
+
+  /** RECLAIM compaction — the rewrite the drop contract promised: a
+    * DROP only forgets the id in the colmap, the bytes stay in every
+    * file until "the next rewrite"; without one they stay forever.
+    * Each attempt reads the CURRENT head, projects away every physical
+    * `c<id>` column the head's colmap no longer maps, and publishes
+    * the slimmed files through [[Snapshots.occCommit]] with replaced =
+    * every file that carried a dropped column (files already slim ride
+    * the rebase untouched). The colmap is NOT touched — reclamation is
+    * a data operation, invisible at the logical schema; pre-drop
+    * snapshots still resolve the dropped column because their
+    * manifests pin the ORIGINAL files, which a reclaim never mutates
+    * (vacuum owns their lifetime). Returns (version, attempts).
+    *
+    * At 100 TB this is the storage half of GDPR column erasure: the
+    * logical drop is instant metadata, the physical erasure runs as a
+    * normal OCC maintenance pass (bucket-by-bucket in production,
+    * conflict → retry), and the two compose with retention: once
+    * pre-drop manifests expire, no reference to the bytes remains.
+    */
+  private[graft] def reclaimDroppedColumns(s: SparkSession, dir: String,
+      tag: String, maxAttempts: Int = 10): (Int, Int) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = Snapshots.head(dir)
+      val mapped = resolveColmap(dir, h).map(c => s"c${c._1}").toSet
+      val files = Snapshots.manifest(dir, h)
+      val raw = s.read.option("mergeSchema", "true")
+        .parquet(files.sorted: _*)
+      val doomedCols = raw.columns
+        .filter(c => PhysIdRe.matches(c) && !mapped(c)).toSeq
+      require(doomedCols.nonEmpty, s"nothing to reclaim at v$h")
+      // replace only the files that physically carry a doomed column
+      val replaced = files.filter { f =>
+        val cols = s.read.parquet(f).schema.fieldNames.toSet
+        doomedCols.exists(cols)
+      }.toSet
+      val keep = raw.columns.filterNot(doomedCols.contains)
+        .map(col).toSeq
+      val sub = s"$tag${h}a$attempt"
+      s.read.option("mergeSchema", "true")
+        .parquet(replaced.toSeq.sorted: _*)
+        .select(keep: _*)
+        .coalesce(2)
+        .write.mode("overwrite").parquet(s"$dir/$sub")
+      try return (Snapshots.occCommit(dir, h, replaced,
+        flatFiles(dir, sub))._1, attempt)
+      catch {
+        case e: Snapshots.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Lands the rename demo once per customer version:
     *  v1 = the base written under PHYSICAL ids (c1=key, c2=nation,
     *       c3=balance-cents) with colmap {1→k, 2→nkd, 3→bal};
@@ -185,6 +248,73 @@ object ColumnIds {
       .orderBy(col("snap"))
   }
 
+  /** Lands the reclaim lifecycle once per customer version:
+    *  v1 = base under physical ids c1(k)/c2(score)/c3(bal), unbucketed
+    *       (reclaim is layout-agnostic), colmap_1 maps all three;
+    *  v2 = DROP score — metadata only, bytes stay in every file;
+    *  v3 = [[reclaimDroppedColumns]] — the files are rewritten without
+    *       c2 (the erasure), v1's manifest still pins the originals;
+    *  v4 = RE-ADD `score` under the FRESH id 4 — no file carries c4,
+    *       so the reborn column is typed nulls by construction.
+    */
+  private[graft] def s46Dir(s: SparkSession, d: String): String =
+    graft.util.Landing.landedLayout(
+      graft.util.Landing.mtimeKey(d, "customer") + "|colreclaim",
+      "graft_colreclaim") { dir =>
+      Tables.customer(s, d)
+        .select(col("c_custkey").as("c1"),
+          col("c_nationkey").cast("long").as("c2"),
+          round(col("c_acctbal") * 100).cast("long").as("c3"))
+        .repartition(4, col("c1"))
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      writeColmap(dir, 1,
+        Seq((1, "k", "bigint"), (2, "score", "bigint"),
+          (3, "bal", "bigint")))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+        flatFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+      require(commitColmap(dir, dropCol(2)) == 2)
+      require(reclaimDroppedColumns(s, dir, "rc")._1 == 3)
+      require(commitColmap(dir, addCol(4, "score", "bigint")) == 4)
+    }
+
+  /** S46: the registered reclaim read — head aggregates after the full
+    * drop → reclaim → re-add lifecycle, with the contract as gate
+    * columns: `bytes_reclaimed` (the head files' merged footer schema
+    * no longer contains c2 — the bytes are physically gone, not just
+    * unmapped), `head_score_nonnull` = 0 (the re-added id resolves
+    * typed nulls, NEVER the dropped id's bytes — the name-reuse
+    * corruption field ids exist to prevent), and `v1_score_sum` (the
+    * pre-drop snapshot still resolves the original values: reclaim
+    * rewrote the FUTURE, not history). The oracle recomputes all three
+    * from raw customer.
+    */
+  private def s46ColumnReclaim(s: SparkSession, d: String): DataFrame = {
+    val dir = s46Dir(s, d)
+    val h = Snapshots.head(dir)
+    val headCols = s.read.option("mergeSchema", "true")
+      .parquet(Snapshots.manifest(dir, h).sorted: _*).columns.toSet
+    val head = readResolved(s, dir, h)
+    val v1 = readResolved(s, dir, 1)
+    head.agg(count(lit(1)).as("n_rows"), sum(col("bal")).as("bal_cents"),
+        count(col("score")).as("head_score_nonnull"))
+      .crossJoin(broadcast(
+        v1.agg(sum(col("score")).as("v1_score_sum"))))
+      .select(col("n_rows"), col("bal_cents"),
+        col("head_score_nonnull"), col("v1_score_sum"),
+        lit(!headCols.contains("c2")).as("bytes_reclaimed"),
+        lit(head.columns.contains("score")).as("readd_resolves"))
+  }
+
+  private val s46Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents,
+      |  CAST(0 AS BIGINT) AS head_score_nonnull,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS v1_score_sum,
+      |  TRUE AS bytes_reclaimed, TRUE AS readd_resolves
+      |FROM customer""".stripMargin
+
   private val s40Sql =
     """WITH b AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -203,5 +333,6 @@ object ColumnIds {
 
   val qs: Seq[(String, Q)] = Seq(
     "s40_column_rename" -> Q(s40ColumnRename, Some(s40Sql)),
+    "s46_column_reclaim" -> Q(s46ColumnReclaim, Some(s46Sql)),
   )
 }

@@ -2922,6 +2922,57 @@ class MaintenanceOpsSpec extends SparkSpec {
       "the pruned feed must equal the full feed restricted to the range")
   }
 
+  test("s46 reclaim: only files carrying a dropped column are rewritten " +
+      "(slim files ride the rebase by path), the bytes are gone from " +
+      "the head's footers, values survive, and the pre-drop snapshot " +
+      "still resolves the dropped column") {
+    import graft.sources.{ColumnIds, Snapshots}
+    import spark.implicits._
+    val dir = graft.util.Landing.tempDirOnce("graft_reclaim").toString
+    // f1 carries c2; f2 is already slim (written after a hypothetical
+    // earlier reclaim) — the mixed-footer store reclaim must handle
+    Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("c1", "c2", "c3")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((3L, 300L)).toDF("c1", "c3")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    def filesOf(sub: String) =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+        .toSeq.sorted
+    val (f1, f2) = (filesOf("f1"), filesOf("f2"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/colmap_1.txt"),
+      "1|k|bigint\n2|score|bigint\n3|bal|bigint".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
+      (f1 ++ f2).mkString("\n").getBytes("UTF-8"))
+    assert(ColumnIds.commitColmap(dir, ColumnIds.dropCol(2)) === 2)
+    assert(ColumnIds.reclaimDroppedColumns(spark, dir, "rc")._1 === 3)
+    val m3 = Snapshots.manifest(dir, 3)
+    assert(f2.forall(m3.contains),
+      "an already-slim file must ride the rebase untouched")
+    assert(f1.forall(f => !m3.contains(f)), "carriers must be rewritten")
+    m3.foreach { f =>
+      assert(!spark.read.parquet(f).schema.fieldNames.contains("c2"),
+        s"dropped bytes must be gone from every head footer: $f")
+    }
+    val head = ColumnIds.readResolved(spark, dir, 3)
+      .orderBy(col("k")).select("k", "bal").as[(Long, Long)].collect()
+    assert(head.toSeq === Seq((1L, 100L), (2L, 200L), (3L, 300L)),
+      "reclaim must not change the logical table")
+    // history intact: v1 still resolves the dropped column's values
+    val v1 = ColumnIds.readResolved(spark, dir, 1)
+      .filter(col("score").isNotNull)
+      .orderBy(col("k")).select("k", "score").as[(Long, Long)].collect()
+    assert(v1.toSeq === Seq((1L, 10L), (2L, 20L)))
+    // re-add after reclaim: typed nulls, never old bytes
+    assert(ColumnIds.commitColmap(dir,
+      ColumnIds.addCol(4, "score", "bigint")) === 4)
+    assert(ColumnIds.readResolved(spark, dir, 4)
+      .filter(col("score").isNotNull).count() === 0L)
+  }
+
   // ---- cdc6: row-level streaming CDC ---------------------------------------
 
   test("cdc6: the CDC tailer lands one row-level change set per commit " +
