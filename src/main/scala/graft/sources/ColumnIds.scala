@@ -40,24 +40,17 @@ object ColumnIds {
     * schema, so an id no file carries yet still materializes correctly.
     */
   private[graft] def resolveColmap(dir: String,
-      v: Int): Seq[(Int, String, String)] = {
-    val m = (v to 1 by -1).find(i =>
-      new java.io.File(dir, s"colmap_$i.txt").exists())
+      v: Int): Seq[(Int, String, String)] =
+    Store.readSidecar(dir, "colmap_", v)
       .getOrElse(throw new IllegalStateException(
         s"no colmap at or below v$v in $dir"))
-    val src = scala.io.Source.fromFile(s"$dir/colmap_$m.txt")
-    try src.getLines().filter(_.nonEmpty).map { l =>
-      val p = l.split('|'); (p(0).toInt, p(1), p(2))
-    }.toList.sortBy(_._1)
-    finally src.close()
-  }
+      .map { l => val p = l.split('|'); (p(0).toInt, p(1), p(2)) }
+      .sortBy(_._1)
 
   private def writeColmap(dir: String, v: Int,
       m: Seq[(Int, String, String)]): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/colmap_$v.txt"),
-      m.sortBy(_._1).map { case (id, n, t) => s"$id|$n|$t" }
-        .mkString("\n").getBytes("UTF-8"))
+    Store.writeSidecar(dir, "colmap_", v,
+      m.sortBy(_._1).map { case (id, n, t) => s"$id|$n|$t" })
 
   /** Version read with id→name resolution: physical `c<id>` columns
     * projected to the version's logical names. Dropped ids simply
@@ -110,20 +103,6 @@ object ColumnIds {
     m :+ ((id, name, tpe))
   }
 
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
-
-  private def flatFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-      .toSeq.sorted
-
   private val PhysIdRe = raw"c\d+".r
 
   /** RECLAIM compaction — the rewrite the drop contract promised: a
@@ -172,7 +151,7 @@ object ColumnIds {
         .coalesce(2)
         .write.mode("overwrite").parquet(s"$dir/$sub")
       try return (Snapshots.occCommit(dir, h, replaced,
-        flatFiles(dir, sub))._1, attempt)
+        Store.flatLeafFiles(dir, sub))._1, attempt)
       catch {
         case e: Snapshots.CommitConflictException =>
           if (attempt >= maxAttempts) throw e
@@ -205,7 +184,7 @@ object ColumnIds {
         Seq((1, "k", "bigint"), (2, "nkd", "bigint"), (3, "bal", "bigint")))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+        Store.bucketedLeafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
       require(commitColmap(dir, renameCol(3, "balance")) == 2,
         "the rename must land as v2")
       // post-rename write: physical ids, logical names irrelevant
@@ -218,7 +197,7 @@ object ColumnIds {
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/w3")
       require(Snapshots.occCommit(dir, 2, replaced,
-        leafFiles(dir, "w3"))._1 == 3)
+        Store.bucketedLeafFiles(dir, "w3"))._1 == 3)
     }
 
   /** S40: the registered read — the head through the renamed schema and
@@ -272,7 +251,7 @@ object ColumnIds {
           (3, "bal", "bigint")))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        flatFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+        Store.flatLeafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
       require(commitColmap(dir, dropCol(2)) == 2)
       require(reclaimDroppedColumns(s, dir, "rc")._1 == 3)
       require(commitColmap(dir, addCol(4, "score", "bigint")) == 4)

@@ -53,14 +53,6 @@ object DeletionVectors {
       Seq("k"), "left_anti")
   }
 
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
-
   /** Lands the DV store once per customer version:
     *  v1 = the nation-bucketed base (nkd data column — the s20 lesson);
     *  v2 = the DELETE (keys k%13==0 in nations nk%5==4): one equality-
@@ -78,7 +70,7 @@ object DeletionVectors {
       base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
-      val m1 = leafFiles(dir, "v1")
+      val m1 = Store.bucketedLeafFiles(dir, "v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
         m1.mkString("\n").getBytes("UTF-8"))
@@ -110,7 +102,7 @@ object DeletionVectors {
       }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_3.txt"),
-        (m1.filterNot(replaced.toSet) ++ leafFiles(dir, "purge3"))
+        (m1.filterNot(replaced.toSet) ++ Store.bucketedLeafFiles(dir, "purge3"))
           .sorted.mkString("\n").getBytes("UTF-8"))
     }
 

@@ -203,7 +203,7 @@ object ManifestTree {
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
       (if (coalesce1) base.coalesce(1) else base.repartition(col("nk")))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-      val entries = Snapshots.statsEntries(s, leafFiles(dir, sub))
+      val entries = Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, sub))
       val bm = s"$dir/bm_nk${nk}_$sub.txt"
       writeLines(bm, entries)
       try return (treeOccCommit(dir, h,
@@ -236,14 +236,6 @@ object ManifestTree {
       ManifestEntry.parse(e).path).get.group(1).toInt)
   }
 
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
-
   /** Lands the tree store once per customer version: v1 (one bucket
     * manifest per nation + the list), then the v2 bucket-rewrite commit
     * resolved THROUGH the tree. Sidecar `_merge_bm_fetched` records how
@@ -261,7 +253,7 @@ object ManifestTree {
       base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
-      val v1ByBucket = byBucket(Snapshots.statsEntries(s, leafFiles(dir, "v1")))
+      val v1ByBucket = byBucket(Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, "v1")))
       val refs1 = v1ByBucket.toSeq.sortBy(_._1).map { case (nk, entries) =>
         val bm = s"$dir/bm_nk${nk}_v1.txt"
         writeLines(bm, entries)
@@ -282,7 +274,7 @@ object ManifestTree {
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/m2")
-      val v2ByBucket = byBucket(Snapshots.statsEntries(s, leafFiles(dir, "m2")))
+      val v2ByBucket = byBucket(Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, "m2")))
       // the v2 publish goes through the tree's OCC claim discipline
       // (round-16 verdict #4): only the TOUCHED buckets' refs ride the
       // commit; untouched refs rebase verbatim inside treeOccCommit

@@ -109,15 +109,6 @@ object SchemaStats {
     (df, kept.size, lines.size)
   }
 
-  private def leafFiles(dir: String, sub: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$dir/$sub"))
-    try walk.iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-    finally walk.close()
-  }
-
   /** Lands the evolved-schema stats store once per source version:
     * v1 = nations 0–11 with (k, nkd, bal), named stats in manifest_1;
     * v2 = the evolution append — nations ≥ 12 joined with their order
@@ -137,7 +128,7 @@ object SchemaStats {
         .withColumn("nk", col("nkd"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
-      val m1 = entries(s, leafFiles(dir, "v1"))
+      val m1 = entries(s, Store.walkLeafFiles(dir, "v1"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
         m1.mkString("\n").getBytes("UTF-8"))
@@ -149,7 +140,7 @@ object SchemaStats {
         .write.mode("overwrite").parquet(s"$dir/v2add")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
-        (m1 ++ entries(s, leafFiles(dir, "v2add")))
+        (m1 ++ entries(s, Store.walkLeafFiles(dir, "v2add")))
           .mkString("\n").getBytes("UTF-8"))
     }
 

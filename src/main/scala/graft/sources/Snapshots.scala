@@ -466,17 +466,6 @@ object Snapshots {
       |FROM customer""".stripMargin
 
   // ---- S20: schema evolution (add-column without rewrite) ------------------
-  /** Leaf data files under `dir/sub` (the partitioned-write listing every
-    * snapshot builder here repeats — hoisted for s20).
-    */
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
-
   /** Lands the schema-evolution demo once per source version:
     * v1 = nations 0–11 with the ORIGINAL schema (k, bal); the v2 commit
     * ADDS a column (`seg`, the market segment) purely by appending new
@@ -500,13 +489,13 @@ object Snapshots {
           balCents.as("bal"), col("c_mktsegment").as("seg"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v2add")
-      val m1 = leafFiles(dir, "v1")
+      val m1 = Store.bucketedLeafFiles(dir, "v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
         m1.mkString("\n").getBytes("UTF-8"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_2.txt"),
-        (m1 ++ leafFiles(dir, "v2add")).mkString("\n").getBytes("UTF-8"))
+        (m1 ++ Store.bucketedLeafFiles(dir, "v2add")).mkString("\n").getBytes("UTF-8"))
     }
 
   /** Version read under MIXED schemas: `mergeSchema` unions the file
@@ -620,7 +609,7 @@ object Snapshots {
     // file this commit adds enters the manifest with its min/max —
     // selective reads of any later head prune driver-side, no separate
     // stats pass to forget
-    val added = statsEntries(s, leafFiles(dir, sub))
+    val added = statsEntries(s, Store.bucketedLeafFiles(dir, sub))
     occCommit(dir, readV, replaced, added)._1
   }
 
@@ -694,7 +683,7 @@ object Snapshots {
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
         .coalesce(1)
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-      val added = statsEntries(s, leafFiles(dir, sub))
+      val added = statsEntries(s, Store.bucketedLeafFiles(dir, sub))
       try return (occCommit(dir, h, bucket, added)._1, attempt)
       catch {
         case e: CommitConflictException =>
@@ -750,7 +739,7 @@ object Snapshots {
       // head covers untouched buckets as well as rewritten ones
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        statsEntries(s, leafFiles(dir, "v1"))
+        statsEntries(s, Store.bucketedLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       val (v, _) = cowMerge(s, dir, s22Changes(s, d, base), "m")
       require(v == 2, s"MERGE demo expected v2, committed v$v")
@@ -1250,17 +1239,6 @@ object Snapshots {
     (expired, drop.size)
   }
 
-  /** All sidecar dialects resolved nearest-at-or-below a version. */
-  private[graft] val sidecarPrefixes = Seq("deletes_", "colmap_")
-
-  private[graft] def sidecarVersions(dir: String,
-      prefix: String): Seq[Int] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .map(_.getName)
-      .collect { case n if n.startsWith(prefix) && n.endsWith(".txt") =>
-        n.stripPrefix(prefix).stripSuffix(".txt") }
-      .filter(_.forall(_.isDigit)).map(_.toInt).toSeq.sorted
-
   /** Sidecar retention — the ledger rule applied to version-addressed
     * sidecars, CHECKED rather than promised: retention must keep the
     * newest sidecar at or below each retained version (it is that
@@ -1277,8 +1255,8 @@ object Snapshots {
   private[graft] def retainSidecars(dir: String,
       retained: Set[Int]): Unit = {
     val h = head(dir)
-    sidecarPrefixes.foreach { prefix =>
-      val vs = sidecarVersions(dir, prefix)
+    Store.sidecarPrefixes.foreach { prefix =>
+      val vs = Store.sidecarVersions(dir, prefix)
       def target(v: Int): Option[Int] = vs.filter(_ <= v).lastOption
       val before = retained.map(v => v -> target(v)).toMap
       val needed = retained.flatMap(target)
@@ -1286,7 +1264,7 @@ object Snapshots {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(s"$dir/$prefix$m.txt")))
       val after = retained.map(v =>
-        v -> sidecarVersions(dir, prefix).filter(_ <= v).lastOption).toMap
+        v -> Store.sidecarVersions(dir, prefix).filter(_ <= v).lastOption).toMap
       require(before == after,
         s"sidecar retention broke a retained version's $prefix" +
           s"resolution: $before -> $after")
@@ -1308,7 +1286,7 @@ object Snapshots {
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        leafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
+        Store.bucketedLeafFiles(dir, "v1").mkString("\n").getBytes("UTF-8"))
       val (rep2, add2) = prepareCredit(dir, 1, base, 4, 250L, "t2")
       require(occCommit(dir, 1, rep2, add2)._1 == 2)
       writeTag(dir, "q2close", 2)
@@ -1384,19 +1362,17 @@ object Snapshots {
   }
 
   /** Data files referenced OUTSIDE any manifest: the payload lists of
-    * version-addressed sidecars (`deletes_<v>.txt` today — each line a
-    * delete-payload parquet). A delete file is referenced by NO
-    * manifest, so an orphan sweep blind to sidecars would delete LIVE
-    * delete files once aged, silently unmasking deleted rows on every
-    * later merge-on-read read (the round-17 verdict's one weak spot).
-    * Any future `beforePublish`-published file-list sidecar joins the
-    * prefix list here.
+    * file-list sidecars ([[Store.fileListSidecarPrefixes]] — today the
+    * `deletes_<v>.txt` dialect, each line a delete-payload parquet). A
+    * delete file is referenced by NO manifest, so an orphan sweep blind
+    * to sidecars would delete LIVE delete files once aged, silently
+    * unmasking deleted rows on every later merge-on-read read (the
+    * round-17 verdict's one weak spot). New dialects register in the
+    * Store registry, never here.
     */
-  private[graft] val fileListSidecarPrefixes = Seq("deletes_")
-
   private[graft] def sidecarPayloadFiles(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => fileListSidecarPrefixes.exists(p =>
+      .filter(f => Store.fileListSidecarPrefixes.exists(p =>
         f.getName.startsWith(p)) && f.getName.endsWith(".txt"))
       .flatMap { f =>
         val src = scala.io.Source.fromFile(f)
@@ -1502,7 +1478,7 @@ object Snapshots {
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        statsEntries(s, leafFiles(dir, "v1"))
+        statsEntries(s, Store.bucketedLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       import s.implicits._
       val k5 = base.filter(col("nk") === 5)
@@ -1521,11 +1497,11 @@ object Snapshots {
           false }
         catch { case _: CommitConflictException => true }
       require(thrown, "the stale attempt must conflict")
-      require(leafFiles(dir, "ob1stale").nonEmpty, "orphan must exist")
+      require(Store.bucketedLeafFiles(dir, "ob1stale").nonEmpty, "orphan must exist")
       val (vB, _) = cowMerge(s, dir, chgB, "ob2")
       require(vB == 3)
       // age the orphans so the demo cleanup (minAge 60s) collects them
-      leafFiles(dir, "ob1stale").foreach { p =>
+      Store.bucketedLeafFiles(dir, "ob1stale").foreach { p =>
         java.nio.file.Files.setLastModifiedTime(
           java.nio.file.Paths.get(p),
           java.nio.file.attribute.FileTime.fromMillis(

@@ -44,7 +44,7 @@ object SortedCompaction {
         .sortWithinPartitions(col("bal"))
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-      val added = Snapshots.statsEntries(s, leafFiles(dir, sub))
+      val added = Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, sub))
       try return (Snapshots.occCommit(dir, h, bucket, added)._1, attempt)
       catch {
         case e: Snapshots.CommitConflictException =>
@@ -53,14 +53,6 @@ object SortedCompaction {
     }
     throw new IllegalStateException("unreachable")
   }
-
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
 
   private[graft] val BalMin = 500000L // the selective read's floor
   private[graft] val CompactedNk = 9
@@ -84,7 +76,7 @@ object SortedCompaction {
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        Snapshots.statsEntries(s, leafFiles(dir, "v1"))
+        Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       require(sortedCompactBucket(s, dir, CompactedNk, "sc",
         RangeFiles)._1 == 2)

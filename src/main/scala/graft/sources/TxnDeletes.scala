@@ -48,22 +48,12 @@ object TxnDeletes {
   /** Nearest delete sidecar at or below `v` — the version's effective
     * equality-delete file list. No sidecar below v = no deletes yet.
     */
-  private[graft] def resolveDeletes(dir: String, v: Int): Seq[String] = {
-    val m = (v to 1 by -1).find(i =>
-      new java.io.File(dir, s"deletes_$i.txt").exists())
-    m match {
-      case None => Seq.empty
-      case Some(i) =>
-        val src = scala.io.Source.fromFile(s"$dir/deletes_$i.txt")
-        try src.getLines().filter(_.nonEmpty).toList finally src.close()
-    }
-  }
+  private[graft] def resolveDeletes(dir: String, v: Int): Seq[String] =
+    Store.readSidecar(dir, "deletes_", v).getOrElse(Seq.empty)
 
   private def writeSidecar(dir: String, n: Int,
       files: Seq[String]): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/deletes_$n.txt"),
-      files.sorted.mkString("\n").getBytes("UTF-8"))
+    Store.writeSidecar(dir, "deletes_", n, files.sorted)
 
   /** Merge-on-read snapshot: the version's data files anti-joined with
     * its resolved delete keys (broadcast — delete sets are tiny relative
@@ -89,10 +79,7 @@ object TxnDeletes {
     val sub = s"${tag}dv${Snapshots.head(dir)}"
     doomed.select(col("k"), col("nk").cast("int").as("nk"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub")
-    val dvFile = Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
-      .toSeq.sorted
+    val dvFile = Store.flatLeafFiles(dir, sub)
     // The sidecar MERGES against the version's ACTUAL parent, resolved
     // INSIDE beforePublish (round-17 advice): a delete's replaced set is
     // empty, so OCC cannot detect a concurrent delete (or purge) landing
@@ -133,7 +120,7 @@ object TxnDeletes {
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-      val added = Snapshots.statsEntries(s, leafFiles(dir, sub))
+      val added = Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, sub))
       // Same publish-time discipline as commitEqualityDelete: the purge
       // drops exactly the delete files it APPLIED — a concurrent delete
       // landing between head read and claim (replaced = ∅, invisible to
@@ -150,14 +137,6 @@ object TxnDeletes {
     }
     throw new IllegalStateException("unreachable")
   }
-
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
 
   /** Stats-pruned MERGE-ON-READ snapshot: [[Snapshots.readVersionPruned]]
     * composed with the sidecar anti-join — the two reader-side
@@ -448,7 +427,7 @@ object TxnDeletes {
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        Snapshots.statsEntries(s, leafFiles(dir, "v1"))
+        Snapshots.statsEntries(s, Store.bucketedLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       def credit(cents: Long): DataFrame =
         base.filter(col("nk") % 7 === 3)

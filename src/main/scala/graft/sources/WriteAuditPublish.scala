@@ -130,14 +130,6 @@ object WriteAuditPublish {
     m.filter(_.contains(s"${sep}nk=$nk$sep"))
   }
 
-  private def leafFiles(dir: String, sub: String): Seq[String] =
-    Option(new java.io.File(s"$dir/$sub").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("nk="))
-      .flatMap(pd => pd.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath))
-      .toSeq.sorted
-
   /** Lands the WAP demo once per customer version: v1 base; a CLEAN
     * candidate (nation-5 bucket credited +500, row-conserving) that
     * audits green and publishes as v2; a DIRTY candidate (nation-8
@@ -157,7 +149,7 @@ object WriteAuditPublish {
       base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/v1")
-      val m1 = leafFiles(dir, "v1")
+      val m1 = Store.bucketedLeafFiles(dir, "v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
         m1.mkString("\n").getBytes("UTF-8"))
@@ -169,7 +161,7 @@ object WriteAuditPublish {
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/clean")
       val clean = (m1.filterNot(nkFiles(m1, 5).toSet) ++
-        leafFiles(dir, "clean")).sorted
+        Store.bucketedLeafFiles(dir, "clean")).sorted
       require(auditedPublish(s, dir, clean, log),
         "clean candidate must publish")
       // dirty candidate: nation-8 bucket rewritten with out-of-domain
@@ -184,7 +176,7 @@ object WriteAuditPublish {
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/dirty")
       val m2 = Snapshots.manifest(dir, 2)
       val dirty = (m2.filterNot(nkFiles(m2, 8).toSet) ++
-        leafFiles(dir, "dirty")).sorted
+        Store.bucketedLeafFiles(dir, "dirty")).sorted
       require(!auditedPublish(s, dir, dirty, log),
         "dirty candidate must be rejected")
       java.nio.file.Files.write(

@@ -75,7 +75,7 @@ object ZOrderCompaction {
         .sortWithinPartitions(col("_z"), col("k"))
         .select(col("k"), col("nkd"), col("bal"))
         .write.mode("overwrite").parquet(s"$dir/$sub")
-      val added = SchemaStats.entries(s, leafFiles(dir, sub))
+      val added = SchemaStats.entries(s, Store.walkLeafFiles(dir, sub))
       try return (Snapshots.occCommit(dir, h, files.toSet, added)._1,
         attempt)
       catch {
@@ -84,15 +84,6 @@ object ZOrderCompaction {
       }
     }
     throw new IllegalStateException("unreachable")
-  }
-
-  private def leafFiles(dir: String, sub: String): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    val walk = java.nio.file.Files.walk(
-      java.nio.file.Paths.get(s"$dir/$sub"))
-    try walk.iterator().asScala.map(_.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-    finally walk.close()
   }
 
   /** BUCKET-SCOPED z-order rewrite — OPTIMIZE ZORDER BY racing live
@@ -137,7 +128,7 @@ object ZOrderCompaction {
         .sortWithinPartitions(col("_z"), col("k"))
         .select(col("k"), col("nkd"), col("bal"), col("nkd").as("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$dir/$sub")
-      val added = SchemaStats.entries(s, leafFiles(dir, sub))
+      val added = SchemaStats.entries(s, Store.walkLeafFiles(dir, sub))
       try return (Snapshots.occCommit(dir, h, bucket, added)._1, attempt)
       catch {
         case e: Snapshots.CommitConflictException =>
@@ -184,7 +175,7 @@ object ZOrderCompaction {
         .write.mode("overwrite").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        SchemaStats.entries(s, leafFiles(dir, "v1"))
+        SchemaStats.entries(s, Store.walkLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       require(zOrderCompact(s, dir, "zo", NFiles)._1 == 2)
     }
@@ -245,7 +236,7 @@ object ZOrderCompaction {
         .write.mode("overwrite").parquet(s"$dir/v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$dir/manifest_1.txt"),
-        SchemaStats.entries(s, leafFiles(dir, "v1"))
+        SchemaStats.entries(s, Store.walkLeafFiles(dir, "v1"))
           .mkString("\n").getBytes("UTF-8"))
       val doomed = base.filter(col("nkd") % 7 === 5 && col("k") % 19 === 0)
         .select(col("k"), col("nkd").as("nk"))

@@ -191,14 +191,7 @@ object StreamMerge {
       base.select(col("k"), col("nk").as("nkd"), col("bal"), col("nk"))
         .repartition(col("nk"))
         .write.mode("overwrite").partitionBy("nk").parquet(s"$out/v1")
-      val m1 = {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(s"$out/v1"))
-        try walk.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq.sorted
-        finally walk.close()
-      }
+      val m1 = graft.sources.Store.walkLeafFiles(out, "v1")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$out/manifest_1.txt"),
         m1.mkString("\n").getBytes("UTF-8"))
