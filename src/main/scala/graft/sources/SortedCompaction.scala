@@ -55,7 +55,11 @@ object SortedCompaction {
   }
 
   private[graft] val BalMin = 500000L // the selective read's floor
-  private[graft] val CompactedNk = 9
+  // nk=11: the bucket with the most rows at the 2026-08-19-regen
+  // sf0.001 (11 rows, 5 above BalMin) — nk=9 shrank to 5 rows / 1 high
+  // there, where every layout prunes to the same single file and
+  // `kept_tightened` is unmeasurable.
+  private[graft] val CompactedNk = 11
   private[graft] val RangeFiles = 3
 
   /** Lands the clustering demo once per customer version: v1 = the
@@ -66,7 +70,7 @@ object SortedCompaction {
     */
   private[graft] def s41Dir(s: SparkSession, d: String): String =
     graft.util.Landing.landedLayout(
-      graft.util.Landing.mtimeKey(d, "customer") + "|sortcompact",
+      graft.util.Landing.mtimeKey(d, "customer") + "|sortcompact2",
       "graft_sortcompact") { dir =>
       val base = Tables.customer(s, d)
         .select(col("c_custkey").as("k"), col("c_nationkey").as("nkd"),
@@ -108,7 +112,7 @@ object SortedCompaction {
       |    AS bal_cents,
       |  TRUE AS kept_tightened, TRUE AS read_some
       |FROM customer
-      |WHERE c_nationkey = 9
+      |WHERE c_nationkey = 11
       |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) >= 500000""".stripMargin
 
   val qs: Seq[(String, Q)] = Seq(

@@ -155,7 +155,10 @@ object ZOrderCompaction {
       }
     }.map(_.path)
 
-  private[graft] val KRange = (400L, 700L)
+  // k ∈ [40, 70]: inside every SF's key domain — the 2026-08-19 regen
+  // shrank sf0.001's customer to 150 rows (keys 0–149), where the old
+  // (400, 700) box selected nothing and `read_some` was unprovable.
+  private[graft] val KRange = (40L, 70L)
   private[graft] val BalRange = (500000L, 999999L)
   private[graft] val NFiles = 16
 
@@ -294,7 +297,7 @@ object ZOrderCompaction {
       |  TRUE AS zorder_prunes_k, TRUE AS zorder_prunes_bal,
       |  TRUE AS deletes_applied, TRUE AS read_some
       |FROM customer
-      |WHERE c_custkey BETWEEN 400 AND 700
+      |WHERE c_custkey BETWEEN 40 AND 70
       |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT)
       |    BETWEEN 500000 AND 999999
       |  AND NOT (c_nationkey % 7 = 5 AND c_custkey % 19 = 0)""".stripMargin
@@ -306,7 +309,7 @@ object ZOrderCompaction {
       |  TRUE AS ingest_unprunable, TRUE AS zorder_prunes_k,
       |  TRUE AS zorder_prunes_bal, TRUE AS read_some
       |FROM customer
-      |WHERE c_custkey BETWEEN 400 AND 700
+      |WHERE c_custkey BETWEEN 40 AND 70
       |  AND CAST(ROUND(c_acctbal * 100) AS BIGINT)
       |    BETWEEN 500000 AND 999999""".stripMargin
 

@@ -87,11 +87,15 @@ object GenFixtures {
     // registered query output — corpus_key column included — frozen at
     // both SFs into one directory the DuckDB oracle reads back with
     // read_parquet and filters by the current corpus key.
+    // sf0.001 included since the 2026-08-19 regen: its document corpus is
+    // no longer byte-identical to sf0.01's, so it needs its own corpus_key
+    // rows in the replay table.
     for (name <- Seq("d2_minhash_pairs", "d3_simhash", "mm1_media_features",
         "mm3_resize", "mm4_phash_neardup", "mm5_audio_neardup",
         "t19_bpe_merges", "mm6_scene_cuts"))
       write(s"oracle/$name") {
-        Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1")
           .map(SparkEntry.queries(name)(spark, _))
           .reduce(_ unionByName _)
       }

@@ -16,7 +16,10 @@ import graft.ext.SimilarityOps._
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val s = SparkSpec.session
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (dir <- dirs) {
       val emb = Tables.embeddings(s, dir).cache()
       val q5 = emb.filter(col("vec_id") < 5)
       val exact = bruteForceTopK(emb, q5, 10).select("q_id", "c_id")
