@@ -348,10 +348,25 @@ object CoreOps {
   // Registers the testdata tables as views and executes the *exact DuckDB
   // oracle text* through spark.sql — the flagship query expressed in ANSI
   // SQL runs unchanged on both engines.
+  // Once per (session, dir version): the views are session-global and the
+  // memoized Tables frames are stable, so re-registering ten views per
+  // query build (the bench pays a build per rep) is pure waste. lineitem's
+  // mtime proxies the dir version — the driver regenerates all tables
+  // together (stagedDirs discipline).
+  private val registeredViews =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, Long)]
+
   private[graft] def registerViews(s: SparkSession, d: String): Unit = {
-    Tables.names.filterNot(_ == "events")
-      .foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
-    Tables.events(s, d).createOrReplaceTempView("events")
+    val mt =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$d/lineitem.parquet")).toMillis
+      catch { case _: java.io.IOException => -1L }
+    if (!registeredViews.get(s).contains((d, mt))) {
+      Tables.names.filterNot(_ == "events")
+        .foreach(n => Tables.t(s, d, n).createOrReplaceTempView(n))
+      Tables.events(s, d).createOrReplaceTempView("events")
+      registeredViews(s) = (d, mt)
+    }
   }
 
   private def sql1TpchQ1(s: SparkSession, d: String): DataFrame = {

@@ -22,7 +22,17 @@ object EventStream {
     * graft.Tables.events, whose normalizeTs converts either to
     * TimestampType after the streaming read.
     */
-  private[graft] def rawSchema(spark: SparkSession, path: String): StructType = {
+  private val rawSchemaMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), StructType]
+
+  private[graft] def rawSchema(spark: SparkSession, path: String): StructType =
+    rawSchemaMemo.getOrElseUpdate((spark, path), rawSchemaUncached(spark, path))
+
+  // Memoized per (session, staged path): one footer read per staged dir —
+  // the stream builders call this per bench rep, and staged dirs are
+  // immutable once created (stagedDirs keys already embed the source
+  // mtime, so a regen stages a NEW path and misses the memo).
+  private def rawSchemaUncached(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType = spark.read.parquet(path).schema("ts").dataType
     StructType(Seq(

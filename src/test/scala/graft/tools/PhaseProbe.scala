@@ -9,22 +9,22 @@ import graft.{SparkEntry, SparkSpec}
   */
 object PhaseProbe {
   def main(args: Array[String]): Unit = {
-    val q = args(0)
+    val qs = args(0).split(',').toSeq // comma-separated for batch probing
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val s = SparkSpec.session
-    def t[A](label: String)(f: => A): A = {
+    def t[A](q: String, label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[phase] $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      println(f"[phase] $q $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       r
     }
-    for (i <- 1 to 2) {
-      println(s"[phase] --- run $i ---")
-      val df = t("build")(SparkEntry.queries(q)(s, dir))
+    for (q <- qs; i <- 1 to 2) {
+      println(s"[phase] --- $q run $i ---")
+      val df = t(q, "build")(SparkEntry.queries(q)(s, dir))
       val qe = df.queryExecution
-      t("analyzed")(qe.analyzed)
-      t("optimized")(qe.optimizedPlan)
-      t("physical")(qe.executedPlan)
-      t("collect")(df.collect())
+      t(q, "analyzed")(qe.analyzed)
+      t(q, "optimized")(qe.optimizedPlan)
+      t(q, "physical")(qe.executedPlan)
+      t(q, "collect")(df.collect())
     }
   }
 }
