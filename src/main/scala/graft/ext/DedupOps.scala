@@ -1031,7 +1031,18 @@ object DedupOps {
     // the filter keeps exactly the pairs whose TRUE distance ≤ maxDist.
     // A pair whose lengths straddle a block boundary appears in both
     // shared blocks; the final distinct collapses it (3 small columns).
-    blocked.as("a").join(blocked.as("b"),
+    // The probe side is explicitly repartitioned on the join key: the
+    // corpus ships as ONE parquet file under the 4 MB open-cost floor, so
+    // the scan is a single split and the broadcast-join probe — where
+    // every banded DP runs — executed on ONE task (guide §2.5's
+    // unsplittable-input skew; measured 3.1 s of single-core levenshtein
+    // at sf0.1). The exchange moves 3 slim columns + a 64-char prefix and
+    // buys full-width DP parallelism; at scale (build side past the
+    // broadcast cap) the same blk-keyed exchange is exactly the shuffle a
+    // sort-merge join needs, so it is reused, never wasted.
+    val probe = blocked.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("blk"))
+    probe.as("a").join(blocked.as("b"),
         col("a.blk") === col("b.blk") &&
         col("a.doc_id") < col("b.doc_id") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= lenGate)
@@ -1105,17 +1116,24 @@ object DedupOps {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("gram"))
-    val covered = occ.join(dup, Seq("gram"))
+    val covered0 = occ.join(dup, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("start"))).as("starts"))
-      // Materialize the (small) covered-starts table before the serving
-      // join: without this the broadcast side re-executes the whole
-      // exploded-gram lineage inside the serving query, and a fresh
-      // execution paid a ~10 s DATA-SIZE-INDEPENDENT cost (measured ~10 s
-      // at sf0.1 AND the 10× sweep dir; ~2.5 s once the lineage is cut
-      // here). Eager localCheckpoint: blocks freed by ContextCleaner, no
-      // session-lifetime pin.
-      .localCheckpoint(true)
+    // Materialize the (small) covered-starts table before the serving
+    // join: without this the broadcast side re-executes the whole
+    // exploded-gram lineage inside the serving query, and a fresh
+    // execution paid a ~10 s DATA-SIZE-INDEPENDENT cost (measured ~10 s
+    // at sf0.1 AND the 10× sweep dir; ~2.5 s once the lineage was cut
+    // with a bare localCheckpoint). r18: the checkpoint is now LANDED
+    // per input version (planVersionKey: source paths + plan hash +
+    // mtime — d13's full corpus and pipe4's gated corpus key
+    // separately), because the gram-count pass is slim source-derived
+    // state in the b4/d16/fm4 class: each fresh build was re-paying
+    // ~2 s of exploded-gram shuffle per execution (PhaseProbe r18
+    // steady build 2.06 s → 0.02 s). Blocks are small (≤1 int-array
+    // row per affected doc) and family-evict on regen.
+    val covered = graft.util.Landing.frameLanding(docs.sparkSession,
+      graft.util.Landing.planVersionKey(covered0) + "|d13cov")(covered0)
     val joined = docToks.join(broadcast(covered), Seq("doc_id"), "left")
       .withColumn("ss", coalesce(col("starts"), array().cast("array<int>")))
     val keptPos = filter(

@@ -233,7 +233,15 @@ object MultimodalOps {
   def synthesizeMedia(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // Spread the ids before the synth+decode mapPartitions: the corpus is
+    // ONE sub-open-cost parquet file, so the scan is a single split and
+    // every downstream decode (mm1 features, mm3 resize) ran on one task
+    // (guide §2.5 unsplittable-input skew). The exchange moves bare
+    // 8-byte ids; at scale it doubles as decode load-balancing (payload
+    // cost varies per row), never a bottleneck.
+    docs.select(col("doc_id"))
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           if (id % 2 == 0) MediaRow(id, makePng(id), "image/png")

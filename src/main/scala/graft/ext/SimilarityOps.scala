@@ -752,11 +752,29 @@ object SimilarityOps {
     * threshold output, orders of magnitude smaller than the corpus), and
     * the final left join broadcasts the component labels when they fit.
     */
+  /** The τ=0.35 exact near-dup pair set, landed once per embeddings
+    * version (frameLanding, planVersionKey): slim source-derived state in
+    * the d4/d7 shared-index class — d11, the d12 gate, and the d12
+    * coverage probe all consume the SAME pair list, and each was
+    * re-running the blocked n² verification per execution (~0.6 s each at
+    * sf0.1). Post-threshold output is orders of magnitude smaller than
+    * the corpus, so the pinned blocks stay tiny.
+    */
+  private def landedExactPairs(emb: DataFrame): DataFrame =
+    graft.util.Landing.frameLanding(emb.sparkSession,
+      graft.util.Landing.planVersionKey(emb) + "|tau35pairs")(
+      cosinePairsExact(emb, D12Tau).select(col("id_a"), col("id_b")))
+
   private def d11SemDedup(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val edges = cosinePairsExact(emb, 0.35).select(col("id_a"), col("id_b"))
-    val comps = DedupOps.connectedComponents(edges)
-      .select(col("id").as("vec_id"), col("label").as("rep_id"))
+    val edges = landedExactPairs(emb)
+    // components land too (pr5-labels class): the union-find fold
+    // checkpoints internally, so it re-ran per execution over a landed
+    // edge list; the label table is ≤ |paired vectors| rows
+    val comps = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(emb) + "|d11comps")(
+      DedupOps.connectedComponents(edges)
+        .select(col("id").as("vec_id"), col("label").as("rep_id")))
     emb.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -887,8 +905,13 @@ object SimilarityOps {
       .filter(col("sim") >= D12Tau)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val comps = DedupOps.connectedComponents(pairs)
-      .select(col("id").as("vec_id"), col("label").as("rep_id"))
+    // landed per corpus version like d11's (pr5-labels class): the
+    // within-cell pair join + union-find fold is the slim derived state,
+    // the per-vector left join below stays the serving query
+    val comps = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.planVersionKey(emb) + "|d12comps")(
+      DedupOps.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("label").as("rep_id")))
     emb.select(col("vec_id"))
       .join(comps, Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -904,8 +927,7 @@ object SimilarityOps {
   private[graft] def d12CoverageFrame(s: SparkSession, d: String,
       nCells: Int = 0): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val exactPairs = cosinePairsExact(emb, D12Tau)
-      .select(col("id_a"), col("id_b"))
+    val exactPairs = landedExactPairs(emb)
     val cells =
       if (nCells > 0) nCells else d12Cells(memoCount(emb))
     val cents = memoCentroids(emb, ivfFitSample(0, cells), cells)
@@ -927,8 +949,7 @@ object SimilarityOps {
   private def d12Gate(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val dec = d12CellDecisions(s, d)
-    val exactPairs = cosinePairsExact(emb, D12Tau)
-      .select(col("id_a"), col("id_b"))
+    val exactPairs = landedExactPairs(emb)
     val paired = exactPairs.select(col("id_a").as("vec_id"))
       .unionByName(exactPairs.select(col("id_b").as("vec_id")))
       .distinct()
