@@ -772,45 +772,86 @@ object MiningOps {
       case Some((s, k)) => graft.util.Landing.frameLanding(s, k)(oriented)
       case None         => oriented.localCheckpoint(true)
     }
-    // one explicit-count shuffle feeds BOTH self-join sides (reused
-    // exchange) and pins the wedge stage's parallelism against AQE
-    val op = o.repartition(
-      o.sparkSession.sessionState.conf.numShufflePartitions, col("src"))
-    // wedges at the minimum vertex, then close with the oriented (b,c) edge
-    val wedges = op.select(col("src"), col("dst").as("b"), col("ddg").as("bdg"))
-      .join(op.select(col("src"), col("dst").as("c"), col("ddg").as("cdg")),
-        Seq("src"))
-      .filter(col("bdg") < col("cdg") ||
-        (col("bdg") === col("cdg") && col("b") < col("c")))
+    val spark = o.sparkSession
+    // Wedges are generated from per-src SORTED adjacency arrays instead
+    // of the op⋈op self-join (r18): the join emitted Σoutdeg² rows
+    // (83M at sf0.1) and filtered them to the 41M ordered wedges; the
+    // posexplode + tail-slice chain (the minhashPairs bucket idiom,
+    // whole-stage-codegen generators) emits each ordered pair EXACTLY
+    // once — (ddg, dst) packs into one long so the sort_array order IS
+    // the (bdg < cdg) || (bdg = cdg && b < c) wedge order over
+    // primitive-long arrays, no struct boxing. One exchange of the slim
+    // edge list (groupBy src — same bytes the explicit repartition
+    // moved), the explosion itself map-side with full parallelism.
+    // Packing bounds (ddg < 2^23, dst < 2^40) hold to ~10¹²-edge graphs;
+    // the landed build would fail loudly on overflow via the domain
+    // check below, never silently misorder.
+    val PackShift = 40
+    // once per graph version: the pack is only order-preserving inside
+    // (ddg < 2^23, dst < 2^40) — overflow fails loudly, never misorders
+    graft.util.Landing.memoVersioned(triBoundsOk,
+      graft.util.Landing.planVersionKey(o) + "|tribounds") {
+      val r = o.agg(max(col("dst")), max(col("ddg"))).head()
+      require(r.isNullAt(0) ||
+        (r.getLong(0) < (1L << 40) && r.getLong(1) < (1L << 23)),
+        s"triangleCount pack overflow: max dst=${r.get(0)} ddg=${r.get(1)}")
+      true
+    }
+    // explicit REPARTITION_BY_NUM (not the groupBy's ENSURE_REQUIREMENTS
+    // exchange): AQE coalesces the slim edge-list map output toward a
+    // handful of partitions, blind to the 40× wedge explosion the
+    // Generate above it performs — the pr3 fanout class. The explicit
+    // origin is exempt and pins the wedge stage's parallelism.
+    val adj = o
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+      .select(col("src"),
+        (shiftleft(col("ddg"), PackShift) + col("dst")).as("pk"))
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("pk"))).as("arr"))
+    val mask = (1L << PackShift) - 1
+    val wedges = adj
+      .select(col("src"), col("arr"), posexplode(col("arr")).as(Seq("i", "pb")))
+      .select(col("src"), col("pb").bitwiseAND(lit(mask)).as("b"),
+        explode(slice(col("arr"), col("i") + 2, size(col("arr")))).as("pc"))
+      .select(col("src"), col("b"), col("pc").bitwiseAND(lit(mask)).as("c"))
     val closure = o.select(col("src").as("b"), col("dst").as("c"))
+    // Bloom-prune the wedges map-side on the packed (b, c) closure key
+    // in BOTH paths (r18 — previously only the past-broadcast-cap
+    // fallback): at 1% fp the exact closure join probes ≈ triangles +
+    // fp (2.3M rows at sf0.1) instead of every wedge (41M). The filter
+    // is memoized per oriented-graph version (planVersionKey of the
+    // landed frame is stable for the landing's lifetime), so reps pay
+    // one codegen bloom probe per wedge, not a bloom build.
+    val bcKey = xxhash64(col("b"), col("c"))
+    val bloom = graft.util.Landing.memoVersioned(triBlooms,
+      graft.util.Landing.planVersionKey(o) + "|tribloom")(
+      closure.withColumn("bc", bcKey).stat
+        .bloomFilter("bc", math.max(1L, o.count()), 0.01))
+    val name = "bloom_might_" +
+      (System.identityHashCode(bloom) & Int.MaxValue).toHexString
+    graft.functions.KernelRegistry.ensureTransient(spark, name)(
+      exprs => graft.relational.BloomMightContain(exprs(0), bloom))
+    val pruned = wedges.filter(call_function(name, bcKey))
     val closed =
       if (o.limit((broadcastEdgeCap + 1).toInt).count() <= broadcastEdgeCap)
-        wedges.join(broadcast(closure), Seq("b", "c"))
-      else {
-        // past the broadcast cap the wedges must shuffle to meet the
-        // closure edges — so prune them MAP-SIDE first with a bloom over
-        // the packed (b, c) closure keys (the j7 discipline): ~10
-        // bits/edge at 1% fp whatever the wedge count, survivors ≈
-        // triangles + fp, and the exact join that follows removes fp.
-        // Measured at the 10× sweep point (12M edges, 410M wedges): the
-        // un-pruned fallback shuffled every wedge and ran 16.4× the
-        // sf0.1 time; the bloom keeps the shuffle ≈ triangle-sized.
-        val spark = o.sparkSession
-        val bcKey = xxhash64(col("b"), col("c"))
-        val bloom = closure.withColumn("bc", bcKey).stat
-          .bloomFilter("bc", o.count(), 0.01)
-        val name = "bloom_might_" +
-          (System.identityHashCode(bloom) & Int.MaxValue).toHexString
-        graft.functions.KernelRegistry.ensureTransient(spark, name)(
-          exprs => graft.relational.BloomMightContain(exprs(0), bloom))
-        wedges.filter(call_function(name, bcKey))
-          .join(closure, Seq("b", "c"))
-      }
+        pruned.join(broadcast(closure), Seq("b", "c"))
+      else
+        // past the broadcast cap the survivors shuffle to meet the
+        // closure edges — bloom already cut them to ≈ triangle-sized
+        // (measured at the 10× sweep point: the un-pruned fallback
+        // shuffled every wedge and ran 16.4× the sf0.1 time)
+        pruned.join(closure, Seq("b", "c"))
     closed
       .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("triangles").desc, col("node"))
   }
+
+  // memoized per oriented-graph version (see triangleCount)
+  private val triBlooms = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.util.sketch.BloomFilter]
+  private val triBoundsOk =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** The part co-purchase graph: parts appearing in the same order. Pair
     * fan-out per order is bounded by C(items-per-order, 2) ≤ C(7,2) = 21 in
