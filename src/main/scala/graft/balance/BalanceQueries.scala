@@ -26,7 +26,9 @@ object BalanceQueries {
     val df = features(s, d)
     val before = df.groupBy(col("cls")).agg(count(lit(1)).as("n_before"))
     val balanced = Smote.balance(s, df, "vec_id", "features", "cls",
-      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100))
+      lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100),
+      landKey =
+        Some(graft.util.Landing.mtimeKey(d, "embeddings") + "|b1_nn"))
     val after = balanced.groupBy(col("cls")).agg(count(lit(1)).as("n_after"))
     before.join(after, Seq("cls"), "outer").orderBy(col("cls"))
   }
@@ -79,7 +81,9 @@ object BalanceQueries {
     val before = df.groupBy(col("cls")).agg(count(lit(1)).as("n_before"))
     val balanced = Smote.balance(s, df, "vec_id", "features", "cls",
       lit(0), Smote.Params(k = 5, percentOver = 200, percentUnder = 100),
-      Smote.LshKnn(bucketLength = 2.0, numHashTables = 3))
+      Smote.LshKnn(bucketLength = 2.0, numHashTables = 3),
+      landKey =
+        Some(graft.util.Landing.mtimeKey(d, "embeddings") + "|b3_nn"))
     val after = balanced.groupBy(col("cls")).agg(count(lit(1)).as("n_after"))
     before.join(after, Seq("cls"), "outer").orderBy(col("cls"))
   }
