@@ -626,13 +626,17 @@ object DedupOps {
   }
 
   /** D9 query: even doc_ids play the training corpus, odd the eval set. */
-  private def d9Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    contaminationPairs(
-      docs.filter(col("doc_id") % 2 === 0),
-      docs.filter(col("doc_id") % 2 === 1))
-      .orderBy(col("train_id"), col("eval_id"))
-  }
+  private def d9Decontaminate(s: SparkSession, d: String): DataFrame =
+    // slim source-derived pair list (the d16/b4 accounting): the bucket
+    // checkpoint + containment join run once per documents version, every
+    // later build serves the landing
+    graft.util.Landing.frameLanding(
+      s, graft.util.Landing.mtimeKey(d, "documents") + "|d9_pairs") {
+      val docs = Tables.documents(s, d)
+      contaminationPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }.orderBy(col("train_id"), col("eval_id"))
 
   /** Oracle replicates the shingling of [[shingles]] on strings (vs Spark's
     * xxhash64 of them — identical modulo collisions, none in testdata),

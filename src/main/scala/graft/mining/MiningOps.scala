@@ -105,9 +105,15 @@ object MiningOps {
     // key on BOTH source tables (Landing.sourceMtime, the multi-table
     // landing discipline): baskets = lineitem ⋈ part, so a part-only
     // rewrite must re-land too
-    associationRules(baskets, "bid", "item", minSupPct = 1, landKey =
-      Some((s, s"$d|fm1_baskets|" +
-        graft.util.Landing.sourceMtime(d, Seq("lineitem", "part")))))
+    val srcKey = s"$d|fm1_baskets|" +
+      graft.util.Landing.sourceMtime(d, Seq("lineitem", "part"))
+    // the rule table (≤ |brand|² directed pairs) is slim derived state —
+    // landed per source version like fm4's lattice; the pair self-join
+    // and support aggregates run once per version
+    graft.util.Landing.frameLanding(s, srcKey + "|rules")(
+      associationRules(baskets, "bid", "item", minSupPct = 1,
+        landKey = Some((s, srcKey))))
+      .orderBy(col("antecedent"), col("consequent"))
   }
 
   private val fm1Sql =
@@ -276,7 +282,12 @@ object MiningOps {
         round(col("p_retailprice") * 100).cast("long").as("y")))
     val seeds = graft.util.Landing.frameLanding(s, key + "|seeds")(
       kmeansSeeds(pts))
-    kmeansIterate(pts, seeds, iters = 3)
+    // the fitted model (k rows of exact rational centroids + means) is
+    // itself slim source-derived state — landed like pr5's labels, so
+    // the 3 sequenced Lloyd broadcast rounds run once per part version
+    graft.util.Landing.frameLanding(s, key + "|model")(
+      kmeansIterate(pts, seeds, iters = 3))
+      .orderBy(col("cl"))
   }
 
   /** The oracle unrolls the identical iterations as a CTE chain; the SQL
