@@ -2742,8 +2742,9 @@ object SimilarityOps {
     }
     val landed = s.read.parquet(dir)
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq.sorted
+    // shared probed-cell memo (the d13 build-cost class): x16 was the one
+    // persisted serve still collecting the probe plan per fresh build
+    val probedCells = memoProbedCells(queries, probes, cents, probe)
     val qlut = queries.select(col("vec_id").as("q_id"),
       VecOps.pqLut(s, col("embedding"), books).as("lut"))
     val approx = landed.filter(col("cell").isin(probedCells: _*))
