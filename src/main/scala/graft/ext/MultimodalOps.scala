@@ -28,6 +28,21 @@ import graft.{Q, Tables}
   */
 object MultimodalOps {
 
+  /** ImageIO's stream cache defaults to DISK: every `ImageIO.read`/`write`
+    * call creates and deletes a temp file. The payloads here are tiny
+    * in-memory byte arrays (≤16×10 px PNGs), so the disk cache is pure
+    * overhead — and with 32 concurrent decode tasks the per-call temp-file
+    * create/delete serializes on the filesystem (guide §1.2 per-task work;
+    * the r18 verdict's mm decode fan-out regression). Memory-cached
+    * streams decode the same bytes to the same rasters; JVM-global, set
+    * once in the object initializer — every ImageIO call site lives in
+    * this object, so any JVM (driver or executor) flips the flag before
+    * its first decode.
+    */
+  private[ext] def imageIoNoDiskCache(): Unit =
+    if (ImageIO.getUseCache) ImageIO.setUseCache(false)
+  imageIoNoDiskCache()
+
   val FeatureDim = 8
 
   /** Feature vector layout, FeatureDim floats per payload. f(0) is the
