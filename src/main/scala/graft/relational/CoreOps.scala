@@ -672,17 +672,55 @@ object CoreOps {
     * reference has no commit/receipt columns either).
     *
     * Catalyst decorrelates both subqueries into left-semi /
-    * left-anti hash joins on l_orderkey with the date and suppkey
-    * comparisons as join residuals — the lineitem table streams
-    * through three hash joins keyed identically, so at 100 TB all
-    * three sides co-partition on one l_orderkey exchange each (AQE
-    * coalesces), and nothing re-executes per row. The top-100 is
-    * TakeOrderedAndProject; (numwait DESC, s_name) totalizes the
-    * boundary.
+    * left-anti hash joins — but that still scans lineitem THREE times
+    * and builds two lineitem-sized broadcast hash relations per
+    * execution (the r18 plan: 3 scans + 5 BroadcastExchanges, 0.97 s).
+    * The Spark side instead evaluates the algebraic form of the same
+    * predicate in ONE lineitem pass (r19, guide §2.4 remove-shuffles /
+    * §1.2 the-distributed-algorithm): per (orderkey, suppkey) count the
+    * late lines, per orderkey count distinct suppliers and distinct
+    * LATE suppliers — "EXISTS other supplier" ⇔ n_supp ≥ 2, "NOT EXISTS
+    * other late supplier" (for a late l1) ⇔ n_late_supp = 1, and each
+    * qualifying l1 ROW is one late line of that single late supplier,
+    * so numwait sums its late_cnt. One slim exchange on l_orderkey
+    * (explicit repartition — HashPartitioning(ok) clusters both the
+    * (ok, sk) and the (ok) aggregate, so the two levels share it);
+    * orders(F) and supplier⋈nation ride as the broadcasts they are.
+    * The oracle SQL below stays the reference three-way form — the
+    * driver's hash compare is the equivalence proof (verified at
+    * sf0.01 and sf0.1). The top-100 is TakeOrderedAndProject;
+    * (numwait DESC, s_name) totalizes the boundary.
     */
   private def sql13TpchQ21(s: SparkSession, d: String): DataFrame = {
     registerViews(s, d)
-    s.sql(q21Sql)
+    import org.apache.spark.sql.functions._
+    val o = s.table("orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val lo = s.table("lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .as("late"))
+      .repartition(col("l_orderkey"))
+    val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_cnt"))
+    val waiting = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late_cnt") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_cnt") > 0, col("l_suppkey"))).as("late_suppkey"),
+        max(when(col("late_cnt") > 0, col("late_cnt"))).as("late_cnt"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val sn = s.table("supplier")
+      .join(s.table("nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_0", "NATION_1", "NATION_2",
+        "NATION_3"))
+      .select(col("s_suppkey"), col("s_name"))
+    waiting.join(broadcast(sn), col("late_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("late_cnt")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
   }
 
   private val q21Sql =

@@ -1016,6 +1016,20 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(r.fieldIndex("sim")) > 0.999))
   }
 
+  test("kNN join: plan reduces through the bounded distinct top-k " +
+      "aggregate (map-side partial split), no window repartition-and-sort") {
+    // the r18 rewrite's contract (w5 assert pattern): candidates reduce
+    // through partial_topk_dpairs_3 — ≤ k rows per (query, map partition)
+    // reach the one exchange — and no corpus-sized WindowExec remains
+    val emb = Tables.embeddings(spark, Sf0001)
+    val plan = SimilarityOps.knnJoin(emb, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_dpairs_3"),
+      "no partial topk_dpairs aggregate in the plan:\n" + plan.take(2000))
+    assert(!plan.contains("WindowExec"),
+      "knnJoin must not fall back to a window")
+  }
+
   test("kNN join: auto bits resolve to the explicit 2-bit fixture shape") {
     val emb = Tables.embeddings(spark, Sf0001)
     val auto = SimilarityOps.knnJoin(emb, 3) // bits <= 0 => derived from N
