@@ -124,7 +124,13 @@ object DedupOps {
     */
   private def d2Minhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    graft.util.OracleFixtures.withCorpusKey(minhashPairs(docs), s, d)
+    // verified pair table = slim source-derived state (the d9/d16 landing
+    // class): the shingle→sketch→band→verify pipeline runs once per
+    // documents version, every later call serves the landed pairs
+    val pairs = graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "documents") + "|d2_pairs")(
+      minhashPairs(docs))
+    graft.util.OracleFixtures.withCorpusKey(pairs, s, d)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -224,7 +230,11 @@ object DedupOps {
   }
 
   private def d2bMinhashPortable(s: SparkSession, d: String): DataFrame =
-    minhashPortablePairs(Tables.documents(s, d))
+    // same landing class as d2 above — the portable twin's pair table
+    // lands once per documents version
+    graft.util.Landing.frameLanding(s,
+      graft.util.Landing.mtimeKey(d, "documents") + "|d2b_pairs")(
+      minhashPortablePairs(Tables.documents(s, d)))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Oracle replicating [[minhashPortablePairs]] exactly: same shingling
@@ -1243,7 +1253,8 @@ object DedupOps {
     // bounded driver fetch: at most 64 distinct partition ids
     val bkts = qb.select(col("bkt")).distinct().limit(65).collect()
       .map(_.getLong(0))
-    val idx = s.read.parquet(dir).filter(col("bkt").isin(bkts.toIndexedSeq: _*))
+    val idx = graft.util.Landing.readLayout(s, dir)
+      .filter(col("bkt").isin(bkts.toIndexedSeq: _*))
     val agree = (0 until 8).map { k =>
       when(col("q_sig").getItem(k) === col("sig").getItem(k), 1).otherwise(0)
     }.reduce(_ + _)

@@ -1589,7 +1589,7 @@ object SimilarityOps {
   private def servePersisted(s: SparkSession, dir: String,
       queries: DataFrame, cents: Array[Array[Float]], probe: Int,
       k: Int): DataFrame = {
-    val landed = s.read.parquet(dir)
+    val landed = graft.util.Landing.readLayout(s, dir)
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
     val probedCells = memoProbedCells(queries, probes, cents, probe)
     rerankProbed(s,
@@ -1630,7 +1630,8 @@ object SimilarityOps {
     val cents = memoCentroids(emb, fs, cells)
     if (cents.isEmpty) return filteredBruteTopK(emb, queries, k)
     val margin = memoSpillThreshold(emb, fs, cents)
-    val landed = s.read.parquet(landedIndexDir(s, d, cents, margin))
+    val landed = graft.util.Landing.readLayout(s,
+      landedIndexDir(s, d, cents, margin))
     val probes = queryProbes(s, queries, cents, probe, matchLabel = true)
     val probedCells = memoProbedCells(queries, probes, cents, probe)
     rerankProbed(s, landed.filter(col("cell").isin(probedCells: _*)),
@@ -1819,7 +1820,7 @@ object SimilarityOps {
       score: (DataFrame, DataFrame) => DataFrame,
       qIds: DataFrame, keepAllScored: Boolean = false): DataFrame = {
     val nb = graphSidecarInt(dir, "_nbuckets.txt")
-    val nodes = s.read.parquet(dir)
+    val nodes = graft.util.Landing.readLayout(s, dir)
     def lookup(ids: Seq[Long]): DataFrame = {
       val pbs = ids.map(i => (i % nb).toInt).distinct.sorted
       nodes.filter(col("pb").isin(pbs: _*) && col("id").isin(ids: _*))
@@ -2252,7 +2253,7 @@ object SimilarityOps {
       "graft_gcompact") { dir =>
       val srcDir = x18bDir(s, d)
       val nb = graphSidecarInt(srcDir, "_nbuckets.txt")
-      val merged = s.read.parquet(srcDir)
+      val merged = graft.util.Landing.readLayout(s, srcDir)
         .groupBy(col("id"))
         .agg(first(col("emb"), ignoreNulls = true).as("emb"),
           first(col("nrm"), ignoreNulls = true).as("nrm"),
@@ -2321,7 +2322,7 @@ object SimilarityOps {
       "graft_gsq8") { dir =>
       val src = knnGraphDir(s, d)
       val qp = VecOps.qparams8(s, col("emb"))
-      s.read.parquet(src).select(col("id"),
+      graft.util.Landing.readLayout(s, src).select(col("id"),
           VecOps.quantize8(s, col("emb")).as("qb"),
           element_at(qp, 1).cast("double").as("vmin"),
           element_at(qp, 2).cast("double").as("step"),
@@ -2391,7 +2392,7 @@ object SimilarityOps {
     val ids = front.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val pbs = ids.map(i => (i % nbF).toInt).distinct.sorted
-    val cn = s.read.parquet(floatDir)
+    val cn = graft.util.Landing.readLayout(s, floatDir)
       .filter(col("pb").isin(pbs: _*) && col("id").isin(ids: _*))
       .filter(col("nrm").isNotNull && col("nrm") > 0)
       .select(col("id").as("c_id"), col("emb").as("c_emb"),
@@ -2444,7 +2445,7 @@ object SimilarityOps {
       val src = knnGraphDir(s, d)
       val lbl = Tables.embeddings(s, d)
         .select(col("vec_id").as("id"), col("label").as("lbl"))
-      s.read.parquet(src).join(broadcast(lbl), Seq("id"), "left")
+      graft.util.Landing.readLayout(s, src).join(broadcast(lbl), Seq("id"), "left")
         .select(col("id"), col("emb"), col("nrm"), col("lbl"),
           col("nbrs"), col("pb"))
         .repartition(col("pb"))
@@ -2512,7 +2513,7 @@ object SimilarityOps {
     val ids = scoredAll.select(col("c_id")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     val pbs = ids.map(i => (i % nb).toInt).distinct.sorted
-    val lbls = s.read.parquet(dir)
+    val lbls = graft.util.Landing.readLayout(s, dir)
       .filter(col("pb").isin(pbs: _*) && col("id").isin(ids: _*))
       .filter(col("nrm").isNotNull)
       .select(col("id").as("c_id"), col("lbl"))
@@ -2753,7 +2754,7 @@ object SimilarityOps {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(p)
     }
-    val landed = s.read.parquet(dir)
+    val landed = graft.util.Landing.readLayout(s, dir)
     val probes = queryProbes(s, queries, cents, probe, matchLabel = false)
     // shared probed-cell memo (the d13 build-cost class): x16 was the one
     // persisted serve still collecting the probe plan per fresh build
@@ -2824,7 +2825,7 @@ object SimilarityOps {
   private[graft] def x15State(s: SparkSession, d: String)
       : (String, Array[Array[Float]], Int) = {
     val apDir = x11bLayoutDir(s, d)
-    val recovered = s.read.parquet(apDir)
+    val recovered = graft.util.Landing.readLayout(s, apDir)
       // c_label rides through so the compacted layout keeps the
       // filterable metadata (assignedForLanding expects `label`)
       .select(col("c_id").as("vec_id"), col("c_emb").as("embedding"),

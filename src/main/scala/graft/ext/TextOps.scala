@@ -864,10 +864,11 @@ object TextOps {
       terms: Seq[String], limitN: Int = 20): DataFrame = {
     val dir = bm25IndexDir(s, d)
     val buckets = terms.map(bm25TokBucket).distinct
-    val post = s.read.parquet(s"$dir/postings")
+    val post = graft.util.Landing.readLayout(s, s"$dir/postings")
       .filter(col("tok_b").isin(buckets: _*) && col("tok").isin(terms: _*))
     val dft = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    bm25FromPostings(post, dft, s.read.parquet(s"$dir/stats"), terms, limitN)
+    bm25FromPostings(post, dft,
+      graft.util.Landing.readLayout(s, s"$dir/stats"), terms, limitN)
   }
 
   private def t18Bm25Indexed(s: SparkSession, d: String): DataFrame =
