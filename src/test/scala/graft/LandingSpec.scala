@@ -14,6 +14,31 @@ import graft.util.Landing
 class LandingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("landing discipline: every pinned block set stays SLIM (the " +
+      "'keep landed frames SMALL' contract, checked)") {
+    // Exercise a representative set of landed queries at the gated SF,
+    // then bound every persisted RDD (landed checkpoints included) in
+    // the shared session: the frameLanding memo pins blocks for the
+    // session's life, so a landing that materializes big would grow the
+    // steady heap of every later query (r18 verdict item 10). 64 MB per
+    // pinned RDD at sf0.01 is ~30× headroom over the largest intended
+    // landing (slim id/rank/pair tables); the FrameRowCap guard bounds
+    // rows, this bounds BYTES.
+    val dir = "/root/testdata/sf0.01"
+    Seq("pr1_pagerank", "pr3_triangles", "d2_minhash_pairs",
+      "x7_knn_join", "km1_kmeans", "fm1_assoc_rules", "d9_decontaminate")
+      .foreach(q => SparkEntry.queries(q)(spark, dir).count())
+    val pinned = spark.sparkContext.getRDDStorageInfo
+    val budget = 64L * 1024 * 1024
+    pinned.foreach { i =>
+      assert(i.memSize + i.diskSize < budget,
+        s"pinned RDD ${i.id} '${i.name}' holds " +
+          s"${(i.memSize + i.diskSize) / 1024 / 1024} MB — a landed frame " +
+          "grew past the slim-state budget (land a slimmer projection or " +
+          "stop memoizing it)")
+    }
+  }
+
   test("frameLanding: same key returns the SAME materialized frame, " +
       "different key rebuilds") {
     var builds = 0
